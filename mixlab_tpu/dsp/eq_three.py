@@ -1,0 +1,126 @@
+"""3-band EQ ("EqThree") as parallel first-order linear-recurrence scans.
+
+Reference: ``src/module/eq_three.rs`` — two 4-pole cascades of identical
+one-pole low-passes at 420 Hz / 2700 Hz (``LowPass::pump``,
+eq_three.rs:117-124), a 3-sample delay line, and per-band linear gains:
+
+    lo   = LP_lo^4(x)
+    hi   = x[i-3] - LP_hi^4(x)
+    mid  = x[i-3] - (hi + lo)      (== LP_hi^4(x) - lo)
+    out  = lo*g_lo + mid*g_mid + hi*g_hi
+
+Each one-pole stage is ``y_i = (1-f)·y_{i-1} + f·x_i (+ VSA on stage 0)`` — a
+first-order linear recurrence, which is an associative operation on (a, b)
+pairs under ``(a1,b1)∘(a2,b2) = (a1·a2, a2·b1 + b2)``.  The TPU build runs
+the lo and hi filters *together* (stacked on a trailing lane axis) through 4
+``associative_scan`` passes — O(log S) depth instead of O(S) — and carries
+the 8 pole values + 3 history samples as explicit state.
+
+The reference computes in f64 and stores f32; device math here is f32 (TPU
+has no fast f64).  Golden-fixture tolerance is validated in
+``tests/test_eq_three.py`` against ``fixtures/module/eq_three/``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixlab_tpu.dsp.base import ModuleDef, expect_mono
+from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+from mixlab_tpu.protocol import EqThreeParams, LineType
+
+FREQ_LO = 420.0  # eq_three.rs:8
+FREQ_HI = 2700.0  # eq_three.rs:9
+VSA = 1.0 / 4294967295.0  # denormal fix (eq_three.rs:11); kept for parity
+
+
+def _filter_coeff(freq: float, sample_rate: int) -> float:
+    # eq_three.rs:113-115
+    return 2.0 * math.sin(math.pi * freq / sample_rate)
+
+
+def _linrec_scan(a_const, b, y_init):
+    """Solve y_i = a·y_{i-1} + b_i with y_{-1}=y_init along axis 0.
+
+    ``a_const`` scalar-per-lane [2], ``b`` [S, 2], ``y_init`` [2].
+    Returns y [S, 2].
+    """
+    S = b.shape[0]
+    a = jnp.broadcast_to(a_const, b.shape)
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2 = e2
+        return a1 * a2, a2 * b1 + b2
+
+    a_pref, b_pref = jax.lax.associative_scan(combine, (a, b))
+    return a_pref * y_init + b_pref
+
+
+class EqThreeDef(ModuleDef):
+    kind = "EqThree"
+
+    def terminals(self, params: EqThreeParams):
+        return [LineType.MONO.unlabeled()], [LineType.MONO.unlabeled()]
+
+    def init_state(self, params, cfg: EngineConfig):
+        return {
+            # poles[k][filter] for k in 0..4, filter 0 = lo, 1 = hi
+            "poles": jnp.zeros((4, 2), dtype=jnp.float32),
+            "hist": jnp.zeros((3,), dtype=jnp.float32),
+        }
+
+    def prepare(self, params: EqThreeParams, cfg: EngineConfig):
+        return {
+            "gains": jnp.asarray(
+                [
+                    params.gain_lo.to_linear(),
+                    params.gain_mid.to_linear(),
+                    params.gain_hi.to_linear(),
+                ],
+                dtype=jnp.float32,
+            )
+        }
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        S = block.n_samples(cfg)
+        x = expect_mono(inputs[0], S)
+
+        f = jnp.asarray(
+            [
+                _filter_coeff(FREQ_LO, cfg.sample_rate),
+                _filter_coeff(FREQ_HI, cfg.sample_rate),
+            ],
+            dtype=jnp.float32,
+        )
+        a = 1.0 - f  # [2]
+
+        # stage 0 input: f*x + VSA (VSA only on the first pole, eq_three.rs:118)
+        y = x[:, None] * f[None, :] + jnp.float32(VSA)
+        poles = []
+        for k in range(4):
+            y = _linrec_scan(a, y, state["poles"][k])
+            poles.append(y[-1])
+            if k < 3:
+                y = y * f[None, :]  # next stage drive: b = f * prev_output
+
+        lo = y[:, 0]
+        hi_lp = y[:, 1]
+
+        # 3-sample delay line (eq_three.rs:71-79)
+        xd = jnp.concatenate([state["hist"], x])[:S]
+        hi = xd - hi_lp
+        mid = xd - (hi + lo)
+
+        g = aux["gains"]
+        out = (lo * g[0] + mid * g[1] + hi * g[2]).astype(jnp.float32)
+
+        new_state = {
+            "poles": jnp.stack(poles, axis=0),
+            "hist": jnp.concatenate([state["hist"], x])[-3:],
+        }
+        return new_state, [out], {}

@@ -1,0 +1,142 @@
+"""Sink / tap / feed modules.
+
+These bridge the jitted device program to host-side subsystems:
+
+  * Plotter      — src/module/plotter.rs:38-59 (oscilloscope tap, every 6th
+                   tick, device->host readback)
+  * Monitor      — src/module/monitor.rs (A/V preview sink; audio tapped per
+                   block, codec pipeline host-side)
+  * OutputDevice — src/module/output_device.rs (soundcard sink; clip
+                   detection on device, audio tap to the host audio backend)
+  * StreamInput  — src/module/stream_input.rs (live ingest feed: host fills a
+                   per-block i16 buffer from the ingest ring; i16->f32
+                   conversion ÷32768 happens on device, stream_input.rs:167-173)
+  * StreamOutput — src/module/stream_output.rs (RTMP egress; audio tap, codec
+                   + network host-side)
+  * MediaSource  — src/module/media_source.rs (file playback feed; host
+                   decode thread fills per-block f32 buffers)
+
+Taps are returned from the compiled block program as named arrays; the host
+engine routes them to indications / codec pipelines, mirroring how the
+reference's modules hand buffers to their codec threads over bounded queues.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mixlab_tpu.dsp.base import ModuleDef, expect_stereo
+from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+from mixlab_tpu.protocol import (
+    LineType,
+    MediaSourceParams,
+    StreamInputParams,
+    StreamOutputParams,
+)
+
+
+class PlotterDef(ModuleDef):
+    kind = "Plotter"
+
+    def terminals(self, params):
+        return [LineType.STEREO.unlabeled()], []
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        taps = {}
+        if inputs[0] is not None:
+            # host slices every-6th-tick frames out of this (plotter.rs:40-42)
+            taps["audio"] = inputs[0].reshape(block.n_ticks, cfg.samples_per_tick, 2)
+        return state, [], taps
+
+
+class MonitorDef(ModuleDef):
+    kind = "Monitor"
+
+    def terminals(self, params):
+        return [
+            LineType.STEREO.labeled("Audio"),
+            LineType.VIDEO.labeled("Video"),
+        ], []
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        S = block.n_samples(cfg)
+        audio = expect_stereo(inputs[0], S)  # monitor sends zeros if unpatched
+        taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
+        return state, [], taps
+
+
+class OutputDeviceDef(ModuleDef):
+    kind = "OutputDevice"
+
+    def terminals(self, params):
+        return [LineType.STEREO.unlabeled()], []
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        S = block.n_samples(cfg)
+        audio = expect_stereo(inputs[0], S)
+        # clip detection: any |sample| > 1.0 in the block
+        # (output_device.rs:213-224 does this per engine tick on host; here it
+        # is a device-side reduction, one bool per block)
+        clip = jnp.any(jnp.abs(audio) > 1.0)
+        taps = {
+            "audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2),
+            "clip": clip,
+        }
+        return state, [], taps
+
+
+class _ExternalFeed(ModuleDef):
+    """Base for modules whose audio originates host-side.
+
+    The host fills a per-block buffer (declared via ``ext_spec``) which the
+    compiled program receives as an input argument."""
+
+    def ext_spec(self, params, cfg: EngineConfig, block: BlockSpec):
+        """dict name -> (shape, dtype) of host-provided per-block arrays."""
+        return {}
+
+
+class StreamInputDef(_ExternalFeed):
+    kind = "StreamInput"
+
+    def terminals(self, params: StreamInputParams):
+        return [], [LineType.STEREO.unlabeled(), LineType.VIDEO.unlabeled()]
+
+    def ext_spec(self, params, cfg, block):
+        return {"pcm": ((block.n_samples(cfg), 2), np.int16)}
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        pcm = host_aux["pcm"]  # i16 [S,2] filled by host ingest path
+        # convert_sample (stream_input.rs:167-173): i16 / 32768.0
+        audio = pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        return state, [audio, None], {}
+
+
+class MediaSourceDef(_ExternalFeed):
+    kind = "MediaSource"
+
+    def terminals(self, params: MediaSourceParams):
+        return [], [LineType.STEREO.unlabeled(), LineType.VIDEO.unlabeled()]
+
+    def ext_spec(self, params, cfg, block):
+        return {"pcm": ((block.n_samples(cfg), 2), np.float32)}
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        return state, [host_aux["pcm"], None], {}
+
+
+class StreamOutputDef(ModuleDef):
+    kind = "StreamOutput"
+
+    def terminals(self, params: StreamOutputParams):
+        return [
+            LineType.STEREO.labeled("Audio"),
+            LineType.VIDEO.labeled("Video"),
+        ], []
+
+    def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+        S = block.n_samples(cfg)
+        audio = expect_stereo(inputs[0], S)
+        taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
+        return state, [], taps

@@ -1,0 +1,119 @@
+"""Multi-chip scale-out: stem-parallel audio + row-sharded video.
+
+The reference is a single-process, single-host system (SURVEY §2.11); its
+concurrency is thread pipelining.  The TPU build scales over a device mesh
+instead:
+
+  * **Stem parallelism** (data-parallel-like): N independent copies of a
+    patch ("stems" — e.g. the 16-stem config of BASELINE config 3) run as a
+    vmapped compiled program whose stem axis is sharded over the mesh's
+    ``stems`` axis via ``jax.shard_map``.  A cross-stem mixdown (master sum)
+    is a ``psum`` over ICI — the TPU-native replacement for the reference's
+    mixer-channel loop.
+  * **Spatial video sharding** (tensor-parallel-like): 1080p composite
+    planes are sharded by rows across the same mesh; the crossfade blend is
+    elementwise so no halo exchange is needed and XLA inserts no
+    collectives on the hot path.
+
+All functions here take an explicit ``Mesh``; tests use an 8-device virtual
+CPU mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from mixlab_tpu.engine.compiler import CompiledPatch, compile_patch
+from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+from mixlab_tpu.engine.graph import Workspace
+from mixlab_tpu.video.blend import crossfade_xla
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "stems") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def stack_for_stems(tree: Any, n_stems: int) -> Any:
+    """Tile a per-stem pytree along a new leading stem axis."""
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(jnp.asarray(x)[None], (n_stems,) + jnp.asarray(x).shape),
+        tree,
+    )
+
+
+def stem_parallel_step(
+    ws: Workspace,
+    cfg: EngineConfig,
+    block: BlockSpec,
+    mesh: Mesh,
+    monitor_key: str,
+    axis: str = "stems",
+):
+    """Build a jitted multi-chip step over ``n_stems = mesh size`` stems.
+
+    Returns (fn, make_args) where fn(aux, host_aux, state) ->
+    (state', master [S,2] mixdown summed across stems via psum).
+    """
+    patch = compile_patch(ws, cfg, block, jit=False)
+    program = patch._fn
+    n_stems = mesh.shape[axis]
+
+    def per_device(aux, host_aux, state):
+        # each device holds a [local_stems, ...] shard; vmap over local stems
+        st, taps = jax.vmap(program)(aux, host_aux, state)
+        local_master = taps[monitor_key]["audio"].sum(axis=0)  # sum local stems
+        master = jax.lax.psum(local_master, axis)  # cross-chip mixdown (ICI)
+        return st, master
+
+    stem_specs = P(axis)
+
+    fn = jax.jit(
+        jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(stem_specs, stem_specs, stem_specs),
+            out_specs=(stem_specs, P()),
+            check_vma=False,
+        )
+    )
+
+    def make_args(t0: int = 0):
+        aux = stack_for_stems(patch.prepare_aux(ws), n_stems)
+        host_aux = stack_for_stems(patch.host_aux(t0), n_stems)
+        state = stack_for_stems(patch.init_state(ws), n_stems)
+        return aux, host_aux, state
+
+    return fn, make_args, patch
+
+
+def row_sharded_blend(mesh: Mesh, axis: str = "stems"):
+    """Return a jitted crossfade over row-sharded planes."""
+
+    def blend(a, b, fade):
+        return crossfade_xla(a, b, fade)
+
+    def apply(a, b, fade):
+        sharding = NamedSharding(mesh, P(axis, None))
+        a = jax.device_put(a, sharding)
+        b = jax.device_put(b, sharding)
+        return jax.jit(
+            jax.shard_map(
+                blend,
+                mesh=mesh,
+                in_specs=(P(axis, None), P(axis, None), P()),
+                out_specs=P(axis, None),
+                check_vma=False,
+            )
+        )(a, b, jnp.asarray(fade, dtype=jnp.uint8))
+
+    return apply

@@ -1,0 +1,81 @@
+"""RGB <-> YUV420p colorspace kernels (BT.601 limited range).
+
+The reference keeps everything yuv420p on the hot path and defers RGB
+support with a TODO (``src/module/video_mixer.rs:280``); the TPU build
+implements both directions so test-pattern sources and future RGB ingest
+compose natively (BASELINE config 4 requires RGB->YUV420).
+
+Math: ITU-R BT.601 "studio swing":
+    Y = 16 + 65.481 R' + 128.553 G' + 24.966 B'   (R',G',B' in [0,1])
+    U = 128 - 37.797 R' - 74.203 G' + 112.0  B'
+    V = 128 + 112.0  R' - 93.786 G' - 18.214 B'
+Chroma is 2x2 box-averaged for 4:2:0 (matching the common swscale default),
+computed in f32 and rounded to u8.  All ops are fusable elementwise +
+reshape-mean; the 3x3 matrix contraction maps to the MXU for batched frames.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mixlab_tpu.video.frame import RGB24, YUV420P, Picture, PictureSettings
+
+_RGB2YUV = np.array(
+    [
+        [65.481, 128.553, 24.966],
+        [-37.797, -74.203, 112.0],
+        [112.0, -93.786, -18.214],
+    ],
+    dtype=np.float32,
+) / 255.0  # applied to 0..255 RGB directly
+
+_YUV2RGB = np.linalg.inv(_RGB2YUV).astype(np.float32)
+
+_OFFSET = np.array([16.0, 128.0, 128.0], dtype=np.float32)
+
+
+def rgb_to_yuv420(rgb):
+    """[H, W, 3] u8 -> (y [H,W], u [H/2,W/2], v [H/2,W/2]) u8.
+
+    H and W must be even (yuv420 chroma alignment)."""
+    H, W, _ = rgb.shape
+    x = rgb.astype(jnp.float32)
+    yuv = jnp.einsum("hwc,oc->hwo", x, jnp.asarray(_RGB2YUV)) + jnp.asarray(_OFFSET)
+    y = yuv[..., 0]
+    # 2x2 box average chroma
+    u = yuv[..., 1].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    v = yuv[..., 2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+    def q(p):
+        return jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+
+    return q(y), q(u), q(v)
+
+
+def yuv420_to_rgb(y, u, v):
+    """(y, u, v) u8 planes -> [H, W, 3] u8; chroma nearest-upsampled 2x."""
+    H, W = y.shape
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W]
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W]
+    yuv = jnp.stack([y.astype(jnp.float32), uf, vf], axis=-1) - jnp.asarray(_OFFSET)
+    rgb = jnp.einsum("hwc,oc->hwo", yuv, jnp.asarray(_YUV2RGB))
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+def picture_rgb_to_yuv420(pic: Picture) -> Picture:
+    assert pic.settings.pixel_format == RGB24
+    y, u, v = rgb_to_yuv420(pic.planes["rgb"])
+    return Picture(
+        PictureSettings(pic.settings.width, pic.settings.height, YUV420P),
+        {"y": y, "u": u, "v": v},
+    )
+
+
+def picture_yuv420_to_rgb(pic: Picture) -> Picture:
+    assert pic.settings.pixel_format == YUV420P
+    rgb = yuv420_to_rgb(pic.planes["y"], pic.planes["u"], pic.planes["v"])
+    return Picture(
+        PictureSettings(pic.settings.width, pic.settings.height, RGB24),
+        {"rgb": rgb},
+    )

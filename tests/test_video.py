@@ -1,0 +1,168 @@
+"""Video kernel + video mixer engine tests."""
+
+import numpy as np
+import pytest
+
+from mixlab_tpu.engine.config import EngineConfig
+from mixlab_tpu.protocol import VideoMixerParams
+from mixlab_tpu.utils.mtime import MediaDuration
+from mixlab_tpu.video.blend import crossfade_pallas, crossfade_xla
+from mixlab_tpu.video.colorspace import rgb_to_yuv420, yuv420_to_rgb
+from mixlab_tpu.video.engine import VideoMixerState, video_mixer_tick
+from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame, unify_picture_settings
+from mixlab_tpu.video.pattern import pattern_picture
+from mixlab_tpu.video.scale import letterbox_geometry, resize_matrix, scale_picture
+
+CFG = EngineConfig(sample_rate=44_100)
+
+
+def blend_oracle(a, b, fade):
+    """u8/u16 truncating-division semantics of video_mixer.rs:210-235."""
+    acc = a.astype(np.uint32) * fade + b.astype(np.uint32) * (255 - fade)
+    return (acc // 255).astype(np.uint8)
+
+
+def test_div255_multiply_shift_exact():
+    x = np.arange(0, 65536, dtype=np.uint32)
+    got = (x * 32897) >> 23
+    np.testing.assert_array_equal(got, x // 255)
+
+
+@pytest.mark.parametrize("fade", [0, 1, 127, 128, 254, 255])
+def test_crossfade_xla_exact(fade):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    b = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+    got = np.asarray(crossfade_xla(a, b, fade))
+    np.testing.assert_array_equal(got, blend_oracle(a, b, fade))
+
+
+def test_crossfade_pallas_matches_xla():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 256, (36, 100), dtype=np.uint8)
+    b = rng.integers(0, 256, (36, 100), dtype=np.uint8)
+    got = np.asarray(crossfade_pallas(a, b, 171))
+    np.testing.assert_array_equal(got, blend_oracle(a, b, 171))
+
+
+def test_unify_picture_settings():
+    a = PictureSettings(639, 360)
+    b = PictureSettings(320, 481)
+    u = unify_picture_settings(a, b)
+    assert (u.width, u.height) == (640, 482)  # chroma-aligned max box
+    assert u.pixel_format == "yuv420p"
+
+
+def test_letterbox_geometry_aspect():
+    # 16:9 into 4:3 -> pillar^H^H letterbox bars top/bottom
+    inp = PictureSettings(1280, 720)
+    out = PictureSettings(640, 480)
+    x, y, sw, sh = letterbox_geometry(inp, out)
+    assert (sw, sh) == (640, 360)
+    assert (x, y) == (0, 60)
+
+
+def test_resize_matrix_partition_of_unity():
+    W = resize_matrix(720, 350)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-6)
+    W = resize_matrix(350, 720)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_scale_constant_picture_stays_constant():
+    pic = Picture(
+        PictureSettings(64, 48),
+        {
+            "y": np.full((48, 64), 200, np.uint8),
+            "u": np.full((24, 32), 100, np.uint8),
+            "v": np.full((24, 32), 60, np.uint8),
+        },
+    )
+    out = scale_picture(pic, PictureSettings(32, 24))
+    assert np.asarray(out.planes["y"]).min() >= 199
+    assert abs(int(np.asarray(out.planes["u"]).mean()) - 100) <= 1
+
+
+def test_colorspace_roundtrip():
+    rgb = np.asarray(pattern_picture("gradient", 64, 48, pixel_format="rgb24").planes["rgb"])
+    y, u, v = rgb_to_yuv420(rgb)
+    back = np.asarray(yuv420_to_rgb(y, u, v))
+    # 4:2:0 subsampling loses chroma detail; compare luma-ish tolerance
+    err = np.abs(back.astype(int) - rgb.astype(int))
+    assert np.median(err) <= 4
+
+
+def frame(w, h, t_off=0, dur_ticks=1):
+    return VideoFrame(
+        picture=pattern_picture("bars", w, h),
+        duration_hint=MediaDuration.new(dur_ticks, CFG.ticks_per_second),
+        tick_offset=MediaDuration.zero(),
+    )
+
+
+def test_video_mixer_compose_and_passthrough():
+    state = VideoMixerState()
+    params = VideoMixerParams(a=0, b=1, fader=1.0)
+    fa, fb = frame(64, 48), frame(32, 48)
+    out, a, b = video_mixer_tick(state, params, [fa, fb, None, None], 0, CFG)
+    assert a is fa and b is fb
+    assert out is not None
+    # unified target = max box
+    assert (out.picture.settings.width, out.picture.settings.height) == (64, 48)
+    # fader=1.0 -> fade=255 -> pure A
+    a_scaled = np.asarray(state.channels[0].stored.planes["y"])
+    np.testing.assert_array_equal(np.asarray(out.picture.planes["y"]), a_scaled)
+
+
+def test_video_mixer_no_inputs_no_output():
+    state = VideoMixerState()
+    out, a, b = video_mixer_tick(
+        state, VideoMixerParams(a=0, b=1, fader=0.5), [None] * 4, 0, CFG
+    )
+    assert out is None and a is None and b is None
+
+
+def test_video_mixer_stored_frame_expiry():
+    state = VideoMixerState()
+    params = VideoMixerParams(a=0, b=None, fader=1.0)
+    spt = CFG.samples_per_tick
+    # frame lasts 2 ticks
+    out, _, _ = video_mixer_tick(state, params, [frame(32, 32, dur_ticks=2), None, None, None], 0, CFG)
+    assert out is not None
+    # tick 1: stored frame still active -> output present
+    out, _, _ = video_mixer_tick(state, params, [None] * 4, spt, CFG)
+    assert out is not None
+    # tick 2: expired -> no output
+    out, _, _ = video_mixer_tick(state, params, [None] * 4, 2 * spt, CFG)
+    assert out is None
+
+
+def test_video_mixer_halfway_fade():
+    state = VideoMixerState()
+    params = VideoMixerParams(a=0, b=1, fader=0.5)
+    fa = VideoFrame(
+        picture=Picture(
+            PictureSettings(32, 32),
+            {
+                "y": np.full((32, 32), 200, np.uint8),
+                "u": np.full((16, 16), 128, np.uint8),
+                "v": np.full((16, 16), 128, np.uint8),
+            },
+        ),
+        duration_hint=MediaDuration.new(1, 60),
+    )
+    fb = VideoFrame(
+        picture=Picture(
+            PictureSettings(32, 32),
+            {
+                "y": np.full((32, 32), 100, np.uint8),
+                "u": np.full((16, 16), 128, np.uint8),
+                "v": np.full((16, 16), 128, np.uint8),
+            },
+        ),
+        duration_hint=MediaDuration.new(1, 60),
+    )
+    out, _, _ = video_mixer_tick(state, params, [fa, fb, None, None], 0, CFG)
+    y = np.asarray(out.picture.planes["y"])
+    want = (200 * 127 + 100 * 128) // 255  # fade = int(0.5*255) = 127
+    np.testing.assert_array_equal(y, np.full_like(y, want))
