@@ -68,7 +68,7 @@ def build_16_module_graph():
     ws.connect(InputId(mixer, 5), OutputId(pan, 0))
     ws.connect(InputId(mixer, 6), OutputId(amps[1], 0))
     ws.connect(InputId(mixer, 7), OutputId(amps[2], 0))
-    ws.connect(InputId(mon, 0), OutputId(mixer, 0))
+    ws.connect(InputId(mon, 1), OutputId(mixer, 0))
     assert len(mids) == 16, len(mids)
     return ws, mon
 

@@ -54,14 +54,15 @@ class MonitorDef(ModuleDef):
     kind = "Monitor"
 
     def terminals(self, params):
+        # video first, audio second (monitor.rs:97-100)
         return [
-            LineType.STEREO.labeled("Audio"),
             LineType.VIDEO.labeled("Video"),
+            LineType.STEREO.labeled("Audio"),
         ], []
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        audio = expect_stereo(inputs[0], S)  # monitor sends zeros if unpatched
+        audio = expect_stereo(inputs[1], S)  # monitor sends zeros if unpatched
         taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
         return state, [], taps
 
@@ -101,7 +102,11 @@ class StreamInputDef(_ExternalFeed):
     kind = "StreamInput"
 
     def terminals(self, params: StreamInputParams):
-        return [], [LineType.STEREO.unlabeled(), LineType.VIDEO.unlabeled()]
+        # video first, audio second (stream_input.rs:45-48)
+        return [], [
+            LineType.VIDEO.labeled("Video"),
+            LineType.STEREO.labeled("Audio"),
+        ]
 
     def ext_spec(self, params, cfg, block):
         return {"pcm": ((block.n_samples(cfg), 2), np.int16)}
@@ -110,33 +115,33 @@ class StreamInputDef(_ExternalFeed):
         pcm = host_aux["pcm"]  # i16 [S,2] filled by host ingest path
         # convert_sample (stream_input.rs:167-173): i16 / 32768.0
         audio = pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
-        return state, [audio, None], {}
+        return state, [None, audio], {}
 
 
 class MediaSourceDef(_ExternalFeed):
     kind = "MediaSource"
 
     def terminals(self, params: MediaSourceParams):
-        return [], [LineType.STEREO.unlabeled(), LineType.VIDEO.unlabeled()]
-
-    def ext_spec(self, params, cfg, block):
-        return {"pcm": ((block.n_samples(cfg), 2), np.float32)}
+        # video only, matching the reference (media_source.rs:52-55: media
+        # audio is not wired into the graph)
+        return [], [LineType.VIDEO.unlabeled()]
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
-        return state, [host_aux["pcm"], None], {}
+        return state, [None], {}
 
 
 class StreamOutputDef(ModuleDef):
     kind = "StreamOutput"
 
     def terminals(self, params: StreamOutputParams):
+        # video first, audio second (stream_output.rs:48-51)
         return [
-            LineType.STEREO.labeled("Audio"),
             LineType.VIDEO.labeled("Video"),
+            LineType.STEREO.labeled("Audio"),
         ], []
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        audio = expect_stereo(inputs[0], S)
+        audio = expect_stereo(inputs[1], S)
         taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
         return state, [], taps

@@ -1,0 +1,569 @@
+"""Realtime host engine: tick loop, sessions, op-log, edits.
+
+Rebuild of ``src/engine.rs`` around the compiled-graph execution model:
+
+  * a dedicated thread runs a fixed-rate tick loop with absolute-scheduled
+    deadlines (drift-free: deadline = start + (tick+1)/tps, engine.rs:175);
+  * client ops arrive over a bounded command queue (depth 8; full -> Busy,
+    engine.rs:74,105-112) and are processed between ticks;
+  * every op is rebroadcast to all sessions as a ServerUpdate plus a
+    Sync(OpClock) echo for optimistic-UI reconciliation
+    (engine.rs:269-275,397); OpClock = (session_id, client_sequence) and is
+    only ordered within a session (engine.rs:38-50);
+  * each edit snapshots the workspace for persistence (the reference's
+    watch-channel-on-borrow-drop, workspace.rs:176-182, becomes an explicit
+    callback after each applied op).
+
+TPU execution model per tick: host feeds (stream ingest PCM) are gathered,
+the jitted block program runs on device, taps are routed to host pipelines
+(monitor/plotter/output_device), then the host video pass runs video modules
+in the same topo order.  Edits that keep the structural fingerprint only
+swap the traced aux pytree (no recompile); structural edits rebuild the
+program and carry DSP state per module (eq poles survive a gain edit,
+matching eq_three.rs:53-56).
+
+DSP-state checkpointing (``checkpoint``/``restore``) is a TPU-build
+extension: the reference persists only declarative params (persist.rs:9-21);
+here the explicit state pytree makes runtime state snapshottable too.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mixlab_tpu import protocol as p
+from mixlab_tpu.dsp.registry import get_def
+from mixlab_tpu.engine.compiler import CompiledPatch, compile_patch
+from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+from mixlab_tpu.engine.feeds import StreamInputFeed
+from mixlab_tpu.engine.graph import ConnectError, Workspace
+from mixlab_tpu.engine.timing import EngineStat, temporal_warning
+from mixlab_tpu.io_host import source as source_registry
+from mixlab_tpu.protocol import (
+    Indication,
+    InputId,
+    LineType,
+    ModuleId,
+    OutputId,
+    WindowGeometry,
+)
+from mixlab_tpu.video.engine import VideoMixerState, video_mixer_tick
+
+
+# ---------------------------------------------------------------------------
+# events / sessions
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class OpClock:
+    session_id: int
+    sequence: int
+
+
+@dataclass(frozen=True)
+class SyncEvent:
+    clock: OpClock
+
+
+@dataclass(frozen=True)
+class UpdateEvent:
+    update: object  # ServerUpdate
+
+
+class EngineError(Exception):
+    pass
+
+
+class Busy(EngineError):
+    pass
+
+
+class Stopped(EngineError):
+    pass
+
+
+class _Broadcast:
+    """tokio::broadcast(64) analogue; lagging subscribers are dropped
+    (matching the server's forced disconnect on lag, server.rs:251-254)."""
+
+    def __init__(self, depth: int = 64):
+        self._subs: List[queue.Queue] = []
+        self._lock = threading.Lock()
+        self._depth = depth
+
+    def subscribe(self) -> queue.Queue:
+        q = queue.Queue(maxsize=self._depth)
+        with self._lock:
+            self._subs.append(q)
+        return q
+
+    def unsubscribe(self, q: queue.Queue):
+        with self._lock:
+            if q in self._subs:
+                self._subs.remove(q)
+
+    def send(self, ev):
+        with self._lock:
+            dead = []
+            for q in self._subs:
+                try:
+                    q.put_nowait(ev)
+                except queue.Full:
+                    dead.append(q)
+            for q in dead:
+                self._subs.remove(q)
+                try:
+                    q.put_nowait(None)  # lag sentinel -> session closes
+                except queue.Full:
+                    pass
+
+
+# ---------------------------------------------------------------------------
+# engine
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _MonitorPipe:
+    """Bounded tick queue to a monitor/stream codec thread; drop-on-full
+    (monitor.rs:164-176)."""
+
+    q: queue.Queue = field(default_factory=lambda: queue.Queue(maxsize=2))
+    dropped: int = 0
+
+    def push(self, item) -> bool:
+        try:
+            self.q.put_nowait(item)
+            return True
+        except queue.Full:
+            self.dropped += 1
+            return False
+
+
+class Engine:
+    def __init__(
+        self,
+        workspace: Optional[Workspace] = None,
+        cfg: EngineConfig = EngineConfig(),
+        persist_cb: Optional[Callable[[dict], None]] = None,
+        block_ticks: int = 1,
+    ):
+        self.cfg = cfg
+        self.ws = workspace or Workspace()
+        self.persist_cb = persist_cb
+        self.block = BlockSpec(block_ticks)
+
+        self._cmd: queue.Queue = queue.Queue(maxsize=8)
+        self._log = _Broadcast(64)
+        self._perf_lock = threading.Lock()
+        self._perf: Optional[p.PerformanceInfo] = None
+        self._session_seq = 0
+        self._stat = EngineStat(cfg.ticks_per_second)
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+        # host-module state
+        self._video_mixers: Dict[ModuleId, VideoMixerState] = {}
+        self._stream_feeds: Dict[ModuleId, StreamInputFeed] = {}
+        self._monitor_pipes: Dict[ModuleId, _MonitorPipe] = {}
+        self._plotter_counts: Dict[ModuleId, int] = {}
+        self._clip_times: Dict[ModuleId, float] = {}
+
+        self.tick = 0
+        self._rebuild(full=True)
+
+    # -- compiled program management --------------------------------------
+
+    def _rebuild(self, full: bool):
+        patch = compile_patch(self.ws, self.cfg, self.block)
+        old_patch = getattr(self, "_patch", None)
+        old_state = getattr(self, "_state", None)
+        if (
+            not full
+            and old_patch is not None
+            and patch.structural_fingerprint == old_patch.structural_fingerprint
+        ):
+            # param-only change: swap aux, keep program + state
+            self._aux = old_patch.prepare_aux(self.ws)
+            return
+        self._patch = patch
+        self._aux = patch.prepare_aux(self.ws)
+        new_state = patch.init_state(self.ws)
+        if old_state is not None:
+            # carry DSP state for surviving modules of unchanged kind
+            for k, st in new_state.items():
+                if k in old_state:
+                    mid = ModuleId(int(k))
+                    entry = self.ws.modules.get(mid)
+                    if entry is not None:
+                        d = get_def(entry.params.kind)
+                        carried = d.carry_state(
+                            old_state[k], entry.params.params, self.cfg
+                        )
+                        if carried is not None and _same_structure(carried, st):
+                            new_state[k] = carried
+        self._state = new_state
+        self._sync_host_modules()
+
+    def _sync_host_modules(self):
+        live = set(self.ws.modules)
+        for mid, entry in self.ws.modules.items():
+            kind = entry.params.kind
+            if kind == "VideoMixer" and mid not in self._video_mixers:
+                self._video_mixers[mid] = VideoMixerState()
+            if kind == "StreamInput" and mid not in self._stream_feeds:
+                feed = StreamInputFeed(self.cfg)
+                self._stream_feeds[mid] = feed
+                self._listen_mountpoint(mid, entry.params.params)
+            if kind in ("Monitor", "StreamOutput") and mid not in self._monitor_pipes:
+                self._monitor_pipes[mid] = _MonitorPipe()
+            if kind == "Plotter" and mid not in self._plotter_counts:
+                self._plotter_counts[mid] = 0
+        for d_ in (
+            self._video_mixers,
+            self._stream_feeds,
+            self._monitor_pipes,
+            self._plotter_counts,
+            self._clip_times,
+        ):
+            for mid in [m for m in d_ if m not in live]:
+                if d_ is self._stream_feeds:
+                    d_[mid].set_recv(None)
+                del d_[mid]
+
+    def _listen_mountpoint(self, mid: ModuleId, params: p.StreamInputParams):
+        feed = self._stream_feeds[mid]
+        recv = None
+        if params.mountpoint and params.protocol is not None:
+            reg = (
+                source_registry.RTMP_MOUNTPOINTS
+                if params.protocol == p.StreamProtocol.RTMP
+                else source_registry.ICECAST_MOUNTPOINTS
+            )
+            try:
+                recv = reg.listen(params.mountpoint)
+            except source_registry.ListenError:
+                recv = None  # TODO indication (stream_input.rs:63 TODO too)
+        feed.set_recv(recv)
+
+    # -- session API (thread-safe) ----------------------------------------
+
+    def connect_session(self) -> Tuple[int, p.WorkspaceState, queue.Queue]:
+        done = queue.Queue(maxsize=1)
+        self._send_cmd(("connect", done))
+        return done.get(timeout=5.0)
+
+    def update(self, session_id: int, msg: p.WorkspaceMessage):
+        self._send_cmd(("workspace", session_id, msg))
+
+    def _send_cmd(self, cmd):
+        if self._stop.is_set():
+            raise Stopped()
+        try:
+            self._cmd.put_nowait(cmd)
+        except queue.Full:
+            raise Busy()
+        if self._thread is None:
+            # direct-drive mode (no engine thread running: offline render,
+            # tests): process synchronously
+            while True:
+                try:
+                    pending = self._cmd.get_nowait()
+                except queue.Empty:
+                    break
+                self._process_cmd(pending)
+
+    def performance_info(self) -> Optional[p.PerformanceInfo]:
+        with self._perf_lock:
+            return self._perf
+
+    def monitor_pipe(self, mid: ModuleId) -> Optional[_MonitorPipe]:
+        return self._monitor_pipes.get(mid)
+
+    # -- state checkpoint (TPU-build extension) ----------------------------
+
+    def checkpoint(self) -> dict:
+        import jax
+
+        flat, treedef = jax.tree.flatten(self._state)
+        return {
+            "workspace": self.ws.to_persist(),
+            "tick": self.tick,
+            "dsp_state": [np.asarray(x) for x in flat],
+        }
+
+    def restore_dsp_state(self, ckpt: dict):
+        import jax
+
+        flat, treedef = jax.tree.flatten(self._state)
+        if len(flat) == len(ckpt["dsp_state"]):
+            self._state = jax.tree.unflatten(treedef, ckpt["dsp_state"])
+            self.tick = ckpt.get("tick", 0)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True, name="engine")
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5.0)
+
+    def _run(self):
+        start = time.monotonic()
+        tps = self.cfg.ticks_per_second
+        n = self.block.n_ticks
+        while not self._stop.is_set():
+            this_tick = self.tick
+            scheduled_end = start + (this_tick + n) / tps
+            self._stat.record_tick(scheduled_end, lambda ts: self.tick_once(ts))
+            if this_tick % (tps // 2) < n:
+                with self._perf_lock:
+                    self._perf = self._stat.report()
+            # process commands, then wait for the deadline processing more
+            while True:
+                try:
+                    timeout = scheduled_end - time.monotonic()
+                    if timeout <= 0:
+                        try:
+                            cmd = self._cmd.get_nowait()
+                        except queue.Empty:
+                            break
+                    else:
+                        cmd = self._cmd.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                self._process_cmd(cmd)
+
+    # -- command processing -------------------------------------------------
+
+    def _process_cmd(self, cmd):
+        if cmd[0] == "connect":
+            self._session_seq += 1
+            sid = self._session_seq
+            state = self._dump_state()
+            q = self._log.subscribe()
+            cmd[1].put((sid, state, q))
+        elif cmd[0] == "workspace":
+            _, session_id, msg = cmd
+            self.client_update(session_id, msg)
+
+    def _dump_state(self) -> p.WorkspaceState:
+        state = p.WorkspaceState()
+        for mid, entry in self.ws.modules.items():
+            state.modules.append((mid, entry.params))
+            state.inputs.append((mid, list(entry.inputs)))
+            state.outputs.append((mid, list(entry.outputs)))
+        for mid, geom in self.ws.geometry.items():
+            state.geometry.append((mid, geom))
+        for mid, ind in self.ws.indications.items():
+            state.indications.append((mid, ind))
+        for i, o in self.ws.connections.items():
+            state.connections.append((i, o))
+        return state
+
+    def _log_op(self, update):
+        self._log.send(UpdateEvent(update))
+
+    def _persist(self):
+        if self.persist_cb:
+            self.persist_cb(self.ws.to_persist())
+
+    def client_update(self, session_id: int, msg: p.WorkspaceMessage):
+        """Apply one client op (engine.rs:277-398 semantics)."""
+        op = msg.op
+        if isinstance(op, p.CreateModule):
+            mid = self.ws.create_module(op.params, op.geometry)
+            entry = self.ws.modules[mid]
+            self._rebuild(full=False)
+            self._log_op(
+                p.SUCreateModule(
+                    id=mid,
+                    params=op.params,
+                    geometry=op.geometry,
+                    indication=self.ws.indications[mid],
+                    inputs=tuple(entry.inputs),
+                    outputs=tuple(entry.outputs),
+                )
+            )
+            self._persist()
+        elif isinstance(op, p.UpdateModuleParams):
+            entry = self.ws.modules.get(op.module_id)
+            if entry is not None:
+                old_params = entry.params
+                self.ws.update_params(op.module_id, op.params)
+                self._on_params_updated(op.module_id, old_params, op.params)
+                self._rebuild(full=False)
+                self._log_op(p.SUUpdateModuleParams(op.module_id, op.params))
+                self._persist()
+        elif isinstance(op, p.UpdateWindowGeometry):
+            if op.module_id in self.ws.geometry:
+                self.ws.geometry[op.module_id] = op.geometry
+                self._log_op(p.SUUpdateWindowGeometry(op.module_id, op.geometry))
+                self._persist()
+        elif isinstance(op, p.DeleteModule):
+            if op.module_id in self.ws.modules:
+                deleted = self.ws.delete_module(op.module_id)
+                for input_id in deleted:
+                    self._log_op(p.SUDeleteConnection(input_id))
+                self._log_op(p.SUDeleteModule(op.module_id))
+                self._stat.remove_module(op.module_id)
+                self._rebuild(full=False)
+                self._persist()
+        elif isinstance(op, p.CreateConnection):
+            try:
+                prev = self.ws.connect(op.input_id, op.output_id)
+            except ConnectError:
+                prev = "rejected"
+            if prev != "rejected":
+                if prev is not None:
+                    self._log_op(p.SUDeleteConnection(op.input_id))
+                self._log_op(p.SUCreateConnection(op.input_id, op.output_id))
+                self._rebuild(full=False)
+                self._persist()
+        elif isinstance(op, p.DeleteConnection):
+            if self.ws.disconnect(op.input_id) is not None:
+                self._log_op(p.SUDeleteConnection(op.input_id))
+                self._rebuild(full=False)
+                self._persist()
+        self._log.send(SyncEvent(OpClock(session_id, msg.sequence)))
+
+    def _on_params_updated(self, mid: ModuleId, old_params, new_params):
+        kind = new_params.kind
+        if kind == "StreamInput":
+            oldp, newp = old_params.params, new_params.params
+            if oldp.mountpoint != newp.mountpoint or oldp.protocol != newp.protocol:
+                self._listen_mountpoint(mid, newp)
+
+    # -- tick execution -----------------------------------------------------
+
+    def tick_once(self, tick_stat=None) -> Dict[ModuleId, Indication]:
+        """Run one block of ticks; returns indication changes."""
+        cfg = self.cfg
+        t0 = self.tick * cfg.samples_per_tick
+        S = self.block.n_samples(cfg)
+
+        # 1. host feeds
+        ext = {}
+        stream_videos: Dict[ModuleId, object] = {}
+        for mid, feed in self._stream_feeds.items():
+            pcm, video = feed.fill_tick(t0, S)
+            ext[str(mid.value)] = {"pcm": pcm}
+            stream_videos[mid] = video
+
+        # 2. device program
+        host_aux = self._patch.host_aux(t0, ext)
+        self._state, taps = self._patch.run(self._aux, host_aux, self._state)
+
+        # 3. host video pass (same topo order)
+        video_buffers: Dict[OutputId, object] = {}
+        for mid in self._patch.order:
+            entry = self.ws.modules.get(mid)
+            if entry is None:
+                continue
+            kind = entry.params.kind
+            if kind == "StreamInput":
+                video_buffers[OutputId(mid, 0)] = stream_videos.get(mid)
+            elif kind == "VideoMixer":
+                vins = [
+                    self._video_input(mid, i, video_buffers)
+                    for i in range(len(entry.inputs))
+                ]
+                outs = video_mixer_tick(
+                    self._video_mixers[mid],
+                    entry.params.params,
+                    vins,
+                    t0,
+                    cfg,
+                )
+                for i, frame in enumerate(outs):
+                    video_buffers[OutputId(mid, i)] = frame
+
+        # 4. route taps
+        indications: Dict[ModuleId, Indication] = {}
+        now = time.monotonic()
+        for k, tp in taps.items():
+            mid = ModuleId(int(k))
+            entry = self.ws.modules.get(mid)
+            if entry is None:
+                continue
+            kind = entry.params.kind
+            if kind in ("Monitor", "StreamOutput"):
+                pipe = self._monitor_pipes.get(mid)
+                if pipe is not None:
+                    video = self._video_input(mid, 0, video_buffers)
+                    pipe.push((t0, np.asarray(tp["audio"]).reshape(S, 2), video))
+            elif kind == "Plotter":
+                count = self._plotter_counts.get(mid, 0)
+                n = self.block.n_ticks
+                audio = tp.get("audio")
+                for j in range(n):
+                    count += 1
+                    if count % 6 == 0 and audio is not None:
+                        frame = np.asarray(audio[j])
+                        indications[mid] = Indication(
+                            "Plotter",
+                            p.PlotterIndication(
+                                (
+                                    tuple(float(x) for x in frame[:, 0]),
+                                    tuple(float(x) for x in frame[:, 1]),
+                                )
+                            ),
+                        )
+                self._plotter_counts[mid] = count
+            elif kind == "OutputDevice":
+                if bool(tp["clip"]):
+                    self._clip_times[mid] = now
+                clip = temporal_warning(
+                    now - self._clip_times[mid] if mid in self._clip_times else None
+                )
+                prev = self.ws.indications.get(mid)
+                ind = Indication(
+                    "OutputDevice", p.OutputDeviceIndication(clip=clip)
+                )
+                if prev != ind:
+                    indications[mid] = ind
+
+        for mid, ind in indications.items():
+            self.ws.indications[mid] = ind
+            self._log_op(p.SUUpdateModuleIndication(mid, ind))
+
+        self.tick += self.block.n_ticks
+        return indications
+
+    def _video_input(self, mid: ModuleId, index: int, buffers) -> Optional[object]:
+        entry = self.ws.modules[mid]
+        if index >= len(entry.inputs):
+            return None
+        if entry.inputs[index].line_type != LineType.VIDEO:
+            return None
+        out = self.ws.connections.get(InputId(mid, index))
+        if out is None:
+            return None
+        return buffers.get(out)
+
+
+def _same_structure(a, b) -> bool:
+    import jax
+
+    try:
+        ta = jax.tree.structure(a)
+        tb = jax.tree.structure(b)
+        if ta != tb:
+            return False
+        la = jax.tree.leaves(a)
+        lb = jax.tree.leaves(b)
+        return all(
+            getattr(x, "shape", None) == getattr(y, "shape", None) for x, y in zip(la, lb)
+        )
+    except Exception:
+        return False

@@ -41,7 +41,7 @@ def test_run_order_terminal_dfs():
     amp = ws.create_module(p.ModuleParams("Amplifier", p.AmplifierParams()))
     mon = ws.create_module(p.ModuleParams("Monitor", None))
     ws.connect(InputId(amp, 0), OutputId(o, 1))
-    ws.connect(InputId(mon, 0), OutputId(amp, 0))
+    ws.connect(InputId(mon, 1), OutputId(amp, 0))
     assert ws.run_order() == [o, amp, mon]
 
 
@@ -65,7 +65,7 @@ def test_cycle_back_edge_reads_zeros():
     mon = ws.create_module(p.ModuleParams("Monitor", None))
     ws.connect(InputId(a, 0), OutputId(b, 0))
     ws.connect(InputId(b, 0), OutputId(a, 0))
-    ws.connect(InputId(mon, 0), OutputId(b, 0))
+    ws.connect(InputId(mon, 1), OutputId(b, 0))
     res = render(ws, n_ticks=2, cfg=CFG, block_ticks=2)
     audio = res.monitor_audio(mon)
     np.testing.assert_array_equal(audio, np.zeros_like(audio))
@@ -106,7 +106,7 @@ def test_render_config1_sine_amp_monitor_vs_oracle():
     )
     mon = ws.create_module(p.ModuleParams("Monitor", None))
     ws.connect(InputId(amp, 0), OutputId(o, 1))
-    ws.connect(InputId(mon, 0), OutputId(amp, 0))
+    ws.connect(InputId(mon, 1), OutputId(amp, 0))
 
     n_ticks = 30
     res = render(ws, n_ticks=n_ticks, cfg=CFG, block_ticks=8)
@@ -123,7 +123,7 @@ def test_param_update_no_recompile_same_fingerprint():
     ws = Workspace()
     o = osc(ws, 440.0)
     mon = ws.create_module(p.ModuleParams("Monitor", None))
-    ws.connect(InputId(mon, 0), OutputId(o, 1))
+    ws.connect(InputId(mon, 1), OutputId(o, 1))
     patch1 = compile_patch(ws, CFG, BlockSpec(2))
     ws.update_params(
         ws.run_order()[0] if False else o,
@@ -153,7 +153,7 @@ def test_eq_three_in_graph_state_carries_across_blocks():
     ws.connect(InputId(eq, 0), OutputId(o, 0))
     ws.connect(InputId(sp, 0), OutputId(eq, 0))
     ws.connect(InputId(sp, 1), OutputId(eq, 0))
-    ws.connect(InputId(mon, 0), OutputId(sp, 0))
+    ws.connect(InputId(mon, 1), OutputId(sp, 0))
 
     n_ticks = 12
     res = render(ws, n_ticks=n_ticks, cfg=CFG, block_ticks=3)
