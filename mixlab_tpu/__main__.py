@@ -1,0 +1,51 @@
+"""CLI entry point: ``python -m mixlab_tpu [--listen HOST:PORT] [--sample-rate N] workspace.mixlab``.
+
+Rebuild of ``src/main.rs``: structopt-style options (--listen defaulting to
+127.0.0.1:8000, positional workspace path), logging init, then the server
+event loop on the single disambiguated port.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import logging
+
+
+def main():
+    parser = argparse.ArgumentParser(prog="mixlab_tpu")
+    parser.add_argument("--listen", default="127.0.0.1:8000", help="listen address")
+    parser.add_argument(
+        "--sample-rate", type=int, default=44_100, help="engine sample rate"
+    )
+    parser.add_argument("workspace_path", help="project file (.mixlab)")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.project import open_or_create
+    from mixlab_tpu.server.app import run_server
+
+    host, _, port = args.listen.rpartition(":")
+    project = open_or_create(
+        args.workspace_path, EngineConfig(sample_rate=args.sample_rate)
+    )
+
+    async def amain():
+        tcp, _server = await run_server(project, host or "127.0.0.1", int(port))
+        logging.info("mixlab-tpu listening on http://%s", args.listen)
+        async with tcp:
+            await tcp.serve_forever()
+
+    try:
+        asyncio.run(amain())
+    except KeyboardInterrupt:
+        pass
+    finally:
+        project.engine.stop()
+        project.close()
+
+
+if __name__ == "__main__":
+    main()

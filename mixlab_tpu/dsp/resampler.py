@@ -97,3 +97,27 @@ def resample_block(x, ctx, src_rate: int, dst_rate: int, taps_per_phase: int = 3
     if squeeze:
         return y[:, 0], new_ctx[:, 0]
     return y, new_ctx
+
+
+def resample_block_np(x, ctx, src_rate: int, dst_rate: int, taps_per_phase: int = 32):
+    """Numpy twin of :func:`resample_block` for host ingest threads (keeps
+    network decode paths off the device dispatch queue).  Input length must
+    be a multiple of M; pad/carry at the call site."""
+    L, M, W2 = design(src_rate, dst_rate, taps_per_phase)
+    W2 = np.asarray(W2)
+    J = taps_per_phase
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+        ctx = ctx[:, None]
+    S_in, C = x.shape
+    assert S_in % M == 0
+    G = S_in // M
+    W = M + J - 1
+    xp = np.concatenate([ctx, x], axis=0)
+    idx = np.arange(G)[:, None] * M + np.arange(W)[None, :]
+    y = np.einsum("gwc,lw->glc", xp[idx], W2).reshape(G * L, C).astype(np.float32)
+    new_ctx = xp[-(J - 1):]
+    if squeeze:
+        return y[:, 0], new_ctx[:, 0]
+    return y, new_ctx

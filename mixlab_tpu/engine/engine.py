@@ -173,6 +173,7 @@ class Engine:
         self._video_mixers: Dict[ModuleId, VideoMixerState] = {}
         self._stream_feeds: Dict[ModuleId, StreamInputFeed] = {}
         self._monitor_pipes: Dict[ModuleId, _MonitorPipe] = {}
+        self._monitor_pipelines: Dict[ModuleId, object] = {}
         self._plotter_counts: Dict[ModuleId, int] = {}
         self._clip_times: Dict[ModuleId, float] = {}
 
@@ -223,19 +224,34 @@ class Engine:
                 self._stream_feeds[mid] = feed
                 self._listen_mountpoint(mid, entry.params.params)
             if kind in ("Monitor", "StreamOutput") and mid not in self._monitor_pipes:
-                self._monitor_pipes[mid] = _MonitorPipe()
+                pipe = _MonitorPipe()
+                self._monitor_pipes[mid] = pipe
+                if kind == "Monitor":
+                    # spawn the codec thread + socket registration and expose
+                    # the socket id as the module indication (monitor.rs:24-66)
+                    from mixlab_tpu.server.monitor import MonitorPipeline
+
+                    pipeline = MonitorPipeline(pipe, self.cfg)
+                    pipeline.start()
+                    self._monitor_pipelines[mid] = pipeline
+                    self.ws.indications[mid] = Indication(
+                        "Monitor", p.MonitorIndication(pipeline.socket_id)
+                    )
             if kind == "Plotter" and mid not in self._plotter_counts:
                 self._plotter_counts[mid] = 0
         for d_ in (
             self._video_mixers,
             self._stream_feeds,
             self._monitor_pipes,
+            self._monitor_pipelines,
             self._plotter_counts,
             self._clip_times,
         ):
             for mid in [m for m in d_ if m not in live]:
                 if d_ is self._stream_feeds:
                     d_[mid].set_recv(None)
+                if d_ is self._monitor_pipelines:
+                    d_[mid].stop()
                 del d_[mid]
 
     def _listen_mountpoint(self, mid: ModuleId, params: p.StreamInputParams):

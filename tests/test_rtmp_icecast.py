@@ -1,0 +1,190 @@
+"""RTMP + Icecast ingest tests (loopback over real sockets)."""
+
+import asyncio
+import struct
+
+import numpy as np
+import pytest
+
+from mixlab_tpu.av import flv
+from mixlab_tpu.av.aac import AudioSpecificConfiguration
+from mixlab_tpu.io_host import icecast, listen
+from mixlab_tpu.io_host import source as source_mod
+from mixlab_tpu.io_host.rtmp import amf0, client as rtmp_client, server as rtmp_server
+from mixlab_tpu.io_host.rtmp.chunk import ChunkReader, ChunkWriter, Message, MSG_COMMAND_AMF0
+from mixlab_tpu.io_host.wav import write_wav
+from mixlab_tpu.utils.mtime import MediaTime
+
+
+def test_amf0_roundtrip():
+    values = [
+        "connect",
+        1.0,
+        {"app": "live", "flashVer": "x", "nested": {"a": 1.0, "b": True}},
+        None,
+        ["x", 2.0],
+    ]
+    data = amf0.encode_all(*values)
+    assert amf0.decode_all(data) == values
+
+
+def test_chunk_roundtrip_large_payload():
+    """Messages larger than the chunk size split into continuation chunks
+    and reassemble exactly, including after a Set Chunk Size."""
+
+    class Pipe:
+        def __init__(self):
+            self.buf = bytearray()
+
+        def write(self, data):
+            self.buf += data
+
+        async def readexactly(self, n):
+            out = bytes(self.buf[:n])
+            if len(out) < n:
+                raise asyncio.IncompleteReadError(out, n)
+            del self.buf[:n]
+            return out
+
+    pipe = Pipe()
+    cw = ChunkWriter(pipe)
+    cr = ChunkReader(pipe)
+
+    payload = bytes(range(256)) * 40  # 10240 bytes >> 128 chunk size
+    cw.write_message(Message(1234, 8, 1, payload))
+    cw.set_chunk_size(4096)
+    cw.write_message(Message(0xFFFFFF + 5, 9, 1, payload))
+
+    async def go():
+        m1 = await cr.read_message()
+        assert (m1.timestamp, m1.type_id, m1.payload) == (1234, 8, payload)
+        m2 = await cr.read_message()  # set-chunk-size consumed internally
+        assert m2.timestamp == 0xFFFFFF + 5 and m2.payload == payload
+        assert cr.chunk_size == 4096
+
+    asyncio.run(go())
+
+
+class FakeDecoder(rtmp_server.MediaDecoder):
+    """Interprets 'raw AAC' payloads as little-endian i16 PCM directly."""
+
+    def __init__(self):
+        self.asc = None
+
+    def set_audio_config(self, asc):
+        self.asc = asc
+
+    def decode_audio(self, raw):
+        x = np.frombuffer(raw, dtype="<i2")
+        return np.stack([x, x], axis=-1)
+
+
+def test_rtmp_publish_loopback():
+    """Full RTMP path: our client publishes to our server; PCM lands in the
+    mountpoint ring with 1 kHz-timebase timestamps."""
+    recv = source_mod.RTMP_MOUNTPOINTS.listen("looptest")
+    rtmp_server.DECODER_FACTORY = FakeDecoder
+
+    async def go():
+        async def on_conn(reader, writer):
+            try:
+                await rtmp_server.accept(reader, writer)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        client = await rtmp_client.start("127.0.0.1", port, "looptest", "key")
+        # AAC sequence header then 'raw' frames
+        asc = AudioSpecificConfiguration.lc_stereo(44100)
+        client.publish_audio(
+            0, flv.AudioPacket(True, asc.to_bytes()).to_bytes()
+        )
+        pcm = np.arange(64, dtype="<i2").tobytes()
+        client.publish_audio(10, flv.AudioPacket(False, pcm).to_bytes())
+        client.publish_audio(20, flv.AudioPacket(False, pcm).to_bytes())
+        await asyncio.sleep(0.3)
+        await client.close()
+        server.close()
+
+    try:
+        asyncio.run(go())
+        f1 = recv.read_audio()
+        assert f1 is not None
+        assert f1.source_time == MediaTime.new(10, 1000)
+        np.testing.assert_array_equal(f1.data[:, 0], np.arange(64, dtype=np.int16))
+        f2 = recv.read_audio()
+        assert f2.source_time == MediaTime.new(20, 1000)
+    finally:
+        rtmp_server.DECODER_FACTORY = rtmp_server.default_decoder_factory
+        recv.close()
+
+
+def test_rtmp_publish_unknown_mountpoint_rejected():
+    async def go():
+        async def on_conn(reader, writer):
+            try:
+                await rtmp_server.accept(reader, writer)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        with pytest.raises(Exception):
+            # publish fails -> NetStream.Publish.BadName -> connection closes
+            client = await rtmp_client.start("127.0.0.1", port, "nosuch", "key")
+            client.publish_audio(0, b"\xaf\x01\x00")
+            await asyncio.sleep(0.2)
+            raise RuntimeError("expected BadName")  # if start succeeded anyway
+        server.close()
+
+    asyncio.run(go())
+
+
+def test_icecast_wav_ingest(tmp_path):
+    """SOURCE a 48 kHz WAV into a 44.1 kHz engine mountpoint: resampled PCM
+    arrives in the ring."""
+    recv = source_mod.ICECAST_MOUNTPOINTS.listen("radio")
+
+    # 0.2 s of 48 kHz sine
+    t = np.arange(9600) / 48000
+    pcm = (np.sin(2 * np.pi * 1000 * t) * 20000).astype(np.int16)
+    wav_path = tmp_path / "in.wav"
+    write_wav(wav_path, 48000, np.stack([pcm, pcm], -1))
+    wav_bytes = wav_path.read_bytes()
+
+    async def go():
+        async def on_conn(reader, writer):
+            peek = await reader.readexactly(7)
+            assert listen.classify(peek) == listen.Protocol.ICECAST
+            await icecast.accept(listen.PeekStreamReader(peek, reader), writer)
+            writer.close()
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            b"SOURCE /radio HTTP/1.0\r\nContent-Type: audio/wav\r\n\r\n" + wav_bytes
+        )
+        await writer.drain()
+        writer.write_eof()
+        head = await reader.read(64)
+        assert b"200 OK" in head
+        await asyncio.sleep(0.5)
+        server.close()
+
+    try:
+        asyncio.run(go())
+        frames = []
+        while (f := recv.read_audio()) is not None:
+            frames.append(f)
+        assert frames, "no audio ingested"
+        total = sum(len(f.data) for f in frames)
+        # 9600 input samples at 48k -> ~8820 at 44.1k (minus resampler carry)
+        assert 8000 <= total <= 8820
+        all_pcm = np.concatenate([f.data for f in frames])
+        assert np.abs(all_pcm).max() > 15000
+    finally:
+        recv.close()

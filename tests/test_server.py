@@ -1,0 +1,211 @@
+"""Server stack tests: listen disambiguation, HTTP, WebSocket session,
+monitor socket, upload — all over real localhost sockets."""
+
+import asyncio
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from mixlab_tpu import protocol as p
+from mixlab_tpu.engine.config import EngineConfig
+from mixlab_tpu.engine.project import open_or_create
+from mixlab_tpu.io_host import listen
+from mixlab_tpu.protocol import wire
+from mixlab_tpu.server import ws as ws_mod
+from mixlab_tpu.server.app import Server, run_server
+
+CFG = EngineConfig(sample_rate=44_100)
+
+
+# --- test websocket client helpers -----------------------------------------
+
+
+def mask_frame(opcode: int, payload: bytes) -> bytes:
+    mask = os.urandom(4)
+    head = bytearray([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head.append(0x80 | n)
+    elif n < 0x10000:
+        head.append(0x80 | 126)
+        head += struct.pack(">H", n)
+    else:
+        head.append(0x80 | 127)
+        head += struct.pack(">Q", n)
+    masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return bytes(head) + mask + masked
+
+
+async def ws_connect(host, port, path):
+    reader, writer = await asyncio.open_connection(host, port)
+    writer.write(
+        f"GET {path} HTTP/1.1\r\nHost: {host}\r\nUpgrade: websocket\r\n"
+        f"Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+        f"Sec-WebSocket-Version: 13\r\n\r\n".encode()
+    )
+    await writer.drain()
+    head = await reader.readuntil(b"\r\n\r\n")
+    assert b"101" in head.split(b"\r\n")[0]
+    return reader, writer
+
+
+async def ws_recv(reader):
+    head = await reader.readexactly(2)
+    opcode = head[0] & 0x0F
+    n = head[1] & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", await reader.readexactly(2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", await reader.readexactly(8))
+    payload = await reader.readexactly(n)
+    return opcode, payload
+
+
+@pytest.fixture()
+def server_port(tmp_path):
+    """Running server on an ephemeral port; yields (port, project)."""
+    result = {}
+
+    async def setup():
+        project = open_or_create(tmp_path / "srv.mixlab", CFG)
+        tcp, server = await run_server(project, "127.0.0.1", 0)
+        port = tcp.sockets[0].getsockname()[1]
+        return project, tcp, server, port
+
+    loop = asyncio.new_event_loop()
+    project, tcp, server, port = loop.run_until_complete(setup())
+    result["loop"] = loop
+    yield loop, port, project
+    project.engine.stop()
+    tcp.close()
+    loop.run_until_complete(asyncio.sleep(0.05))
+    loop.close()
+    project.close()
+
+
+def test_http_index_and_404(server_port):
+    loop, port, _ = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        await writer.drain()
+        data = await reader.read(-1)
+        assert b"200 OK" in data and b"mixlab" in data
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET /nope HTTP/1.1\r\nHost: x\r\n\r\n")
+        await writer.drain()
+        data = await reader.read(-1)
+        assert b"404" in data
+
+    loop.run_until_complete(go())
+
+
+def test_session_ws_state_update_sync(server_port):
+    loop, port, project = server_port
+
+    async def go():
+        reader, writer = await ws_connect("127.0.0.1", port, "/session")
+        # first message: WorkspaceState
+        op, payload = await ws_recv(reader)
+        kind, state = wire.parse_envelope(payload)
+        assert kind == "WorkspaceState"
+        # second: MediaLibrary
+        op, payload = await ws_recv(reader)
+        kind, _ = wire.parse_envelope(payload)
+        assert kind == "MediaLibrary"
+
+        # send CreateModule op
+        msg = p.WorkspaceMessage(
+            1,
+            p.CreateModule(
+                p.ModuleParams("Oscillator", p.OscillatorParams(440.0, p.Waveform.SINE)),
+                p.WindowGeometry(),
+            ),
+        )
+        env = json.dumps({"v": 1, "kind": "Workspace", "m": wire.encode(msg)})
+        writer.write(mask_frame(ws_mod.OP_TEXT, env.encode()))
+        await writer.drain()
+
+        # expect Update (CreateModule) and Sync(1)
+        got = {}
+        for _ in range(4):
+            op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
+            kind, body = wire.parse_envelope(payload)
+            got[kind] = body
+            if "Update" in got and "Sync" in got:
+                break
+        assert got["Sync"] == 1
+        assert got["Update"]["t"] == "SUCreateModule"
+        writer.close()
+
+    loop.run_until_complete(go())
+
+
+def test_monitor_ws_streams_audio(server_port):
+    loop, port, project = server_port
+    eng = project.engine
+
+    async def go():
+        # create osc -> monitor via engine directly
+        sid, _, _ = await asyncio.get_running_loop().run_in_executor(
+            None, eng.connect_session
+        )
+        eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+            p.ModuleParams("Oscillator", p.OscillatorParams(440.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        eng.update(sid, p.WorkspaceMessage(2, p.CreateModule(
+            p.ModuleParams("Monitor", None), p.WindowGeometry())))
+        eng.update(sid, p.WorkspaceMessage(3, p.CreateConnection(
+            p.InputId(p.ModuleId(2), 1), p.OutputId(p.ModuleId(1), 1))))
+        await asyncio.sleep(0.3)  # engine thread ticks
+        ind = eng.ws.indications[p.ModuleId(2)]
+        socket_id = ind.value.socket_id
+
+        reader, writer = await ws_connect("127.0.0.1", port, f"/_monitor/{socket_id}")
+        op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
+        header, _, _ = payload.partition(b"\n")
+        init = json.loads(header)
+        assert init["t"] == "init" and init["sample_rate"] == 44_100
+
+        # audio packets follow
+        op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
+        header, _, pcm = payload.partition(b"\n")
+        pkt = json.loads(header)
+        assert pkt["t"] == "audio"
+        samples = np.frombuffer(pcm, dtype="<i2")
+        assert len(samples) == CFG.samples_per_tick * 2
+        assert np.abs(samples).max() > 10000  # sine at full scale
+        writer.close()
+
+    loop.run_until_complete(go())
+
+
+def test_upload_media(server_port):
+    loop, port, project = server_port
+
+    async def go():
+        body = b"RIFFxxxxWAVE-not-really"
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            f"POST /_upload/test.wav HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: audio/wav\r\nContent-Length: {len(body)}\r\n\r\n".encode()
+            + body
+        )
+        await writer.drain()
+        data = await reader.read(-1)
+        assert b"200 OK" in data
+
+    loop.run_until_complete(go())
+    lib = project.base.media_library()
+    assert lib.items[0].name == "test.wav"
+    assert lib.items[0].size == 23
+
+
+def test_disambiguation_classify():
+    assert listen.classify(b"SOURCE ") == listen.Protocol.ICECAST
+    assert listen.classify(b"\x03abcdef") == listen.Protocol.RTMP
+    assert listen.classify(b"GET / H") == listen.Protocol.HTTP
