@@ -1,30 +1,111 @@
 #!/usr/bin/env python
 """Benchmark driver.
 
-Primary metric: realtime multiple of a 16-module 48 kHz stereo graph render
-on one chip (BASELINE.json north star: >= 1000x realtime; the reference's
-implied floor is 1x, src/engine/timing.rs:36-39).
+Primary metric (stdout, ONE JSON line): realtime multiple of a 16-module
+48 kHz stereo graph render on one chip (BASELINE.json north star: >= 1000x;
+the reference's implied floor is 1x realtime, src/engine/timing.rs:36-39).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the multiple of the reference's 1x-realtime floor.
-
-Run with --all for the full BASELINE config sweep (human-readable extras on
-stderr).
+``--all`` additionally runs every BASELINE.json config and prints one JSON
+line per config to stderr:
+  1. sine -> amplifier -> monitor, 10 s offline render
+  2. 8-channel mixer cascade w/ per-channel amplifier+envelope+panner
+  3. eq_three + 44.1k->48k polyphase resample on 16 stereo stems
+  4. video_mixer: two 720p test patterns composited + scaled + RGB->YUV420
+  5. full session: 16-module audio graph + 1080p30 compositing
+plus a raw 1080p crossfade kernel number (north star: >= 500 fps).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# persistent XLA compilation cache: bench re-runs skip tunnel recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/mixlab_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def _emit(obj, primary=False):
+    line = json.dumps(obj)
+    if primary:
+        print(line)
+    else:
+        print(line, file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# timing harness
+#
+# This machine reaches the TPU through a tunnel where (a) block_until_ready
+# does not reliably wait and (b) every dispatch can move buffers, so the only
+# honest measurement is: ONE jitted call containing the whole work loop
+# (lax.scan / fori_loop) reduced on device to a scalar, timed by fetching
+# that scalar, with the measured tiny-op round-trip subtracted.
+# ---------------------------------------------------------------------------
+
+_RTT = None
+
+
+def measure_rtt():
+    global _RTT
+    if _RTT is None:
+        import jax
+        import jax.numpy as jnp
+
+        g = jax.jit(lambda x: x + 1)
+        x = jnp.zeros((8, 128), jnp.float32)
+        np.asarray(g(x))
+        _RTT = min(
+            _time_fetch(lambda: np.asarray(g(x)[0, 0])) for _ in range(5)
+        )
+    return _RTT
+
+
+def _time_fetch(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def timed_call(fn, *args, reps=3):
+    """Time fn(*args) -> scalar-ish output, fetch-synced, RTT-subtracted."""
+    out = fn(*args)
+    np.asarray(out)  # warm: compile + first run
+    rtt = measure_rtt()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return max(best - rtt, 1e-9)
+
+
+def timed_slope(make, n1, n2, reps=3):
+    """Two-point timing: ``make(n)`` returns a zero-arg jitted thunk doing n
+    units of work ending in a scalar fetch.  Returns seconds per unit as
+    (t(n2) - t(n1)) / (n2 - n1) — tunnel latency and fixed overhead cancel
+    exactly, unlike RTT subtraction which is noise-limited here."""
+    f1, f2 = make(n1), make(n2)
+    np.asarray(f1())
+    np.asarray(f2())
+    t1 = min(_time_fetch(lambda: np.asarray(f1())) for _ in range(reps))
+    t2 = min(_time_fetch(lambda: np.asarray(f2())) for _ in range(reps))
+    return max((t2 - t1) / (n2 - n1), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# graph builders
+# ---------------------------------------------------------------------------
+
 
 def build_16_module_graph():
-    """BASELINE config 2-flavoured flagship: 8-channel mixer fed by
-    4 osc->envelope->amplifier chains + trigger + fm_sine + eq_three +
-    panner/splitter + monitor = 16 modules, 48 kHz stereo."""
+    """Flagship: 8-channel mixer fed by osc/env/amp chains + fm_sine +
+    eq_three + panner/splitter + monitor = 16 modules."""
     from mixlab_tpu import protocol as p
     from mixlab_tpu.engine.graph import Workspace
     from mixlab_tpu.protocol import InputId, OutputId
@@ -73,57 +154,293 @@ def build_16_module_graph():
     return ws, mon
 
 
-def bench_audio_graph(seconds_audio: float = 10.0, block_ticks: int = 120, reps: int = 5):
-    import jax
+def build_config1_graph():
+    """sine -> amplifier -> monitor (BASELINE config 1)."""
+    from mixlab_tpu import protocol as p
+    from mixlab_tpu.engine.graph import Workspace
+    from mixlab_tpu.protocol import InputId, OutputId
 
-    from mixlab_tpu.engine.compiler import compile_patch
+    ws = Workspace()
+    o = ws.create_module(p.ModuleParams("Oscillator", p.OscillatorParams(440.0, p.Waveform.SINE)))
+    a = ws.create_module(p.ModuleParams("Amplifier", p.AmplifierParams(amplitude=0.5)))
+    m = ws.create_module(p.ModuleParams("Monitor", None))
+    ws.connect(InputId(a, 0), OutputId(o, 1))
+    ws.connect(InputId(m, 1), OutputId(a, 0))
+    return ws, m
+
+
+def build_config2_graph():
+    """8-channel mixer cascade: per channel osc -> amplifier(envelope mod)
+    -> splitter -> panner -> mixer channel (BASELINE config 2)."""
+    from mixlab_tpu import protocol as p
+    from mixlab_tpu.engine.graph import Workspace
+    from mixlab_tpu.protocol import InputId, OutputId
+
+    ws = Workspace()
+    trig = ws.create_module(p.ModuleParams("Trigger", p.GateState.OPEN))
+    env = ws.create_module(p.ModuleParams("Envelope", p.EnvelopeParams()))
+    ws.connect(InputId(env, 0), OutputId(trig, 0))
+    mixer = ws.create_module(p.ModuleParams("Mixer", p.MixerParams.with_channels(8)))
+    for i in range(8):
+        o = ws.create_module(
+            p.ModuleParams("Oscillator", p.OscillatorParams(55.0 * (i + 2), p.Waveform.SAW))
+        )
+        a = ws.create_module(
+            p.ModuleParams("Amplifier", p.AmplifierParams(amplitude=0.7, mod_depth=0.5))
+        )
+        sp = ws.create_module(p.ModuleParams("StereoSplitter", None))
+        pan = ws.create_module(p.ModuleParams("StereoPanner", None))
+        ws.connect(InputId(a, 0), OutputId(o, 1))
+        ws.connect(InputId(a, 1), OutputId(env, 0))
+        ws.connect(InputId(sp, 0), OutputId(a, 0))
+        ws.connect(InputId(pan, 0), OutputId(sp, 0))
+        ws.connect(InputId(pan, 1), OutputId(sp, 1))
+        ws.connect(InputId(mixer, i), OutputId(pan, 0))
+    mon = ws.create_module(p.ModuleParams("Monitor", None))
+    ws.connect(InputId(mon, 1), OutputId(mixer, 0))
+    return ws, mon
+
+
+# ---------------------------------------------------------------------------
+# audio graph bench
+# ---------------------------------------------------------------------------
+
+
+def bench_graph(build, block_ticks=480, n1=2, n2=8, reps=3, sample_rate=48_000):
+    """Whole render in ONE device dispatch (lax.scan over blocks); slope
+    timing between n1 and n2 scan lengths cancels tunnel latency.  One body
+    compile is shared by both points."""
     from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+    from mixlab_tpu.engine.scan_render import build_scanned, stacked_host_aux
 
-    cfg = EngineConfig(sample_rate=48_000)
-    ws, mon = build_16_module_graph()
+    cfg = EngineConfig(sample_rate=sample_rate)
+    ws, mon = build()
     block = BlockSpec(block_ticks)
-    patch = compile_patch(ws, cfg, block)
+    patch, fn = build_scanned(ws, cfg, block, checksum_only=True)
     aux = patch.prepare_aux(ws)
     state0 = patch.init_state(ws)
 
-    n_ticks = int(seconds_audio * cfg.ticks_per_second)
-    n_blocks = max(1, n_ticks // block_ticks)
-    spb = block_ticks * cfg.samples_per_tick
+    def make(n):
+        host_aux = stacked_host_aux(patch, 0, n)
+        return lambda: fn(aux, host_aux, state0)[1]
 
-    # warmup (compile)
-    host_aux = patch.host_aux(0)
-    state, taps = patch.run(aux, host_aux, state0)
-    jax.block_until_ready((state, taps))
+    sec_per_block = timed_slope(make, n1, n2, reps=reps)
+    block_seconds = block.n_samples(cfg) / cfg.sample_rate
+    return block_seconds / sec_per_block
 
-    best = float("inf")
-    for _ in range(reps):
-        state = state0
-        t0 = time.perf_counter()
-        t_samples = 0
-        for b in range(n_blocks):
-            host_aux = patch.host_aux(t_samples)
-            state, taps = patch.run(aux, host_aux, state)
-            t_samples += spb
-        jax.block_until_ready((state, taps))
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
 
-    audio_seconds = n_blocks * spb / cfg.sample_rate
-    return audio_seconds / best
+# ---------------------------------------------------------------------------
+# config 3: 16 stereo stems, 44.1k -> 48k resample + eq_three
+# ---------------------------------------------------------------------------
+
+
+def bench_stems16(seconds_audio=4.0, reps=2):
+    import jax
+    import jax.numpy as jnp
+
+    from mixlab_tpu.dsp.eq_three import EqThreeDef
+    from mixlab_tpu.dsp.registry import get_def
+    from mixlab_tpu.dsp.resampler import context_len, resample_block
+    from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+    from mixlab_tpu.protocol import Decibel, EqThreeParams
+
+    cfg = EngineConfig(sample_rate=48_000)
+    block = BlockSpec(120)  # 2 s per dispatch
+    S_in = block.n_ticks * 735  # 44.1k samples per block
+    STEMS = 16
+
+    eq = get_def("EqThree")
+    params = EqThreeParams(Decibel(4.0), Decibel(-2.0), Decibel(4.0))
+    aux = eq.prepare(params, cfg)
+
+    def stem_fn(x, rs_ctx, eq_state):
+        # resample the stereo stem, then per-channel eq with per-channel state
+        y, rs_ctx = resample_block(x, rs_ctx, 44100, 48000)
+
+        def chan(xc, st):
+            st, (out,), _ = eq.run_block(params, aux, None, st, [xc], cfg, block)
+            return out, st
+
+        outs, eq_state = jax.vmap(chan)(y.T, eq_state)
+        return outs.T, rs_ctx, eq_state
+
+    batched = jax.jit(jax.vmap(stem_fn))
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (STEMS, S_in, 2)).astype(np.float32))
+    rs_ctx = jnp.zeros((STEMS, context_len(44100, 48000), 2), dtype=jnp.float32)
+    # state per (stem, channel)
+    eq_state = jax.vmap(
+        lambda _: jax.vmap(lambda __: eq.init_state(params, cfg))(jnp.arange(2))
+    )(jnp.arange(STEMS))
+
+    n_blocks = max(2, int(seconds_audio / 2.0))
+
+    def make(n):
+        def whole(x, rs_ctx, eq_state):
+            def body(carry, _):
+                c, s = carry
+                out, c, s = jax.vmap(stem_fn)(x, c, s)
+                return (c, s), jnp.sum(out)
+            (_, _), sums = jax.lax.scan(body, (rs_ctx, eq_state), None, length=n)
+            return jnp.sum(sums)
+        f = jax.jit(whole)
+        return lambda: f(x, rs_ctx, eq_state)
+
+    sec_per_block = timed_slope(make, n_blocks, 2 * n_blocks)
+    return 2.0 / sec_per_block
+
+
+# ---------------------------------------------------------------------------
+# video benches
+# ---------------------------------------------------------------------------
+
+
+def bench_blend_1080p(batch=32, iters=10, reps=2):
+    """Raw 1080p crossfade kernel (north star: >= 500 fps/chip).
+
+    ``iters`` dependent blend rounds of a ``batch`` of frames inside one
+    dispatch: frames = batch * iters."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.blend import crossfade_xla
+
+    rng = np.random.default_rng(1)
+    planes = {"y": (1088, 1920), "u": (544, 960), "v": (544, 960)}
+    a = {k: jnp.asarray(rng.integers(0, 256, (batch,) + s, dtype=np.uint8)) for k, s in planes.items()}
+    b = {k: jnp.asarray(rng.integers(0, 256, (batch,) + s, dtype=np.uint8)) for k, s in planes.items()}
+
+    def make(n):
+        def whole(a, b):
+            def body(acc, _):
+                out = {k: crossfade_xla(acc[k], b[k], 200) for k in acc}
+                return out, None
+            out, _ = jax.lax.scan(body, a, None, length=n)
+            return sum(jnp.sum(v.astype(jnp.uint32)) for v in out.values())
+        f = jax.jit(whole)
+        return lambda: f(a, b)
+
+    sec_per_iter = timed_slope(make, iters, 2 * iters, reps=reps)
+    return batch / sec_per_iter
+
+
+def bench_config4_composite(batch=32, reps=3):
+    """Two 720p test patterns -> RGB->YUV -> scale to 1080p -> crossfade."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.blend import crossfade_xla
+    from mixlab_tpu.video.colorspace import rgb_to_yuv420
+    from mixlab_tpu.video.frame import PictureSettings
+    from mixlab_tpu.video.pattern import gradient_rgb, smpte_bars_rgb
+    from mixlab_tpu.video.scale import resize_plane
+
+    H_OUT, W_OUT = 1080, 1920
+
+    def pipeline(t):
+        outs = {}
+        rgb_a = smpte_bars_rgb(1280, 720, phase=t)
+        rgb_b = gradient_rgb(1280, 720, t=t)
+        for name, rgb in (("a", rgb_a), ("b", rgb_b)):
+            y, u, v = rgb_to_yuv420(rgb)
+            outs[name] = (
+                resize_plane(y, H_OUT, W_OUT),
+                resize_plane(u, H_OUT // 2, W_OUT // 2),
+                resize_plane(v, H_OUT // 2, W_OUT // 2),
+            )
+        return tuple(
+            crossfade_xla(pa, pb, 153) for pa, pb in zip(outs["a"], outs["b"])
+        )
+
+    def make(n):
+        def whole(ts):
+            outs = jax.vmap(pipeline)(ts)
+            return sum(jnp.sum(o.astype(jnp.uint32)) for o in outs)
+        f = jax.jit(whole)
+        ts = jnp.arange(n, dtype=jnp.int32)
+        return lambda: f(ts)
+
+    sec_per_frame = timed_slope(make, batch, 2 * batch, reps=reps)
+    return 1.0 / sec_per_frame
+
+
+def bench_config5_full_session(seconds=4, reps=3):
+    """16-module audio graph + 1080p30 compositing, all in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+    from mixlab_tpu.engine.scan_render import build_scanned, stacked_host_aux
+    from mixlab_tpu.video.blend import crossfade_xla
+    from mixlab_tpu.video.colorspace import rgb_to_yuv420
+    from mixlab_tpu.video.pattern import gradient_rgb
+    from mixlab_tpu.video.scale import resize_plane
+
+    cfg = EngineConfig(sample_rate=48_000)
+    ws, mon = build_16_module_graph()
+    block = BlockSpec(60)  # 1 s audio per scan step
+    patch, audio_fn = build_scanned(ws, cfg, block, checksum_only=True)
+    aux = patch.prepare_aux(ws)
+    state0 = patch.init_state(ws)
+    host_aux = stacked_host_aux(patch, 0, seconds)
+
+    FRAMES = 30  # 1080p30
+
+    def video_frame(i):
+        rgb = gradient_rgb(960, 540, t=i)
+        y, u, v = rgb_to_yuv420(rgb)
+        y = resize_plane(y, 1080, 1920)
+        u = resize_plane(u, 540, 960)
+        v = resize_plane(v, 540, 960)
+        y2 = crossfade_xla(y, jnp.roll(y, 1, axis=0), 128)
+        return (
+            jnp.sum(y2.astype(jnp.uint32))
+            + jnp.sum(u.astype(jnp.uint32))
+            + jnp.sum(v.astype(jnp.uint32))
+        )
+
+    def make(n):
+        host_aux_n = stacked_host_aux(patch, 0, n)
+
+        def whole(aux, host_aux, state0):
+            _, audio_sum = audio_fn(aux, host_aux, state0)
+            vsums = jax.vmap(video_frame)(
+                jnp.arange(n * FRAMES, dtype=jnp.int32)
+            )
+            return audio_sum + jnp.sum(vsums).astype(jnp.float32)
+
+        f = jax.jit(whole)
+        return lambda: f(aux, host_aux_n, state0)
+
+    sec_per_content_second = timed_slope(make, seconds, 2 * seconds, reps=reps)
+    return 1.0 / sec_per_content_second
+
+
+# ---------------------------------------------------------------------------
 
 
 def main():
-    multiple = bench_audio_graph()
-    print(
-        json.dumps(
-            {
-                "metric": "realtime_multiple_16module_48k_graph",
-                "value": round(multiple, 1),
-                "unit": "x_realtime",
-                "vs_baseline": round(multiple, 1),
-            }
-        )
+    run_all = "--all" in sys.argv
+
+    multiple = bench_graph(build_16_module_graph)
+    _emit(
+        {
+            "metric": "realtime_multiple_16module_48k_graph",
+            "value": round(multiple, 1),
+            "unit": "x_realtime",
+            "vs_baseline": round(multiple, 1),
+        },
+        primary=True,
     )
+
+    if run_all:
+        _emit({"metric": "config1_sine_amp_monitor", "value": round(bench_graph(build_config1_graph, seconds_audio=4.0, reps=2), 1), "unit": "x_realtime"})
+        _emit({"metric": "config2_mixer8_cascade", "value": round(bench_graph(build_config2_graph, seconds_audio=4.0, reps=2), 1), "unit": "x_realtime"})
+        _emit({"metric": "config3_16stems_resample_eq", "value": round(bench_stems16(), 1), "unit": "x_realtime"})
+        _emit({"metric": "video_blend_1080p", "value": round(bench_blend_1080p(), 1), "unit": "fps"})
+        _emit({"metric": "config4_composite_720p_to_1080p", "value": round(bench_config4_composite(), 1), "unit": "fps"})
+        _emit({"metric": "config5_full_session_1080p30", "value": round(bench_config5_full_session(), 2), "unit": "x_realtime"})
 
 
 if __name__ == "__main__":

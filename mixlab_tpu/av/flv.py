@@ -47,6 +47,31 @@ class AudioPacket:
         return bytes([self.TAG_AAC, 0 if self.is_sequence_header else 1]) + self.data
 
 
+def parse_audio_tag(body: bytes):
+    """Parse an AUDIODATA tag body into ("aac_seq"|"aac_raw"|"pcm_s16le",
+    payload).  Extends the reference's AAC-only parser with linear PCM
+    (sound format 3) for codec-less loopback streaming."""
+    if len(body) < 2:
+        raise FlvError("audio tag too short")
+    sound_format = body[0] >> 4
+    if sound_format == 10:  # AAC
+        pkt = AudioPacket.parse(body)
+        return ("aac_seq" if pkt.is_sequence_header else "aac_raw"), pkt.data
+    if sound_format == 3:  # linear PCM little-endian
+        return "pcm_s16le", bytes(body[1:])
+    raise FlvError(f"unsupported sound format {sound_format}")
+
+
+def pcm_s16le_tag(data: bytes, sample_rate: int = 44100, stereo: bool = True) -> bytes:
+    """AUDIODATA tag body for linear PCM little-endian (FLV sound format 3).
+
+    Used by stream_output when no AAC encoder backend is available — a legal
+    FLV payload the reference cannot produce (it requires fdk-aac)."""
+    rate_idx = {5500: 0, 11025: 1, 22050: 2, 44100: 3}.get(sample_rate, 3)
+    ident = (3 << 4) | (rate_idx << 2) | (1 << 1) | (1 if stereo else 0)
+    return bytes([ident]) + data
+
+
 # --- video -----------------------------------------------------------------
 
 

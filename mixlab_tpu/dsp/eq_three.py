@@ -23,6 +23,7 @@ has no fast f64).  Golden-fixture tolerance is validated in
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -61,6 +62,68 @@ def _linrec_scan(a_const, b, y_init):
     return a_pref * y_init + b_pref
 
 
+_CHUNK = 256  # Toeplitz block size (MXU-friendly, a^C well within f32 range)
+
+
+@functools.lru_cache(maxsize=8)
+def _toeplitz_tables(a_tuple, C):
+    """Per-lane lower-triangular Toeplitz T[l,i,j] = a_l^(i-j) (i>=j) and
+    powers P[l,i] = a_l^(i+1).  Cached as NUMPY arrays (caching jnp arrays
+    created under a jit trace would leak tracers across traces)."""
+    a = np.asarray(a_tuple, dtype=np.float64)
+    i = np.arange(C)
+    expo = i[:, None] - i[None, :]
+    T = np.where(expo >= 0, a[:, None, None] ** np.maximum(expo, 0)[None], 0.0)
+    P = a[:, None] ** (i + 1)[None]
+    return (
+        T.astype(np.float32),
+        P.astype(np.float32),
+        (a**C).astype(np.float32),
+    )
+
+
+def _linrec_blocked(a_tuple, b, y_init):
+    """Same recurrence as :func:`_linrec_scan`, evaluated as chunked Toeplitz
+    matmuls on the MXU: within each length-C chunk the zero-state response is
+    ``T @ b`` (one batched matmul), and the cross-chunk carry is a tiny
+    first-order recurrence over S/C chunks solved by an associative scan.
+    ~50x less HBM traffic than the log-depth scan for engine-sized blocks.
+
+    ``a_tuple``: python tuple of per-lane coefficients (static);
+    ``b`` [S, L], ``y_init`` [L].
+    """
+    S, L = b.shape
+    C = _CHUNK
+    if S < 2 * C:
+        return _linrec_scan(jnp.asarray(a_tuple, jnp.float32), b, y_init)
+    if S % C != 0:
+        pad = C - (S % C)
+        y = _linrec_blocked(a_tuple, jnp.pad(b, ((0, pad), (0, 0))), y_init)
+        return y[:S]
+    K = S // C
+    T, P, aC = _toeplitz_tables(a_tuple, C)
+
+    b2 = b.reshape(K, C, L)
+    # Z[k,i,l] = sum_j T[l,i,j] b2[k,j,l]
+    Z = jnp.einsum("lij,kjl->kil", T, b2, preferred_element_type=jnp.float32)
+
+    # carry chain over chunks: ylast[k] = aC * ylast[k-1] + Z[k,-1]
+    zlast = Z[:, -1, :]  # [K, L]
+
+    def combine(e1, e2):
+        a1, b1 = e1
+        a2, b2_ = e2
+        return a1 * a2, a2 * b1 + b2_
+
+    aCs = jnp.broadcast_to(aC, zlast.shape)
+    a_pref, b_pref = jax.lax.associative_scan(combine, (aCs, zlast))
+    ylast = a_pref * y_init + b_pref  # [K, L]: y at the end of chunk k
+    ylast_prev = jnp.concatenate([y_init[None, :], ylast[:-1]], axis=0)
+
+    y = Z + P.T[None, :, :] * ylast_prev[:, None, :]
+    return y.reshape(S, L)
+
+
 class EqThreeDef(ModuleDef):
     kind = "EqThree"
 
@@ -90,20 +153,16 @@ class EqThreeDef(ModuleDef):
         S = block.n_samples(cfg)
         x = expect_mono(inputs[0], S)
 
-        f = jnp.asarray(
-            [
-                _filter_coeff(FREQ_LO, cfg.sample_rate),
-                _filter_coeff(FREQ_HI, cfg.sample_rate),
-            ],
-            dtype=jnp.float32,
-        )
-        a = 1.0 - f  # [2]
+        f_lo = _filter_coeff(FREQ_LO, cfg.sample_rate)
+        f_hi = _filter_coeff(FREQ_HI, cfg.sample_rate)
+        f = jnp.asarray([f_lo, f_hi], dtype=jnp.float32)
+        a_tuple = (1.0 - f_lo, 1.0 - f_hi)
 
         # stage 0 input: f*x + VSA (VSA only on the first pole, eq_three.rs:118)
         y = x[:, None] * f[None, :] + jnp.float32(VSA)
         poles = []
         for k in range(4):
-            y = _linrec_scan(a, y, state["poles"][k])
+            y = _linrec_blocked(a_tuple, y, state["poles"][k])
             poles.append(y[-1])
             if k < 3:
                 y = y * f[None, :]  # next stage drive: b = f * prev_output

@@ -122,12 +122,18 @@ class MediaSourceDef(_ExternalFeed):
     kind = "MediaSource"
 
     def terminals(self, params: MediaSourceParams):
-        # video only, matching the reference (media_source.rs:52-55: media
-        # audio is not wired into the graph)
-        return [], [LineType.VIDEO.unlabeled()]
+        # the reference emits only video (media_source.rs:52-55); the audio
+        # output is a documented extension so WAV media is audible
+        return [], [
+            LineType.VIDEO.unlabeled(),
+            LineType.STEREO.labeled("Audio"),
+        ]
+
+    def ext_spec(self, params, cfg, block):
+        return {"pcm": ((block.n_samples(cfg), 2), np.float32)}
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
-        return state, [None], {}
+        return state, [None, host_aux["pcm"]], {}
 
 
 class StreamOutputDef(ModuleDef):

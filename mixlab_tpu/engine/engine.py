@@ -154,10 +154,12 @@ class Engine:
         cfg: EngineConfig = EngineConfig(),
         persist_cb: Optional[Callable[[dict], None]] = None,
         block_ticks: int = 1,
+        media_opener: Optional[Callable] = None,
     ):
         self.cfg = cfg
         self.ws = workspace or Workspace()
         self.persist_cb = persist_cb
+        self.media_opener = media_opener
         self.block = BlockSpec(block_ticks)
 
         self._cmd: queue.Queue = queue.Queue(maxsize=8)
@@ -174,6 +176,9 @@ class Engine:
         self._stream_feeds: Dict[ModuleId, StreamInputFeed] = {}
         self._monitor_pipes: Dict[ModuleId, _MonitorPipe] = {}
         self._monitor_pipelines: Dict[ModuleId, object] = {}
+        self._stream_outputs: Dict[ModuleId, object] = {}
+        self._media_feeds: Dict[ModuleId, object] = {}
+        self._media_players: Dict[ModuleId, object] = {}
         self._plotter_counts: Dict[ModuleId, int] = {}
         self._clip_times: Dict[ModuleId, float] = {}
 
@@ -237,6 +242,26 @@ class Engine:
                     self.ws.indications[mid] = Indication(
                         "Monitor", p.MonitorIndication(pipeline.socket_id)
                     )
+                else:  # StreamOutput: connection state machine controller
+                    from mixlab_tpu.server.stream_output import (
+                        StreamOutputController,
+                    )
+
+                    def _indicate(ind, mid=mid):
+                        self.ws.indications[mid] = ind
+                        self._log_op(p.SUUpdateModuleIndication(mid, ind))
+
+                    ctl = StreamOutputController(pipe, self.cfg, _indicate)
+                    ctl.params = entry.params.params
+                    self._stream_outputs[mid] = ctl
+                    self.ws.indications[mid] = Indication(
+                        "StreamOutput", ctl.indication()
+                    )
+            if kind == "MediaSource" and mid not in self._media_feeds:
+                from mixlab_tpu.engine.feeds import MediaSourceFeed
+
+                self._media_feeds[mid] = MediaSourceFeed(self.cfg)
+                self._start_media_player(mid, entry.params.params)
             if kind == "Plotter" and mid not in self._plotter_counts:
                 self._plotter_counts[mid] = 0
         for d_ in (
@@ -244,15 +269,37 @@ class Engine:
             self._stream_feeds,
             self._monitor_pipes,
             self._monitor_pipelines,
+            self._stream_outputs,
+            self._media_feeds,
+            self._media_players,
             self._plotter_counts,
             self._clip_times,
         ):
             for mid in [m for m in d_ if m not in live]:
                 if d_ is self._stream_feeds:
                     d_[mid].set_recv(None)
-                if d_ is self._monitor_pipelines:
+                if (
+                    d_ is self._monitor_pipelines
+                    or d_ is self._stream_outputs
+                    or d_ is self._media_players
+                ):
                     d_[mid].stop()
                 del d_[mid]
+
+    def _start_media_player(self, mid: ModuleId, params: p.MediaSourceParams):
+        old = self._media_players.pop(mid, None)
+        if old is not None:
+            old.stop()
+        if params.media_id is None or self.media_opener is None:
+            return
+        stream = self.media_opener(params.media_id)
+        if stream is None:
+            return
+        from mixlab_tpu.engine.media_player import MediaPlayer
+
+        player = MediaPlayer(stream, self._media_feeds[mid], self.cfg)
+        player.start()
+        self._media_players[mid] = player
 
     def _listen_mountpoint(self, mid: ModuleId, params: p.StreamInputParams):
         feed = self._stream_feeds[mid]
@@ -459,6 +506,13 @@ class Engine:
             oldp, newp = old_params.params, new_params.params
             if oldp.mountpoint != newp.mountpoint or oldp.protocol != newp.protocol:
                 self._listen_mountpoint(mid, newp)
+        elif kind == "StreamOutput":
+            ctl = self._stream_outputs.get(mid)
+            if ctl is not None:
+                ctl.update(new_params.params)
+        elif kind == "MediaSource":
+            if old_params.params.media_id != new_params.params.media_id:
+                self._start_media_player(mid, new_params.params)
 
     # -- tick execution -----------------------------------------------------
 
@@ -475,6 +529,8 @@ class Engine:
             pcm, video = feed.fill_tick(t0, S)
             ext[str(mid.value)] = {"pcm": pcm}
             stream_videos[mid] = video
+        for mid, feed in self._media_feeds.items():
+            ext[str(mid.value)] = {"pcm": feed.fill_tick(S)}
 
         # 2. device program
         host_aux = self._patch.host_aux(t0, ext)

@@ -278,7 +278,10 @@ class ProjectHandle:
         self._writer.start()
 
         self.engine = Engine(
-            workspace=ws, cfg=cfg, persist_cb=self._enqueue_persist
+            workspace=ws,
+            cfg=cfg,
+            persist_cb=self._enqueue_persist,
+            media_opener=self.base.open_media,
         )
         self.notify_media = threading.Event()
 

@@ -197,18 +197,26 @@ async def accept(reader, writer):
 
 
 def _on_audio(msg: Message, send, decoder: MediaDecoder):
+    import numpy as np
+
     try:
-        pkt = flv.AudioPacket.parse(msg.payload)
+        kind, data = flv.parse_audio_tag(msg.payload)
     except flv.FlvError as e:
         log.warning("rtmp: bad audio tag: %s", e)
         return
-    if pkt.is_sequence_header:
+    if kind == "aac_seq":
         try:
-            decoder.set_audio_config(AudioSpecificConfiguration.parse(pkt.data))
+            decoder.set_audio_config(AudioSpecificConfiguration.parse(data))
         except Exception as e:
             log.warning("rtmp: bad ASC: %s", e)
         return
-    pcm = decoder.decode_audio(pkt.data)
+    if kind == "pcm_s16le":
+        # codec-less linear PCM path (mixlab-tpu extension; see av/flv.py)
+        x = np.frombuffer(data, dtype="<i2")
+        pcm = x.reshape(-1, 2) if len(x) % 2 == 0 else np.stack([x, x], -1)
+        send.write_audio(TIME_BASE.scale_timestamp(msg.timestamp), pcm)
+        return
+    pcm = decoder.decode_audio(data)
     if pcm is not None and len(pcm):
         send.write_audio(TIME_BASE.scale_timestamp(msg.timestamp), pcm)
 

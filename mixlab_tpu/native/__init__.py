@@ -1,0 +1,171 @@
+"""ctypes bindings for the C++ native runtime (mixlab_native.cpp).
+
+Builds the shared library on first import if missing (g++ -O3); every entry
+point has a numpy fallback so the framework works without a compiler.  Use
+``available()`` to check which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import pathlib
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_DIR = pathlib.Path(__file__).parent
+_SO = _DIR / "libmixlab_native.so"
+_SRC = _DIR / "mixlab_native.cpp"
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", str(_SO), str(_SRC)],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as e:
+        log.info("native build unavailable: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_SO))
+    except OSError as e:
+        log.info("native load failed: %s", e)
+        return None
+    lib.ring_create.restype = ctypes.c_void_p
+    lib.ring_create.argtypes = [ctypes.c_uint64]
+    lib.ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.ring_size.restype = ctypes.c_uint64
+    lib.ring_size.argtypes = [ctypes.c_void_p]
+    lib.ring_capacity.restype = ctypes.c_uint64
+    lib.ring_capacity.argtypes = [ctypes.c_void_p]
+    lib.ring_push.restype = ctypes.c_uint64
+    lib.ring_push.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+    lib.ring_pop.restype = ctypes.c_uint64
+    lib.ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.pcm_f32_to_i16.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.pcm_i16_to_f32.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64]
+    lib.ws_unmask.argtypes = [ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p]
+    lib.crossfade_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint64, ctypes.c_uint8,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# SPSC byte ring
+# ---------------------------------------------------------------------------
+
+
+class NativeByteRing:
+    """Lock-free SPSC byte ring (C++); capacity rounded up to a power of 2."""
+
+    def __init__(self, capacity: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        cap = 1
+        while cap < capacity:
+            cap <<= 1
+        self._lib = lib
+        self._ptr = lib.ring_create(cap)
+        if not self._ptr:
+            raise MemoryError("ring_create failed")
+
+    def push(self, data: bytes) -> bool:
+        return self._lib.ring_push(self._ptr, data, len(data)) == len(data)
+
+    def pop(self, n: int) -> bytes:
+        buf = ctypes.create_string_buffer(n)
+        got = self._lib.ring_pop(self._ptr, buf, n)
+        return buf.raw[:got]
+
+    def __len__(self) -> int:
+        return self._lib.ring_size(self._ptr)
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.ring_capacity(self._ptr)
+
+    def close(self):
+        if self._ptr:
+            self._lib.ring_destroy(self._ptr)
+            self._ptr = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# function wrappers with numpy fallback
+# ---------------------------------------------------------------------------
+
+
+def pcm_f32_to_i16(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    lib = _load()
+    if lib is None:
+        return (np.clip(x, -1.0, 1.0) * 32767.0).astype(np.int16)
+    out = np.empty(x.shape, dtype=np.int16)
+    lib.pcm_f32_to_i16(x.ctypes.data, out.ctypes.data, x.size)
+    return out
+
+
+def pcm_i16_to_f32(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.int16)
+    lib = _load()
+    if lib is None:
+        return x.astype(np.float32) / 32768.0
+    out = np.empty(x.shape, dtype=np.float32)
+    lib.pcm_i16_to_f32(x.ctypes.data, out.ctypes.data, x.size)
+    return out
+
+
+def ws_unmask(payload: bytes, mask: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        m = np.frombuffer((mask * (len(payload) // 4 + 1))[: len(payload)], np.uint8)
+        return (np.frombuffer(payload, np.uint8) ^ m).tobytes()
+    buf = np.frombuffer(bytearray(payload), dtype=np.uint8)
+    lib.ws_unmask(buf.ctypes.data, buf.size, mask)
+    return buf.tobytes()
+
+
+def crossfade_u8(a: np.ndarray, b: np.ndarray, fade: int) -> np.ndarray:
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        acc = a.astype(np.uint32) * fade + b.astype(np.uint32) * (255 - fade)
+        return (acc // 255).astype(np.uint8)
+    out = np.empty(a.shape, dtype=np.uint8)
+    lib.crossfade_u8(a.ctypes.data, b.ctypes.data, out.ctypes.data, a.size, fade)
+    return out

@@ -74,6 +74,18 @@ class Server:
         if req.path == "/" and req.method == "GET":
             body = INDEX_HTML.read_bytes() if INDEX_HTML.exists() else b"mixlab-tpu"
             writer.write(response(200, "OK", body, "text/html; charset=utf-8"))
+        elif req.path.startswith("/static/") and req.method == "GET":
+            name = req.path[len("/static/") :]
+            target = (INDEX_HTML.parent / name).resolve()
+            if target.is_file() and target.parent == INDEX_HTML.parent.resolve():
+                ctype = {
+                    ".js": "text/javascript",
+                    ".css": "text/css",
+                    ".html": "text/html; charset=utf-8",
+                }.get(target.suffix, "application/octet-stream")
+                writer.write(response(200, "OK", target.read_bytes(), ctype))
+            else:
+                writer.write(response(404, "Not Found", b"not found"))
         elif req.path == "/session" and req.method == "GET":
             await self.handle_session_ws(req, reader, writer)
         elif req.path.startswith("/_monitor/") and req.method == "GET":

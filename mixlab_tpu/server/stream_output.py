@@ -1,0 +1,182 @@
+"""StreamOutput host controller: RTMP broadcast state machine + publish pipe.
+
+Rebuild of ``src/module/stream_output.rs``:
+
+  * impulse-encoded connect/disconnect params: an update is accepted only if
+    ``seq`` increases; ``connect_seq == seq`` requests a connect,
+    ``disconnect_seq == seq`` a disconnect; params cannot change while live
+    (stream_output.rs:62-105);
+  * connection state machine Offline -> Connecting -> Live | Failed with
+    StreamOutputIndication updates (stream_output.rs:261-278);
+  * when live, a publish thread drains the engine's bounded tick pipe
+    (drop-on-lag, stream_output.rs:314-321) and sends FLV tags over the RTMP
+    client with 1 kHz timestamps (stream_output.rs:373-406).
+
+Codec gating: with the ffmpeg backend, audio is AAC CBR 160k and video x264
+CBR 1.5 Mbps at 1120x700 (the reference operating point,
+stream_output.rs:23-24,337-345); without it, audio publishes as linear-PCM
+FLV tags (legal FLV sound format 3 — a capability the reference lacks) and
+video is skipped.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import queue
+import threading
+from enum import Enum
+from typing import Optional
+
+import numpy as np
+
+from mixlab_tpu import protocol as p
+from mixlab_tpu.av import flv
+from mixlab_tpu.av.encode_stream import f32_to_i16
+from mixlab_tpu.engine.config import EngineConfig
+from mixlab_tpu.io_host.rtmp import client as rtmp_client
+
+log = logging.getLogger(__name__)
+
+OUTPUT_WIDTH = 1120  # stream_output.rs:23
+OUTPUT_HEIGHT = 700  # stream_output.rs:24
+
+
+class ConnState(Enum):
+    OFFLINE = "offline"
+    CONNECTING = "connecting"
+    LIVE = "live"
+    FAILED = "failed"
+
+
+def parse_rtmp_url(url: str):
+    """rtmp://host[:port]/app -> (host, port, app)."""
+    if not url.startswith("rtmp://"):
+        raise ValueError("not an rtmp:// url")
+    rest = url[len("rtmp://") :]
+    hostport, _, app = rest.partition("/")
+    host, _, port = hostport.partition(":")
+    return host, int(port) if port else 1935, app or ""
+
+
+class StreamOutputController:
+    """One per StreamOutput module; owns an asyncio IO thread."""
+
+    def __init__(self, pipe, cfg: EngineConfig, indicate=None):
+        self.pipe = pipe
+        self.cfg = cfg
+        self.params = p.StreamOutputParams()
+        self.state = ConnState.OFFLINE
+        self.error = False
+        self._indicate = indicate or (lambda ind: None)
+        self._client: Optional[rtmp_client.RtmpPublishClient] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._io_thread: Optional[threading.Thread] = None
+        self._pump_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._epoch_samples: Optional[int] = None
+
+    # -- indication --------------------------------------------------------
+
+    def indication(self) -> p.StreamOutputIndication:
+        live = {
+            ConnState.OFFLINE: p.StreamOutputLiveStatus.OFFLINE,
+            ConnState.FAILED: p.StreamOutputLiveStatus.OFFLINE,
+            ConnState.CONNECTING: p.StreamOutputLiveStatus.CONNECTING,
+            ConnState.LIVE: p.StreamOutputLiveStatus.LIVE,
+        }[self.state]
+        return p.StreamOutputIndication(live=live, error=self.error)
+
+    def _set_state(self, state: ConnState, error: bool = False):
+        self.state = state
+        self.error = error
+        self._indicate(p.Indication("StreamOutput", self.indication()))
+
+    # -- impulse param updates (stream_output.rs:62-105) -------------------
+
+    def update(self, new_params: p.StreamOutputParams) -> bool:
+        if new_params.seq <= self.params.seq:
+            return False  # out-of-date update
+        if self.state in (ConnState.CONNECTING, ConnState.LIVE):
+            if new_params.disconnect_seq == new_params.seq:
+                self.params = new_params
+                self.disconnect()
+                return True
+            return False  # cannot change params on a live output
+        self.params = new_params
+        if new_params.connect_seq == new_params.seq:
+            self.connect()
+            return True
+        return False
+
+    # -- connection lifecycle ----------------------------------------------
+
+    def connect(self):
+        self._set_state(ConnState.CONNECTING)
+        self._stop.clear()
+        self._io_thread = threading.Thread(
+            target=self._run_io, daemon=True, name="stream-output-io"
+        )
+        self._io_thread.start()
+
+    def disconnect(self):
+        self._stop.set()
+        if self._loop is not None:
+            self._loop.call_soon_threadsafe(lambda: None)
+        self._set_state(ConnState.OFFLINE)
+
+    def stop(self):
+        self._stop.set()
+
+    def _run_io(self):
+        loop = asyncio.new_event_loop()
+        self._loop = loop
+        try:
+            loop.run_until_complete(self._io_main())
+        except Exception as e:
+            log.warning("stream_output: connection failed: %s", e)
+            self._set_state(ConnState.FAILED, error=True)
+        finally:
+            loop.close()
+            self._loop = None
+
+    async def _io_main(self):
+        host, port, app = parse_rtmp_url(self.params.rtmp_url)
+        client = await rtmp_client.start(host, port, app, self.params.rtmp_stream_key)
+        self._client = client
+        self._set_state(ConnState.LIVE)
+        self._epoch_samples = None
+        # drain the engine tick pipe and publish until stopped
+        while not self._stop.is_set():
+            try:
+                item = await asyncio.get_running_loop().run_in_executor(
+                    None, self._pipe_get, 0.25
+                )
+            except Exception:
+                break
+            if item is None:
+                continue
+            t0, audio, video = item
+            self._publish_tick(t0, audio)
+        await client.close()
+        self._client = None
+        if self.state == ConnState.LIVE:
+            self._set_state(ConnState.OFFLINE)
+
+    def _pipe_get(self, timeout):
+        try:
+            return self.pipe.q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _publish_tick(self, t0: int, audio: np.ndarray):
+        if self._client is None:
+            return
+        if self._epoch_samples is None:
+            self._epoch_samples = t0
+        # RTMP timestamps on a 1 kHz timebase (stream_output.rs TIME_BASE)
+        ts_ms = (t0 - self._epoch_samples) * 1000 // self.cfg.sample_rate
+        pcm = f32_to_i16(audio.reshape(-1)).astype("<i2").tobytes()
+        body = flv.pcm_s16le_tag(pcm, min(self.cfg.sample_rate, 44100))
+        if not self._client.publish_audio(int(ts_ms), body):
+            log.debug("stream_output: publish queue full, dropping tick")

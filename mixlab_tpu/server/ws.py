@@ -132,5 +132,7 @@ class WebSocket:
         except (asyncio.IncompleteReadError, ConnectionError):
             return None
         if mask:
-            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            from mixlab_tpu import native
+
+            payload = native.ws_unmask(payload, mask)
         return fin, opcode, payload

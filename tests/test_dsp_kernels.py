@@ -172,3 +172,18 @@ def math_gcd(a, b):
     import math
 
     return math.gcd(a, b)
+
+
+def test_linrec_blocked_matches_scan():
+    import jax.numpy as jnp
+
+    from mixlab_tpu.dsp.eq_three import _linrec_blocked, _linrec_scan
+
+    rng = np.random.default_rng(11)
+    for S in (735 * 2, 256 * 6, 735 * 60):
+        b = jnp.asarray(rng.uniform(-1, 1, (S, 2)).astype(np.float32))
+        y0 = jnp.asarray([0.3, -0.2], dtype=jnp.float32)
+        a = (0.94, 0.66)
+        ys = np.asarray(_linrec_scan(jnp.asarray(a, jnp.float32), b, y0))
+        yb = np.asarray(_linrec_blocked(a, b, y0))
+        np.testing.assert_allclose(ys, yb, atol=3e-5), S

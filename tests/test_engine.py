@@ -58,13 +58,16 @@ def test_engine_create_connect_render_and_oplog():
     syncs = [e.clock for e in evs if isinstance(e, SyncEvent)]
     assert syncs == [OpClock(sid, 1), OpClock(sid, 2), OpClock(sid, 3)]
 
-    # run a tick; monitor pipe receives audio
+    # run a tick; the monitor codec thread broadcasts an audio packet
+    pipeline = eng._monitor_pipelines[mon_id]
+    sub = pipeline.broadcast.subscribe()
     eng.tick_once()
-    pipe = eng.monitor_pipe(mon_id)
-    t0, audio, video = pipe.q.get_nowait()
-    assert t0 == 0 and audio.shape == (CFG.samples_per_tick, 2)
-    assert video is None
-    assert np.abs(audio).max() > 0.5  # sine present
+    pkt = sub.get(timeout=5.0)
+    header, _, pcm = pkt.partition(b"\n")
+    assert b'"audio"' in header
+    samples = np.frombuffer(pcm, dtype="<i2")
+    assert samples.shape == (CFG.samples_per_tick * 2,)
+    assert np.abs(samples).max() > 16000  # sine present
 
 
 def test_engine_param_edit_keeps_dsp_state():
