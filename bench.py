@@ -296,7 +296,7 @@ def bench_stems16(seconds_audio=4.0, reps=2):
 # ---------------------------------------------------------------------------
 
 
-def bench_blend_1080p(batch=32, iters=10, reps=2):
+def bench_blend_1080p(batch=32, iters=100, reps=2):
     """Raw 1080p crossfade kernel (north star: >= 500 fps/chip).
 
     ``iters`` dependent blend rounds of a ``batch`` of frames inside one
@@ -354,15 +354,19 @@ def bench_config4_composite(batch=32, reps=3):
         )
 
     def make(n):
-        def whole(ts):
-            outs = jax.vmap(pipeline)(ts)
-            return sum(jnp.sum(o.astype(jnp.uint32)) for o in outs)
+        def whole(_):
+            def step(carry, k):
+                ts = k * batch + jnp.arange(batch, dtype=jnp.int32)
+                outs = jax.vmap(pipeline)(ts)
+                s = sum(jnp.sum(o.astype(jnp.uint32)) for o in outs)
+                return carry + s, None
+            total, _ = jax.lax.scan(step, jnp.uint32(0), jnp.arange(n, dtype=jnp.int32))
+            return total
         f = jax.jit(whole)
-        ts = jnp.arange(n, dtype=jnp.int32)
-        return lambda: f(ts)
+        return lambda: f(0)
 
-    sec_per_frame = timed_slope(make, batch, 2 * batch, reps=reps)
-    return 1.0 / sec_per_frame
+    sec_per_chunk = timed_slope(make, 2, 12, reps=reps)
+    return batch / sec_per_chunk
 
 
 def bench_config5_full_session(seconds=4, reps=3):

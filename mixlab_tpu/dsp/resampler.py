@@ -59,7 +59,9 @@ def design(src_rate: int, dst_rate: int, taps_per_phase: int = 32):
     # normalize each polyphase branch to unit DC gain (kills per-phase gain
     # ripple from windowed-sinc truncation)
     W2 /= W2.sum(axis=1, keepdims=True)
-    return L, M, jnp.asarray(W2, dtype=jnp.float32)
+    # NOTE: cached as numpy — caching jnp arrays created under a jit trace
+    # would leak tracers across traces
+    return L, M, W2.astype(np.float32)
 
 
 def context_len(src_rate: int, dst_rate: int, taps_per_phase: int = 32) -> int:
@@ -91,7 +93,7 @@ def resample_block(x, ctx, src_rate: int, dst_rate: int, taps_per_phase: int = 3
     xwin = xp[idx]  # [G, W, C]
     # [G, W, C] x [L, W] -> [G, L, C] -> [G*L, C]
     y = jnp.einsum(
-        "gwc,lw->glc", xwin, W2, preferred_element_type=jnp.float32
+        "gwc,lw->glc", xwin, jnp.asarray(W2), preferred_element_type=jnp.float32
     ).reshape(G * L, C)
     new_ctx = xp[-(J - 1):]
     if squeeze:

@@ -181,6 +181,8 @@ class Engine:
         self._media_players: Dict[ModuleId, object] = {}
         self._plotter_counts: Dict[ModuleId, int] = {}
         self._clip_times: Dict[ModuleId, float] = {}
+        self._lag_times: Dict[ModuleId, float] = {}
+        self._audio_streams: Dict[ModuleId, object] = {}
 
         self.tick = 0
         self._rebuild(full=True)
@@ -262,6 +264,8 @@ class Engine:
 
                 self._media_feeds[mid] = MediaSourceFeed(self.cfg)
                 self._start_media_player(mid, entry.params.params)
+            if kind == "OutputDevice" and mid not in self._audio_streams:
+                self._open_audio_device(mid, entry.params.params)
             if kind == "Plotter" and mid not in self._plotter_counts:
                 self._plotter_counts[mid] = 0
         for d_ in (
@@ -274,6 +278,8 @@ class Engine:
             self._media_players,
             self._plotter_counts,
             self._clip_times,
+            self._lag_times,
+            self._audio_streams,
         ):
             for mid in [m for m in d_ if m not in live]:
                 if d_ is self._stream_feeds:
@@ -284,7 +290,29 @@ class Engine:
                     or d_ is self._media_players
                 ):
                     d_[mid].stop()
+                if d_ is self._audio_streams and d_[mid] is not None:
+                    d_[mid].close()
                 del d_[mid]
+
+    def _open_audio_device(self, mid: ModuleId, params: p.OutputDeviceParams):
+        from mixlab_tpu.io_host.audio_out import get_backend
+
+        backend = get_backend()
+        old = self._audio_streams.pop(mid, None)
+        if old is not None:
+            old.close()
+        stream = None
+        if params.device is not None:
+            stream = backend.open(params.device, self.cfg.sample_rate)
+        self._audio_streams[mid] = stream
+        # device enumeration indication (output_device.rs:49-70)
+        self.ws.indications[mid] = Indication(
+            "OutputDevice",
+            p.OutputDeviceIndication(
+                default_device=backend.default_device(),
+                devices=tuple(backend.devices()),
+            ),
+        )
 
     def _start_media_player(self, mid: ModuleId, params: p.MediaSourceParams):
         old = self._media_players.pop(mid, None)
@@ -513,6 +541,9 @@ class Engine:
         elif kind == "MediaSource":
             if old_params.params.media_id != new_params.params.media_id:
                 self._start_media_player(mid, new_params.params)
+        elif kind == "OutputDevice":
+            if old_params.params.device != new_params.params.device:
+                self._open_audio_device(mid, new_params.params)
 
     # -- tick execution -----------------------------------------------------
 
@@ -595,12 +626,26 @@ class Engine:
             elif kind == "OutputDevice":
                 if bool(tp["clip"]):
                     self._clip_times[mid] = now
+                stream = self._audio_streams.get(mid)
+                if stream is not None:
+                    if not stream.write(np.asarray(tp["audio"]).reshape(S, 2)):
+                        self._lag_times[mid] = now
                 clip = temporal_warning(
                     now - self._clip_times[mid] if mid in self._clip_times else None
                 )
+                lag = temporal_warning(
+                    now - self._lag_times[mid] if mid in self._lag_times else None
+                )
                 prev = self.ws.indications.get(mid)
+                base = prev.value if prev is not None and prev.value else p.OutputDeviceIndication()
                 ind = Indication(
-                    "OutputDevice", p.OutputDeviceIndication(clip=clip)
+                    "OutputDevice",
+                    p.OutputDeviceIndication(
+                        clip=clip,
+                        lag=lag,
+                        default_device=base.default_device,
+                        devices=base.devices,
+                    ),
                 )
                 if prev != ind:
                     indications[mid] = ind

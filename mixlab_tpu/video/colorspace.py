@@ -38,14 +38,20 @@ _OFFSET = np.array([16.0, 128.0, 128.0], dtype=np.float32)
 def rgb_to_yuv420(rgb):
     """[H, W, 3] u8 -> (y [H,W], u [H/2,W/2], v [H/2,W/2]) u8.
 
-    H and W must be even (yuv420 chroma alignment)."""
+    H and W must be even (yuv420 chroma alignment).  Written as explicit
+    per-channel linear combinations (VPU-fused elementwise) rather than an
+    einsum — a K=3 contraction would waste the MXU and block fusion."""
     H, W, _ = rgb.shape
-    x = rgb.astype(jnp.float32)
-    yuv = jnp.einsum("hwc,oc->hwo", x, jnp.asarray(_RGB2YUV)) + jnp.asarray(_OFFSET)
-    y = yuv[..., 0]
+    r = rgb[..., 0].astype(jnp.float32)
+    g = rgb[..., 1].astype(jnp.float32)
+    b = rgb[..., 2].astype(jnp.float32)
+    M = _RGB2YUV
+    y = M[0, 0] * r + M[0, 1] * g + M[0, 2] * b + _OFFSET[0]
+    u = M[1, 0] * r + M[1, 1] * g + M[1, 2] * b + _OFFSET[1]
+    v = M[2, 0] * r + M[2, 1] * g + M[2, 2] * b + _OFFSET[2]
     # 2x2 box average chroma
-    u = yuv[..., 1].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
-    v = yuv[..., 2].reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    u = u.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    v = v.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
 
     def q(p):
         return jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
@@ -56,10 +62,14 @@ def rgb_to_yuv420(rgb):
 def yuv420_to_rgb(y, u, v):
     """(y, u, v) u8 planes -> [H, W, 3] u8; chroma nearest-upsampled 2x."""
     H, W = y.shape
-    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W]
-    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W]
-    yuv = jnp.stack([y.astype(jnp.float32), uf, vf], axis=-1) - jnp.asarray(_OFFSET)
-    rgb = jnp.einsum("hwc,oc->hwo", yuv, jnp.asarray(_YUV2RGB))
+    yf = y.astype(jnp.float32) - _OFFSET[0]
+    uf = jnp.repeat(jnp.repeat(u.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W] - _OFFSET[1]
+    vf = jnp.repeat(jnp.repeat(v.astype(jnp.float32), 2, axis=0), 2, axis=1)[:H, :W] - _OFFSET[2]
+    M = _YUV2RGB
+    r = M[0, 0] * yf + M[0, 1] * uf + M[0, 2] * vf
+    g = M[1, 0] * yf + M[1, 1] * uf + M[1, 2] * vf
+    b = M[2, 0] * yf + M[2, 1] * uf + M[2, 2] * vf
+    rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
 
 
