@@ -23,6 +23,10 @@ def main():
 
     logging.basicConfig(level=logging.INFO)
 
+    from mixlab_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+
     from mixlab_tpu.engine.config import EngineConfig
     from mixlab_tpu.engine.project import open_or_create
     from mixlab_tpu.server.app import run_server

@@ -12,7 +12,7 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 from enum import IntEnum
-from typing import Iterator, List
+from typing import Iterator, List, Tuple
 
 
 class AvcError(Exception):
@@ -97,6 +97,49 @@ def write_nal_units(units: List[NalUnit], nalu_size: int = 4) -> bytes:
         out += u.byte_size.to_bytes(nalu_size, "big")
         out += u.to_bytes()
     return bytes(out)
+
+
+def split_annexb(data: bytes) -> List[bytes]:
+    """Split an Annex B byte stream into raw NAL unit byte strings
+    (start codes 00 00 01 / 00 00 00 01 removed)."""
+    units = []
+    i = 0
+    n = len(data)
+    start = None
+    while i + 2 < n:
+        if data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 1:
+            if start is not None:
+                end = i
+                while end > start and data[end - 1] == 0:
+                    end -= 1
+                units.append(bytes(data[start:end]))
+            i += 3
+            start = i
+        else:
+            i += 1
+    if start is not None and start < n:
+        units.append(bytes(data[start:]))
+    return units
+
+
+def annexb_to_avcc(data: bytes, nalu_size: int = 4) -> Tuple[bytes, List[NalUnit]]:
+    """Convert Annex B -> length-prefixed (avcc) bytes.  Returns
+    (avcc_payload, parameter_sets) where parameter_sets collects any SPS/PPS
+    found (used to build the DCR; they are excluded from the payload)."""
+    payload = bytearray()
+    params: List[NalUnit] = []
+    for raw in split_annexb(data):
+        if not raw:
+            continue
+        unit = NalUnit.parse(raw)
+        if unit.kind in (UnitType.SEQUENCE_PARAMETER_SET, UnitType.PICTURE_PARAMETER_SET):
+            params.append(unit)
+            continue
+        if unit.kind == UnitType.ACCESS_UNIT_DELIMITER:
+            continue
+        payload += len(raw).to_bytes(nalu_size, "big")
+        payload += raw
+    return bytes(payload), params
 
 
 @dataclass

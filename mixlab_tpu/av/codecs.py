@@ -61,35 +61,167 @@ class PcmAudioEncoder:
         return b""
 
 
-class FfmpegCliAudioEncoder:
-    """AAC-LC via the ffmpeg CLI, ADTS transport."""
+class _DrainThread:
+    """Background stdout reader so codec pipes never deadlock."""
+
+    def __init__(self, stream):
+        import threading
+
+        self.buf = bytearray()
+        self.lock = threading.Lock()
+
+        def run():
+            while True:
+                data = stream.read(65536)
+                if not data:
+                    return
+                with self.lock:
+                    self.buf += data
+
+        threading.Thread(target=run, daemon=True).start()
+
+    def snapshot(self) -> bytearray:
+        with self.lock:
+            return bytearray(self.buf)
+
+    def consume(self, n: int):
+        with self.lock:
+            del self.buf[:n]
+
+
+class FfmpegAacStream:
+    """Streaming AAC-LC encoder via the ffmpeg CLI (ADTS out).
+
+    Push PCM with :meth:`feed`; poll complete ADTS frames with
+    :meth:`poll_frames` (frame boundaries come from the ADTS frame-length
+    field).  Operating point: CBR (stream profile, 160 kbps,
+    stream_output.rs:337-345) or default VBR (monitor profile)."""
 
     codec = "aac"
 
-    def __init__(self, sample_rate: int = 44100, channels: int = 2, bitrate: int = 160_000):
+    def __init__(self, sample_rate: int = 44100, channels: int = 2,
+                 bitrate: Optional[int] = 160_000):
         self.sample_rate = sample_rate
         self.channels = channels
         self.asc = AudioSpecificConfiguration.lc_stereo(sample_rate)
-        self.proc = subprocess.Popen(
-            [
-                "ffmpeg", "-loglevel", "quiet",
-                "-f", "s16le", "-ar", str(sample_rate), "-ac", str(channels), "-i", "-",
-                "-c:a", "aac", "-b:a", str(bitrate), "-f", "adts", "-",
-            ],
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-        )
-        self._buf = b""
+        args = ["ffmpeg", "-loglevel", "quiet",
+                "-f", "s16le", "-ar", str(sample_rate), "-ac", str(channels),
+                "-i", "-", "-c:a", "aac"]
+        if bitrate:
+            args += ["-b:a", str(bitrate)]
+        args += ["-f", "adts", "-"]
+        self.proc = subprocess.Popen(args, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        self.out = _DrainThread(self.proc.stdout)
 
-    def encode(self, granule_i16: np.ndarray) -> bytes:
-        # NOTE: CLI pipe is not granule-synchronous; suitable for offline
-        # paths. Realtime paths should use a native binding when available.
-        self.proc.stdin.write(granule_i16.astype("<i2").tobytes())
+    def feed(self, pcm_i16: np.ndarray):
+        self.proc.stdin.write(pcm_i16.astype("<i2").tobytes())
         self.proc.stdin.flush()
-        return b""  # frames drained separately
+
+    def poll_frames(self):
+        from mixlab_tpu.av.aac import parse_adts_header
+
+        frames = []
+        buf = self.out.snapshot()
+        consumed = 0
+        while len(buf) - consumed >= 7:
+            view = bytes(buf[consumed : consumed + 7])
+            try:
+                hdr = parse_adts_header(view)
+            except Exception:
+                consumed += 1  # resync
+                continue
+            n = hdr["frame_length"]
+            if len(buf) - consumed < n:
+                break
+            frames.append(bytes(buf[consumed : consumed + n]))
+            consumed += n
+        if consumed:
+            self.out.consume(consumed)
+        return frames
 
     def configuration_data(self) -> bytes:
         return self.asc.to_bytes()
+
+
+class FfmpegH264Stream:
+    """Streaming H.264 encoder via the ffmpeg CLI (Annex B out, converted to
+    avcc).  Profiles mirror the reference (video/encode.rs:253-271):
+    monitor = all-intra ultrafast zerolatency CRF30; stream = CBR 1.5 Mbps
+    gop 60."""
+
+    codec = "h264"
+
+    def __init__(self, picture: PictureSettings, fps: int = 60, profile: str = "monitor"):
+        from mixlab_tpu.av.avc import DecoderConfigurationRecord
+        from mixlab_tpu.av.sps import parse_sps
+
+        self.picture = picture
+        self._parse_sps = parse_sps
+        self._DCR = DecoderConfigurationRecord
+        self.dcr: Optional[bytes] = None
+        args = ["ffmpeg", "-loglevel", "quiet",
+                "-f", "rawvideo", "-pix_fmt", "yuv420p",
+                "-s", f"{picture.width}x{picture.height}", "-r", str(fps), "-i", "-",
+                "-c:v", "libx264", "-pix_fmt", "yuv420p"]
+        if profile == "monitor":
+            args += ["-preset", "ultrafast", "-tune", "zerolatency",
+                     "-crf", "30", "-g", "1"]
+        else:
+            args += ["-preset", "fast", "-b:v", "1500k", "-g", "60"]
+        args += ["-f", "h264", "-"]
+        self.proc = subprocess.Popen(args, stdin=subprocess.PIPE, stdout=subprocess.PIPE)
+        self.out = _DrainThread(self.proc.stdout)
+        self._param_units = {}
+
+    def feed(self, pic: Picture):
+        raw = (
+            np.asarray(pic.planes["y"]).tobytes()
+            + np.asarray(pic.planes["u"]).tobytes()
+            + np.asarray(pic.planes["v"]).tobytes()
+        )
+        self.proc.stdin.write(raw)
+        self.proc.stdin.flush()
+
+    def poll_access_units(self):
+        """-> list of (is_key, avcc_bytes). Updates self.dcr as SPS/PPS
+        appear.  Splits on IDR/non-IDR boundaries."""
+        from mixlab_tpu.av.avc import UnitType, annexb_to_avcc
+
+        data = bytes(self.out.snapshot())
+        if not data:
+            return []
+        # keep a tail in the pipe buffer in case a NAL is split mid-stream:
+        last_sc = max(data.rfind(b"\x00\x00\x01"), 0)
+        if last_sc == 0:
+            return []
+        head, _tail = data[:last_sc], data[last_sc:]
+        self.out.consume(last_sc)
+        payload, params = annexb_to_avcc(head)
+        for u in params:
+            self._param_units[u.kind] = u
+        sps = self._param_units.get(UnitType.SEQUENCE_PARAMETER_SET)
+        pps = self._param_units.get(UnitType.PICTURE_PARAMETER_SET)
+        if sps and pps and self.dcr is None:
+            info = self._parse_sps(sps.data)
+            self.dcr = self._DCR(
+                1, info.profile_idc, 0, info.level_idc, 4, [sps], [pps]
+            ).to_bytes()
+        if not payload:
+            return []
+        is_key = b"\x65" in payload[:6] or any(
+            u.kind == UnitType.IDR_PICTURE
+            for u in _safe_units(payload)
+        )
+        return [(is_key, payload)]
+
+
+def _safe_units(avcc: bytes):
+    from mixlab_tpu.av.avc import iter_nal_units
+
+    try:
+        return list(iter_nal_units(avcc, 4))
+    except Exception:
+        return []
 
 
 # ---------------------------------------------------------------------------

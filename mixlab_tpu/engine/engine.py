@@ -185,6 +185,14 @@ class Engine:
         self._audio_streams: Dict[ModuleId, object] = {}
 
         self.tick = 0
+        # async compile machinery: structural edits compile on a worker
+        # thread while the engine keeps ticking the OLD program; the new
+        # program is swapped in (with DSP state carried over) once its first
+        # run is warm.  This keeps the 60 Hz cadence through edits — the
+        # newly added module simply becomes audible a moment later.  Offline
+        # and direct-drive (no engine thread) modes compile synchronously.
+        self._pending_patch = None  # (patch, warmed_flag_event)
+        self._compile_gen = 0
         self._rebuild(full=True)
 
     # -- compiled program management --------------------------------------
@@ -192,7 +200,6 @@ class Engine:
     def _rebuild(self, full: bool):
         patch = compile_patch(self.ws, self.cfg, self.block)
         old_patch = getattr(self, "_patch", None)
-        old_state = getattr(self, "_state", None)
         if (
             not full
             and old_patch is not None
@@ -201,6 +208,43 @@ class Engine:
             # param-only change: swap aux, keep program + state
             self._aux = old_patch.prepare_aux(self.ws)
             return
+        if old_patch is not None and self._thread is not None:
+            # realtime: warm the new program off-thread, swap when ready
+            self._compile_gen += 1
+            gen = self._compile_gen
+            threading.Thread(
+                target=self._warm_and_stage, args=(patch, gen), daemon=True
+            ).start()
+        else:
+            self._adopt_patch(patch)
+        self._sync_host_modules()
+
+    def _warm_and_stage(self, patch: CompiledPatch, gen: int):
+        try:
+            aux = patch.prepare_aux(self.ws)
+            state = patch.init_state(self.ws)
+            host_aux = patch.host_aux(0)
+            out = patch.run(aux, host_aux, state)  # compiles
+            import jax
+
+            jax.block_until_ready(out)
+        except Exception:
+            import logging
+
+            logging.getLogger(__name__).exception("async compile failed")
+            return
+        if gen == self._compile_gen:
+            self._pending_patch = patch  # picked up by the engine thread
+
+    def _maybe_swap_patch(self):
+        patch = self._pending_patch
+        if patch is None:
+            return
+        self._pending_patch = None
+        self._adopt_patch(patch)
+
+    def _adopt_patch(self, patch: CompiledPatch):
+        old_state = getattr(self, "_state", None)
         self._patch = patch
         self._aux = patch.prepare_aux(self.ws)
         new_state = patch.init_state(self.ws)
@@ -218,7 +262,6 @@ class Engine:
                         if carried is not None and _same_structure(carried, st):
                             new_state[k] = carried
         self._state = new_state
-        self._sync_host_modules()
 
     def _sync_host_modules(self):
         live = set(self.ws.modules)
@@ -550,18 +593,23 @@ class Engine:
     def tick_once(self, tick_stat=None) -> Dict[ModuleId, Indication]:
         """Run one block of ticks; returns indication changes."""
         cfg = self.cfg
+        self._maybe_swap_patch()
         t0 = self.tick * cfg.samples_per_tick
         S = self.block.n_samples(cfg)
 
         # 1. host feeds
+        running = {str(m.value) for m in self._patch.order}
         ext = {}
         stream_videos: Dict[ModuleId, object] = {}
         for mid, feed in self._stream_feeds.items():
+            if str(mid.value) not in running:
+                continue  # module added; its program is still compiling
             pcm, video = feed.fill_tick(t0, S)
             ext[str(mid.value)] = {"pcm": pcm}
             stream_videos[mid] = video
         for mid, feed in self._media_feeds.items():
-            ext[str(mid.value)] = {"pcm": feed.fill_tick(S)}
+            if str(mid.value) in running:
+                ext[str(mid.value)] = {"pcm": feed.fill_tick(S)}
 
         # 2. device program
         host_aux = self._patch.host_aux(t0, ext)

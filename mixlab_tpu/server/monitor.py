@@ -27,9 +27,14 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from mixlab_tpu.av.codecs import PngVideoEncoder, MONITOR_PICTURE
+from mixlab_tpu.av.codecs import (
+    MONITOR_PICTURE,
+    PngVideoEncoder,
+    ffmpeg_available,
+)
 from mixlab_tpu.av.encode_stream import f32_to_i16
 from mixlab_tpu.engine.config import EngineConfig
+from mixlab_tpu.video.frame import Picture
 from mixlab_tpu.video.scale import scale_picture
 
 # global socket map: uuid -> Broadcast of framed packets (monitor.rs:24-26)
@@ -92,12 +97,15 @@ def frame_packet(header: dict, payload: bytes = b"") -> bytes:
 class MonitorPipeline(threading.Thread):
     """Codec thread for one Monitor module (monitor.rs:185-251)."""
 
-    def __init__(self, pipe, cfg: EngineConfig):
+    def __init__(self, pipe, cfg: EngineConfig, mode: Optional[str] = None):
         super().__init__(daemon=True, name="monitor-codec")
         self.pipe = pipe
         self.cfg = cfg
         self.socket_id = str(uuid_mod.uuid4())
         self._stop = threading.Event()
+        if mode is None:
+            mode = "fmp4" if ffmpeg_available() else "pcm+png"
+        self.mode = mode
         init = frame_packet(
             {
                 "t": "init",
@@ -112,7 +120,23 @@ class MonitorPipeline(threading.Thread):
         self.broadcast = PacketBroadcast(init)
         self.video_enc = PngVideoEncoder(MONITOR_PICTURE)
         self._tick_count = 0
+        if mode == "fmp4":
+            self._init_fmp4()
         register_socket(self.socket_id, self.broadcast)
+
+    def _init_fmp4(self):
+        """Real AAC+AVC into the fragmented-MP4 mux for MSE playback —
+        the reference's monitor path (monitor.rs:185-251) — active when the
+        ffmpeg backend exists."""
+        from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
+        from mixlab_tpu.av.encode_stream import SAMPLES_PER_CHANNEL_PER_FRAGMENT
+
+        self._aac = FfmpegAacStream(self.cfg.sample_rate, bitrate=None)  # VBR
+        self._h264 = FfmpegH264Stream(MONITOR_PICTURE, fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR, profile="monitor")
+        self._mux = None
+        self._granule = SAMPLES_PER_CHANNEL_PER_FRAGMENT
+        self._audio_frames = 0
+        self._video_frames = 0
 
     def stop(self):
         self._stop.set()
@@ -124,7 +148,57 @@ class MonitorPipeline(threading.Thread):
                 t0, audio, video = self.pipe.q.get(timeout=0.25)
             except queue.Empty:
                 continue
-            self._encode_tick(t0, audio, video)
+            if self.mode == "fmp4":
+                self._encode_tick_fmp4(t0, audio, video)
+            else:
+                self._encode_tick(t0, audio, video)
+
+    def _encode_tick_fmp4(self, t0: int, audio: np.ndarray, video):
+        from mixlab_tpu.av import mp4
+        from mixlab_tpu.utils.mtime import MediaDuration
+
+        self._aac.feed(f32_to_i16(audio.reshape(-1)))
+        self._tick_count += 1
+        if self._tick_count % VIDEO_TICK_DIVISOR == 0:
+            pic = (
+                scale_picture(video.picture, MONITOR_PICTURE)
+                if video is not None
+                else Picture.blank(MONITOR_PICTURE)
+            )
+            self._h264.feed(pic)
+
+        units = self._h264.poll_access_units()
+        if self._mux is None:
+            if self._h264.dcr is None:
+                return  # wait for SPS/PPS before emitting the init segment
+            params = mp4.Mp4Params(
+                timescale=self.cfg.sample_rate,
+                width=MONITOR_PICTURE.width,
+                height=MONITOR_PICTURE.height,
+                dcr=self._h264.dcr,
+                sample_rate=self.cfg.sample_rate,
+            )
+            self._mux, init_seg = mp4.Mp4Mux.create(params)
+            self.broadcast.init_packet = frame_packet(
+                {"t": "init", "mode": "fmp4", "mime":
+                 'video/mp4; codecs="avc1.64001f, mp4a.40.2"'},
+                init_seg,
+            )
+            self.broadcast.send(self.broadcast.init_packet)
+
+        for frame in self._aac.poll_frames():
+            dur = MediaDuration.new(self._granule, self.cfg.sample_rate)
+            seg = self._mux.write_track(dur, mp4.AdtsFrame(frame))
+            self.broadcast.send(frame_packet({"t": "segment"}, seg))
+        for is_key, payload in units:
+            dur = MediaDuration.new(
+                VIDEO_TICK_DIVISOR, self.cfg.ticks_per_second
+            )
+            seg = self._mux.write_track(
+                dur,
+                mp4.AvcFrame(is_key_frame=is_key, composition_time=MediaDuration.zero(), data=payload),
+            )
+            self.broadcast.send(frame_packet({"t": "segment"}, seg))
 
     def _encode_tick(self, t0: int, audio: np.ndarray, video):
         sr = self.cfg.sample_rate

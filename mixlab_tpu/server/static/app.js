@@ -618,14 +618,37 @@ const monitorPlayers = {
     const audioCtx = new (window.AudioContext || window.webkitAudioContext)();
     const ws = new WebSocket(`ws://${location.host}/_monitor/${socketId}`);
     ws.binaryType = "arraybuffer";
-    const player = { ws, cursor: 0, sampleRate: 44100, channels: 2 };
+    const player = { ws, cursor: 0, sampleRate: 44100, channels: 2, mse: null, queue: [] };
     monitorPlayers.players.set(mid, player);
     ws.onmessage = (ev) => {
       const buf = new Uint8Array(ev.data);
       const nl = buf.indexOf(10);
       const header = JSON.parse(new TextDecoder().decode(buf.subarray(0, nl)));
       const payload = buf.subarray(nl + 1);
-      if (header.t === "init") {
+      if (header.t === "init" && header.mode === "fmp4") {
+        // MSE playback, matching the reference's monitor player
+        // (frontend/src/module/monitor.rs:164-248)
+        const video = document.createElement("video");
+        video.autoplay = true; video.muted = false; video.controls = true;
+        video.className = "monitor-video";
+        img.replaceWith(video);
+        const mse = new MediaSource();
+        video.src = URL.createObjectURL(mse);
+        mse.addEventListener("sourceopen", () => {
+          const sb = mse.addSourceBuffer(header.mime);
+          player.mse = sb;
+          sb.addEventListener("updateend", () => {
+            if (player.queue.length && !sb.updating) sb.appendBuffer(player.queue.shift());
+          });
+          sb.appendBuffer(payload);
+        });
+        label.textContent = "fmp4/MSE";
+      } else if (header.t === "segment") {
+        if (player.mse) {
+          if (player.mse.updating || player.queue.length) player.queue.push(payload);
+          else player.mse.appendBuffer(payload);
+        }
+      } else if (header.t === "init") {
         player.sampleRate = header.sample_rate;
         player.channels = header.channels;
         label.textContent = `${header.mode} ${header.sample_rate} Hz`;

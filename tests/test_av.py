@@ -288,3 +288,33 @@ def test_encode_stream_drops_stale_video():
     # a frame entirely before the current video timestamp is dropped
     es.send_video(MediaTime.new(1, 60), MediaDuration.new(1, 60), enc.blank_picture())
     assert enc.count == n
+
+
+def test_annexb_avcc_roundtrip():
+    from mixlab_tpu.av import avc
+
+    sps = avc.NalUnit(3, avc.UnitType.SEQUENCE_PARAMETER_SET, b"\x64\x00\x1f")
+    pps = avc.NalUnit(3, avc.UnitType.PICTURE_PARAMETER_SET, b"\xee\x3c")
+    idr = avc.NalUnit(3, avc.UnitType.IDR_PICTURE, b"\x88" * 20)
+    sei = avc.NalUnit(0, avc.UnitType.SEI, b"\x05\x01\x80")
+    annexb = (
+        b"\x00\x00\x00\x01" + sps.to_bytes()
+        + b"\x00\x00\x00\x01" + pps.to_bytes()
+        + b"\x00\x00\x01" + sei.to_bytes()
+        + b"\x00\x00\x01" + idr.to_bytes()
+    )
+    payload, params = avc.annexb_to_avcc(annexb)
+    assert params == [sps, pps]
+    units = list(avc.iter_nal_units(payload, 4))
+    assert units == [sei, idr]
+
+
+def test_split_annexb_trailing_zeros():
+    from mixlab_tpu.av import avc
+
+    u1 = avc.NalUnit(1, avc.UnitType.NON_IDR_PICTURE, b"\x42\x43")
+    # 4-byte start code before second unit means u1's raw bytes are followed
+    # by a zero that belongs to the next start code
+    data = b"\x00\x00\x01" + u1.to_bytes() + b"\x00\x00\x00\x01" + u1.to_bytes()
+    units = avc.split_annexb(data)
+    assert units == [u1.to_bytes(), u1.to_bytes()]

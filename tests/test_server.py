@@ -171,14 +171,22 @@ def test_monitor_ws_streams_audio(server_port):
         init = json.loads(header)
         assert init["t"] == "init" and init["sample_rate"] == 44_100
 
-        # audio packets follow
-        op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
-        header, _, pcm = payload.partition(b"\n")
-        pkt = json.loads(header)
-        assert pkt["t"] == "audio"
-        samples = np.frombuffer(pcm, dtype="<i2")
-        assert len(samples) == CFG.samples_per_tick * 2
-        assert np.abs(samples).max() > 10000  # sine at full scale
+        # audio packets follow; the first few may be the pre-edit program's
+        # silence while the async compile-and-swap warms the new program
+        deadline = asyncio.get_event_loop().time() + 20.0
+        loud = False
+        while asyncio.get_event_loop().time() < deadline:
+            op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
+            header, _, pcm = payload.partition(b"\n")
+            pkt = json.loads(header)
+            if pkt["t"] != "audio":
+                continue
+            samples = np.frombuffer(pcm, dtype="<i2")
+            assert len(samples) == CFG.samples_per_tick * 2
+            if np.abs(samples).max() > 10000:  # sine at full scale
+                loud = True
+                break
+        assert loud, "monitor audio never became live"
         writer.close()
 
     loop.run_until_complete(go())
