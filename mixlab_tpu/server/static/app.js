@@ -356,6 +356,94 @@ function setStatus(text, warn) {
   el.className = warn ? "warn" : "";
 }
 
+/* ------------------------------------------------- canvas controls
+ * Rebuild of frontend/src/control/{fader,rotary}.rs: canvas-drawn
+ * continuous controls with pointer drag + wheel, MIDI-learnable. */
+
+function makeFader(value, min, max, onChange) {
+  const c = document.createElement("canvas");
+  c.width = 28; c.height = 84;
+  c.className = "fader";
+  let v = value;
+  const draw = () => {
+    const ctx = c.getContext("2d");
+    ctx.clearRect(0, 0, c.width, c.height);
+    ctx.fillStyle = "#181d22";
+    ctx.fillRect(11, 6, 6, c.height - 12);
+    const t = (v - min) / (max - min);
+    const y = 6 + (1 - t) * (c.height - 24);
+    ctx.fillStyle = "#6ab0f3";
+    ctx.fillRect(4, y, 20, 12);
+  };
+  const set = (nv, fire = true) => {
+    v = Math.min(max, Math.max(min, nv));
+    draw();
+    if (fire) onChange(v);
+  };
+  let dragging = false;
+  c.addEventListener("pointerdown", (ev) => {
+    dragging = true; c.setPointerCapture(ev.pointerId); move(ev);
+  });
+  const move = (ev) => {
+    if (!dragging) return;
+    const r = c.getBoundingClientRect();
+    const t = 1 - (ev.clientY - r.top - 6) / (r.height - 24);
+    set(min + Math.min(1, Math.max(0, t)) * (max - min));
+  };
+  c.addEventListener("pointermove", move);
+  c.addEventListener("pointerup", () => { dragging = false; });
+  c.addEventListener("wheel", (ev) => {
+    ev.preventDefault();
+    set(v - Math.sign(ev.deltaY) * (max - min) / 50);
+  });
+  c.oncontextmenu = (ev) => { ev.preventDefault(); midi.learn({ set }, onChange, min, max); };
+  c._set = set;
+  draw();
+  return c;
+}
+
+function makeRotary(value, min, max, onChange) {
+  const c = document.createElement("canvas");
+  c.width = 36; c.height = 36;
+  c.className = "rotary";
+  let v = value;
+  const draw = () => {
+    const ctx = c.getContext("2d");
+    ctx.clearRect(0, 0, 36, 36);
+    ctx.strokeStyle = "#39434d"; ctx.lineWidth = 4;
+    ctx.beginPath(); ctx.arc(18, 18, 13, 0.75 * Math.PI, 2.25 * Math.PI); ctx.stroke();
+    const t = (v - min) / (max - min);
+    ctx.strokeStyle = "#6ab0f3";
+    ctx.beginPath(); ctx.arc(18, 18, 13, 0.75 * Math.PI, (0.75 + 1.5 * t) * Math.PI); ctx.stroke();
+    const ang = (0.75 + 1.5 * t) * Math.PI;
+    ctx.beginPath(); ctx.moveTo(18, 18);
+    ctx.lineTo(18 + 10 * Math.cos(ang), 18 + 10 * Math.sin(ang));
+    ctx.strokeStyle = "#dde3e8"; ctx.lineWidth = 2; ctx.stroke();
+  };
+  const set = (nv, fire = true) => {
+    v = Math.min(max, Math.max(min, nv));
+    draw();
+    if (fire) onChange(v);
+  };
+  let start = null;
+  c.addEventListener("pointerdown", (ev) => {
+    start = { y: ev.clientY, v }; c.setPointerCapture(ev.pointerId);
+  });
+  c.addEventListener("pointermove", (ev) => {
+    if (!start) return;
+    set(start.v + (start.y - ev.clientY) / 100 * (max - min));
+  });
+  c.addEventListener("pointerup", () => { start = null; });
+  c.addEventListener("wheel", (ev) => {
+    ev.preventDefault();
+    set(v - Math.sign(ev.deltaY) * (max - min) / 50);
+  });
+  c.oncontextmenu = (ev) => { ev.preventDefault(); midi.learn({ set }, onChange, min, max); };
+  c._set = set;
+  draw();
+  return c;
+}
+
 /* -------------------------------------------------------------- param UI */
 
 function sendParams(mid, kind, params) {
@@ -435,15 +523,10 @@ const moduleUI = {
             const channels = cur.channels.map((c, j) => (j === i ? { ...c, ...patch } : c));
             sendParams(mid, kind, { ...cur, channels });
           };
-          const g = document.createElement("input");
-          g.type = "range"; g.min = -24; g.max = 12; g.step = 0.1; g.value = ch.gain;
+          const g = makeRotary(ch.gain, -24, 12, (v) => update({ gain: v }));
           g.title = `ch${i + 1} gain dB`;
-          g.oninput = () => update({ gain: parseFloat(g.value) });
-          const f = document.createElement("input");
-          f.type = "range"; f.min = 0; f.max = 1; f.step = 0.01; f.value = ch.fader;
+          const f = makeFader(ch.fader, 0, 1, (v) => update({ fader: v }));
           f.title = `ch${i + 1} fader`;
-          f.oninput = () => update({ fader: parseFloat(f.value) });
-          f.oncontextmenu = (ev) => { ev.preventDefault(); midi.learn(f, (v) => update({ fader: v }), 0, 1); };
           const c = document.createElement("button");
           c.textContent = "cue"; c.className = ch.cue ? "on" : "";
           c.onclick = () => update({ cue: !session.state.modules.get(mid).params.channels[i].cue });
@@ -715,8 +798,8 @@ const midi = {
     const live = midi._live && midi._live[keyName];
     if (live) {
       const v = live.min + (value / 127) * (live.max - live.min);
-      live.input.value = v;
-      live.apply(v);
+      if (live.input.set) live.input.set(v);           // canvas controls
+      else { live.input.value = v; live.apply(v); }    // native inputs
     }
   },
 };
