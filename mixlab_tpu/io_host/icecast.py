@@ -54,12 +54,20 @@ async def accept(reader, writer):
     mountpoint = req.path.lstrip("/")
     content_type = (req.header("content-type") or "").lower()
 
-    if "ogg" in content_type or "vorbis" in content_type:
+    is_ogg = "ogg" in content_type or "vorbis" in content_type
+    if is_ogg:
         from mixlab_tpu.av.codecs import ffmpeg_available
 
         if not ffmpeg_available():
+            # we still parse the container (av/ogg.py) to say WHAT we are
+            # rejecting — the reference rejects with a bare error
             writer.write(
-                response(501, "Not Implemented", b"ogg requires ffmpeg backend")
+                response(
+                    501,
+                    "Not Implemented",
+                    b"Ogg/Vorbis decode requires the ffmpeg codec backend; "
+                    b"send WAV (audio/wav) or raw PCM (audio/L16) instead",
+                )
             )
             return
 

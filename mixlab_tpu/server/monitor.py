@@ -97,7 +97,8 @@ def frame_packet(header: dict, payload: bytes = b"") -> bytes:
 class MonitorPipeline(threading.Thread):
     """Codec thread for one Monitor module (monitor.rs:185-251)."""
 
-    def __init__(self, pipe, cfg: EngineConfig, mode: Optional[str] = None):
+    def __init__(self, pipe, cfg: EngineConfig, mode: Optional[str] = None,
+                 encoders: Optional[tuple] = None):
         super().__init__(daemon=True, name="monitor-codec")
         self.pipe = pipe
         self.cfg = cfg
@@ -121,18 +122,26 @@ class MonitorPipeline(threading.Thread):
         self.video_enc = PngVideoEncoder(MONITOR_PICTURE)
         self._tick_count = 0
         if mode == "fmp4":
-            self._init_fmp4()
+            self._init_fmp4(encoders)
         register_socket(self.socket_id, self.broadcast)
 
-    def _init_fmp4(self):
+    def _init_fmp4(self, encoders=None):
         """Real AAC+AVC into the fragmented-MP4 mux for MSE playback —
         the reference's monitor path (monitor.rs:185-251) — active when the
         ffmpeg backend exists."""
-        from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
         from mixlab_tpu.av.encode_stream import SAMPLES_PER_CHANNEL_PER_FRAGMENT
 
-        self._aac = FfmpegAacStream(self.cfg.sample_rate, bitrate=None)  # VBR
-        self._h264 = FfmpegH264Stream(MONITOR_PICTURE, fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR, profile="monitor")
+        if encoders is not None:
+            self._aac, self._h264 = encoders  # injected (tests)
+        else:
+            from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
+
+            self._aac = FfmpegAacStream(self.cfg.sample_rate, bitrate=None)
+            self._h264 = FfmpegH264Stream(
+                MONITOR_PICTURE,
+                fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR,
+                profile="monitor",
+            )
         self._mux = None
         self._granule = SAMPLES_PER_CHANNEL_PER_FRAGMENT
         self._audio_frames = 0
