@@ -533,11 +533,26 @@ class Engine:
         elif isinstance(op, p.UpdateModuleParams):
             entry = self.ws.modules.get(op.module_id)
             if entry is not None:
-                old_params = entry.params
-                self.ws.update_params(op.module_id, op.params)
-                self._on_params_updated(op.module_id, old_params, op.params)
-                self._rebuild(full=False)
-                self._log_op(p.SUUpdateModuleParams(op.module_id, op.params))
+                # modules may REJECT an update (stream_output.rs:62-80: stale
+                # seq, or param changes on a live output); the echoed params
+                # are the module's actual post-update params, mirroring the
+                # reference's `module.params()` echo (engine.rs:301-309)
+                accepted = True
+                if op.params.kind == "StreamOutput":
+                    ctl = self._stream_outputs.get(op.module_id)
+                    if ctl is not None:
+                        ctl.update(op.params.params)
+                        accepted = ctl.params is op.params.params
+                if accepted:
+                    old_params = entry.params
+                    self.ws.update_params(op.module_id, op.params)
+                    self._on_params_updated(op.module_id, old_params, op.params)
+                    self._rebuild(full=False)
+                self._log_op(
+                    p.SUUpdateModuleParams(
+                        op.module_id, self.ws.modules[op.module_id].params
+                    )
+                )
                 self._persist()
         elif isinstance(op, p.UpdateWindowGeometry):
             if op.module_id in self.ws.geometry:
@@ -577,10 +592,6 @@ class Engine:
             oldp, newp = old_params.params, new_params.params
             if oldp.mountpoint != newp.mountpoint or oldp.protocol != newp.protocol:
                 self._listen_mountpoint(mid, newp)
-        elif kind == "StreamOutput":
-            ctl = self._stream_outputs.get(mid)
-            if ctl is not None:
-                ctl.update(new_params.params)
         elif kind == "MediaSource":
             if old_params.params.media_id != new_params.params.media_id:
                 self._start_media_player(mid, new_params.params)

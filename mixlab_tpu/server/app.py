@@ -177,10 +177,16 @@ class Server:
                     continue
                 if kind == "Workspace":
                     wsmsg = wire._decode_typed(body, p.WorkspaceMessage)
-                    try:
-                        self.engine.update(session_id, wsmsg)
-                    except Busy:
-                        pass  # bounded engine queue full; client retries
+                    # the engine cmd queue is bounded (8, engine.rs:74); the
+                    # engine drains it every tick, so retry briefly instead
+                    # of dropping the op (the reference kills the session on
+                    # Busy, server.rs — a harsher policy)
+                    for _ in range(100):
+                        try:
+                            self.engine.update(session_id, wsmsg)
+                            break
+                        except Busy:
+                            await asyncio.sleep(0.02)
         finally:
             stop.set()
             for t in pumps:
