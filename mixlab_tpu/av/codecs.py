@@ -4,9 +4,9 @@ The reference links fdk-aac and x264 via FFI (``codec/src/avc/encode.rs``,
 ``src/video/encode.rs:146-308``).  This environment ships neither ffmpeg nor
 PyAV, so codecs are a pluggable backend interface:
 
-  * ``FfmpegCliAudioEncoder`` / ``FfmpegCliVideoEncoder`` — used when an
-    ``ffmpeg`` binary exists (subprocess pipes); produces real AAC-ADTS /
-    AVC, feeding the fMP4 mux for true MSE monitor parity.
+  * ``FfmpegAacStream`` / ``FfmpegH264Stream`` — used when an ``ffmpeg``
+    binary exists (subprocess pipes with drain threads); produce real
+    AAC-ADTS / AVC, feeding the fMP4 mux for true MSE monitor parity.
   * ``PcmAudioEncoder`` — always available: s16le passthrough "encoder" for
     the monitor path; the rebuilt web client plays it via WebAudio.
   * ``PngVideoEncoder`` — always available: zlib-based PNG frames (stdlib
