@@ -225,21 +225,26 @@ class Server:
     # -- /_upload/<filename> -----------------------------------------------
 
     async def handle_upload(self, req, reader, writer):
+        """Stream the body straight into chunked blob storage — constant
+        memory for arbitrarily large media (server.rs:297-342 streams through
+        WriteStream the same way)."""
         filename = req.path[len("/_upload/") :]
         length = int(req.header("content-length", "0"))
         kind = req.header("content-type", "application/octet-stream")
-        chunks = []
+        loop = asyncio.get_running_loop()
+        ws = await loop.run_in_executor(None, self.project.base.create_stream)
         remaining = length
         while remaining > 0:
             chunk = await reader.read(min(remaining, 1 << 20))
             if not chunk:
                 break
-            chunks.append(chunk)
+            await loop.run_in_executor(None, ws.write, chunk)
             remaining -= len(chunk)
-        loop = asyncio.get_running_loop()
+        stream_id = await loop.run_in_executor(None, ws.finalize)
         await loop.run_in_executor(
-            None, self.project.upload_media, filename, kind, chunks
+            None, self.project.base.insert_media, filename, kind, stream_id
         )
+        self.project.notify_media.set()
         writer.write(response(200, "OK"))
 
 
