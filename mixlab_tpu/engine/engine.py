@@ -451,6 +451,19 @@ class Engine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5.0)
+        # tear down host-side workers (codec threads, RTMP publishers,
+        # decoders, audio sinks) so shutdown is clean, not daemon-leaky
+        for pipeline in self._monitor_pipelines.values():
+            pipeline.stop()
+        for ctl in self._stream_outputs.values():
+            ctl.stop()
+        for player in self._media_players.values():
+            player.stop()
+        for feed in self._stream_feeds.values():
+            feed.set_recv(None)
+        for stream in self._audio_streams.values():
+            if stream is not None:
+                stream.close()
 
     def _run(self):
         start = time.monotonic()
