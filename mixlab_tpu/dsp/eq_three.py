@@ -105,7 +105,16 @@ def _linrec_blocked(a_tuple, b, y_init):
 
     b2 = b.reshape(K, C, L)
     # Z[k,i,l] = sum_j T[l,i,j] b2[k,j,l]
-    Z = jnp.einsum("lij,kjl->kil", T, b2, preferred_element_type=jnp.float32)
+    # HIGHEST: TPU matmuls otherwise use reduced-precision (bf16) inputs,
+    # which costs ~10x accuracy vs the reference's f64 (golden fixture err
+    # 4e-3 -> 4e-4); these matmuls are tiny so full f32 is free
+    Z = jnp.einsum(
+        "lij,kjl->kil",
+        T,
+        b2,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # carry chain over chunks: ylast[k] = aC * ylast[k-1] + Z[k,-1]
     zlast = Z[:, -1, :]  # [K, L]

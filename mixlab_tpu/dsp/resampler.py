@@ -92,8 +92,14 @@ def resample_block(x, ctx, src_rate: int, dst_rate: int, taps_per_phase: int = 3
     idx = (np.arange(G)[:, None] * M + np.arange(W)[None, :]).astype(np.int32)
     xwin = xp[idx]  # [G, W, C]
     # [G, W, C] x [L, W] -> [G, L, C] -> [G*L, C]
+    import jax
+
     y = jnp.einsum(
-        "gwc,lw->glc", xwin, jnp.asarray(W2), preferred_element_type=jnp.float32
+        "gwc,lw->glc",
+        xwin,
+        jnp.asarray(W2),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
     ).reshape(G * L, C)
     new_ctx = xp[-(J - 1):]
     if squeeze:

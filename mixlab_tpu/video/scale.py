@@ -74,6 +74,9 @@ def resize_plane(plane, out_h: int, out_w: int):
     """Bicubic resize of a [H, W] u8 plane via two matmuls."""
     in_h, in_w = plane.shape
     x = plane.astype(jnp.float32)
+    # default (bf16-input) MXU precision: outputs are 8-bit pixels, where
+    # reduced-precision products cost at most ~1 LSB but full-f32 (HIGHEST)
+    # measured 4.7x slower on the 1080p composite pipeline
     if in_h != out_h:
         Wh = jnp.asarray(resize_matrix(in_h, out_h))
         x = jnp.einsum("oi,iw->ow", Wh, x, preferred_element_type=jnp.float32)
