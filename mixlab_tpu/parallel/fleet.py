@@ -1,0 +1,126 @@
+"""Fleet serving: many independent sessions of the same patch on one chip
+(or sharded over a mesh).
+
+SURVEY §7.8: "multi-stem/multi-stream batching becomes vmap/shard_map".
+A Fleet runs N independent instances of one compiled patch — same graph
+topology, *per-instance* params (aux), state and host feeds — as a single
+vmapped (optionally shard_mapped) program.  This is the TPU-native answer to
+running N mixlab processes: one dispatch renders a tick block for every
+session in the fleet.
+
+Param edits for one instance update its slice of the stacked aux pytree —
+no recompilation, same as the single-engine aux-swap path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mixlab_tpu.engine.compiler import CompiledPatch, compile_patch
+from mixlab_tpu.engine.config import BlockSpec, EngineConfig
+from mixlab_tpu.engine.graph import Workspace
+
+
+def _stack(trees: List[Any]) -> Any:
+    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
+
+
+@dataclass
+class Fleet:
+    """N instances of one patch, batched on the leading axis."""
+
+    cfg: EngineConfig
+    block: BlockSpec
+    n: int
+    patch: CompiledPatch
+    _fn: Any
+    aux: Any  # stacked [n, ...]
+    state: Any  # stacked [n, ...]
+    _instance_patches: List[CompiledPatch] = None  # per-instance params views
+
+    @classmethod
+    def build(
+        cls,
+        ws: Workspace,
+        n: int,
+        cfg: EngineConfig = EngineConfig(),
+        block: BlockSpec = BlockSpec(1),
+        per_instance_params: Optional[List[Workspace]] = None,
+        mesh=None,
+        axis: str = "fleet",
+    ) -> "Fleet":
+        """Compile one program and stack n instances.
+
+        ``per_instance_params``: optional list of n workspaces sharing the
+        SAME structural fingerprint but different continuous params.
+        ``mesh``: optional jax Mesh; instances shard over ``axis``.
+        """
+        patch = compile_patch(ws, cfg, block, jit=False)
+        program = patch._fn
+
+        sources = per_instance_params or [ws] * n
+        fingerprints = {
+            compile_patch(w, cfg, block, jit=False).structural_fingerprint
+            for w in sources
+        }
+        if fingerprints != {patch.structural_fingerprint}:
+            raise ValueError("fleet instances must share the structural fingerprint")
+
+        # per-instance param views: host_prepare (e.g. oscillator phase
+        # bases) depends on each instance's own params
+        instance_patches = [compile_patch(w, cfg, block, jit=False) for w in sources]
+        aux = _stack([patch.prepare_aux(w) for w in sources])
+        state = _stack([patch.init_state(w) for w in sources])
+
+        batched = jax.vmap(program)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(axis)
+            batched = jax.shard_map(
+                jax.vmap(program),
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=(spec, spec),
+                check_vma=False,
+            )
+        fn = jax.jit(batched)
+        return cls(
+            cfg=cfg, block=block, n=n, patch=patch, _fn=fn, aux=aux,
+            state=state, _instance_patches=instance_patches,
+        )
+
+    # -- per-instance edits (no recompile) ----------------------------------
+
+    def update_instance_aux(self, index: int, ws: Workspace):
+        """Swap one instance's continuous params (no recompilation)."""
+        new_patch = compile_patch(ws, self.cfg, self.block, jit=False)
+        if new_patch.structural_fingerprint != self.patch.structural_fingerprint:
+            raise ValueError("instance edit changed the structural fingerprint")
+        new_aux = self.patch.prepare_aux(ws)
+
+        def put(stacked, leaf):
+            return stacked.at[index].set(jnp.asarray(leaf))
+
+        self.aux = jax.tree.map(put, self.aux, new_aux)
+        self._instance_patches[index] = new_patch
+
+    # -- execution -----------------------------------------------------------
+
+    def host_aux(self, t0: int, ext_feeds_per_instance=None):
+        per = []
+        for i in range(self.n):
+            ext = (ext_feeds_per_instance or {}).get(i)
+            per.append(self._instance_patches[i].host_aux(t0, ext))
+        return _stack(per)
+
+    def run_block(self, t0: int, ext_feeds_per_instance=None):
+        """One dispatch for the whole fleet; returns stacked taps [n, ...]."""
+        host_aux = self.host_aux(t0, ext_feeds_per_instance)
+        self.state, taps = self._fn(self.aux, host_aux, self.state)
+        return taps
