@@ -38,6 +38,9 @@ from mixlab_tpu.protocol import EnvelopeParams, LineType
 _POS_FLOOR = -(2**30)
 _SENTINEL = -(2**31) + 1
 
+# blocks at least this large route to the chunked two-pass implementation
+CHUNKED_THRESHOLD = 32768
+
 
 def _amp_on(ms_since_on, aux):
     """Amplitude in TriggerOn state (envelope.rs:37-51)."""
@@ -77,6 +80,14 @@ class EnvelopeDef(ModuleDef):
         S = block.n_samples(cfg)
         x = expect_mono(inputs[0], S)
         ms_per_sample = 1000.0 / cfg.sample_rate
+
+        if S >= CHUNKED_THRESHOLD:
+            # big offline blocks: chunked two-pass evaluation (2 HBM passes
+            # instead of ~19 log-depth scan passes; see envelope_chunked.py)
+            from mixlab_tpu.dsp.envelope_chunked import run_block_chunked
+
+            out, new_state = run_block_chunked(x, state, aux, ms_per_sample)
+            return new_state, [out], {}
 
         idx = jnp.arange(S, dtype=jnp.int32)
         u_set = x == 1.0
