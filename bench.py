@@ -206,10 +206,12 @@ def build_config2_graph():
 # ---------------------------------------------------------------------------
 
 
-def bench_graph(build, block_ticks=480, n1=2, n2=8, reps=3, sample_rate=48_000):
+def bench_graph(build, block_ticks=480, n1=2, n2=32, reps=4, sample_rate=48_000):
     """Whole render in ONE device dispatch (lax.scan over blocks); slope
     timing between n1 and n2 scan lengths cancels tunnel latency.  One body
-    compile is shared by both points."""
+    compile is shared by both points.  n2-n1 is kept large (30 blocks = 4
+    minutes of audio) so the compute delta dwarfs the 20-50 ms fetch-latency
+    jitter of this TPU tunnel."""
     from mixlab_tpu.engine.config import BlockSpec, EngineConfig
     from mixlab_tpu.engine.scan_render import build_scanned, stacked_host_aux
 

@@ -38,8 +38,12 @@ from mixlab_tpu.protocol import EnvelopeParams, LineType
 _POS_FLOOR = -(2**30)
 _SENTINEL = -(2**31) + 1
 
-# blocks at least this large route to the chunked two-pass implementation
-CHUNKED_THRESHOLD = 32768
+# The chunked two-pass implementation (envelope_chunked.py) measured slightly
+# SLOWER than these flat scans under low-variance timing (osc+env graph:
+# 4.2k vs 4.9k x realtime; earlier apparent wins were fetch-latency noise).
+# It stays available as the basis for a future Pallas kernel; set a finite
+# threshold to route large blocks to it.
+CHUNKED_THRESHOLD = float("inf")
 
 
 def _amp_on(ms_since_on, aux):
