@@ -70,13 +70,65 @@ def resize_matrix(n_in: int, n_out: int) -> np.ndarray:
     return W.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=256)
+def _phase_taps(n_in: int, n_out: int):
+    """For exact integer upscales (n_out = r*n_in) the dense resize matrix is
+    r shifted copies of per-phase tap vectors.  Returns (r, lo, taps[r, J])
+    or None when not an integer upscale.  Edge clamping in the dense matrix
+    equals replicate padding here, so results match."""
+    if n_out % n_in != 0 or n_out == n_in:
+        return None
+    r = n_out // n_in
+    scale = n_in / n_out
+    pos0 = (np.arange(r, dtype=np.float64) + 0.5) * scale - 0.5  # phase offsets
+    lo = int(np.floor(pos0.min())) - 1
+    hi = int(np.ceil(pos0.max())) + 2
+    offsets = np.arange(lo, hi + 1)
+    taps = _mitchell(offsets[None, :] - pos0[:, None])
+    taps /= taps.sum(axis=1, keepdims=True)
+    return r, lo, taps.astype(np.float32)
+
+
+def _upscale_axis(x, n_out: int, axis: int):
+    """Polyphase integer-ratio upscale along ``axis`` — pure shifts and
+    multiply-adds (VPU), ~J FLOPs/output instead of an n_in-wide matmul."""
+    n_in = x.shape[axis]
+    r, lo, taps = _phase_taps(n_in, n_out)
+    J = taps.shape[1]
+    pad_lo = max(0, -lo)
+    pad_hi = max(0, lo + J - 1)
+    pad_spec = [(0, 0)] * x.ndim
+    pad_spec[axis] = (pad_lo, pad_hi)
+    xp = jnp.pad(x, pad_spec, mode="edge")
+
+    phases = []
+    for p in range(r):
+        acc = None
+        for j in range(J):
+            start = pad_lo + lo + j
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(start, start + n_in)
+            term = taps[p, j] * xp[tuple(sl)]
+            acc = term if acc is None else acc + term
+        phases.append(acc)
+    stacked = jnp.stack(phases, axis=axis + 1)  # n_in then r on that axis
+    new_shape = list(x.shape)
+    new_shape[axis] = n_out
+    return stacked.reshape(new_shape)
+
+
 def resize_plane(plane, out_h: int, out_w: int):
-    """Bicubic resize of a [H, W] u8 plane via two matmuls."""
+    """Bicubic resize of a [H, W] u8 plane via two dense matmuls.
+
+    NOTE: a polyphase shift/MAC fast path for integer upscales exists above
+    (:func:`_upscale_axis`) but measured SLOWER on TPU (config5 422x -> 162x):
+    the J*r shifted elementwise terms are HBM-bound while the dense matmul
+    rides the MXU.  The fast path is kept for CPU-bound uses and as the
+    seed of a fused Pallas resize kernel."""
     in_h, in_w = plane.shape
     x = plane.astype(jnp.float32)
-    # default (bf16-input) MXU precision: outputs are 8-bit pixels, where
-    # reduced-precision products cost at most ~1 LSB but full-f32 (HIGHEST)
-    # measured 4.7x slower on the 1080p composite pipeline
+    # default (bf16-input) MXU precision: outputs are 8-bit pixels (<=1 LSB
+    # effect); HIGHEST measured 4.7x slower at 1080p
     if in_h != out_h:
         Wh = jnp.asarray(resize_matrix(in_h, out_h))
         x = jnp.einsum("oi,iw->ow", Wh, x, preferred_element_type=jnp.float32)

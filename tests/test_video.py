@@ -166,3 +166,31 @@ def test_video_mixer_halfway_fade():
     y = np.asarray(out.picture.planes["y"])
     want = (200 * 127 + 100 * 128) // 255  # fade = int(0.5*255) = 127
     np.testing.assert_array_equal(y, np.full_like(y, want))
+
+
+def test_polyphase_upscale_matches_dense_matmul():
+    """The integer-ratio fast path must match the dense resize matrix
+    exactly (same Mitchell weights; replicate padding == edge clamp)."""
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video import scale as sc
+
+    rng = np.random.default_rng(9)
+    plane = rng.integers(0, 256, (36, 52), dtype=np.uint8)
+
+    for out_h, out_w in [(72, 104), (108, 156), (72, 52)]:
+        x = jnp.asarray(plane).astype(jnp.float32)
+        if out_h != 36:
+            x = sc._upscale_axis(x, out_h, axis=0)
+        if out_w != 52:
+            x = sc._upscale_axis(x, out_w, axis=1)
+        got = np.asarray(jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8))
+        # dense reference
+        x = plane.astype(np.float64)
+        if out_h != 36:
+            x = np.asarray(sc.resize_matrix(36, out_h)).astype(np.float64) @ x
+        if out_w != 52:
+            x = x @ np.asarray(sc.resize_matrix(52, out_w)).astype(np.float64).T
+        want = np.clip(np.round(x), 0, 255).astype(np.uint8)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, (out_h, out_w, diff.max())  # f32 rounding ties
