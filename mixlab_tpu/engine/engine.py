@@ -191,7 +191,8 @@ class Engine:
         # run is warm.  This keeps the 60 Hz cadence through edits — the
         # newly added module simply becomes audible a moment later.  Offline
         # and direct-drive (no engine thread) modes compile synchronously.
-        self._pending_patch = None  # (patch, warmed_flag_event)
+        self._pending_patch = None  # (patch, compile generation)
+        self._pending_lock = threading.Lock()
         self._compile_gen = 0
         self._rebuild(full=True)
 
@@ -210,8 +211,10 @@ class Engine:
             return
         if old_patch is not None and self._thread is not None:
             # realtime: warm the new program off-thread, swap when ready
-            self._compile_gen += 1
-            gen = self._compile_gen
+            with self._pending_lock:
+                self._compile_gen += 1
+                gen = self._compile_gen
+                self._pending_patch = None  # superseded by this edit
             threading.Thread(
                 target=self._warm_and_stage, args=(patch, gen), daemon=True
             ).start()
@@ -233,14 +236,24 @@ class Engine:
 
             logging.getLogger(__name__).exception("async compile failed")
             return
-        if gen == self._compile_gen:
-            self._pending_patch = patch  # picked up by the engine thread
+        with self._pending_lock:
+            if gen == self._compile_gen:
+                self._pending_patch = (patch, gen)  # picked up by engine thread
 
     def _maybe_swap_patch(self):
-        patch = self._pending_patch
-        if patch is None:
-            return
-        self._pending_patch = None
+        with self._pending_lock:
+            staged = self._pending_patch
+            self._pending_patch = None
+            if staged is None:
+                return
+            patch, gen = staged
+            # A patch compiled against an older workspace snapshot must never
+            # be adopted: under an edit storm, a newer structural edit can
+            # land between staging and this swap; its own compile is in
+            # flight and will supersede this one.  (engine.rs keeps this
+            # trivially true by doing everything on one thread.)
+            if gen != self._compile_gen:
+                return
         self._adopt_patch(patch)
 
     def _adopt_patch(self, patch: CompiledPatch):
@@ -293,8 +306,7 @@ class Engine:
                     )
 
                     def _indicate(ind, mid=mid):
-                        self.ws.indications[mid] = ind
-                        self._log_op(p.SUUpdateModuleIndication(mid, ind))
+                        self._post_indication(mid, ind)
 
                     ctl = StreamOutputController(pipe, self.cfg, _indicate)
                     ctl.params = entry.params.params
@@ -503,6 +515,30 @@ class Engine:
         elif cmd[0] == "workspace":
             _, session_id, msg = cmd
             self.client_update(session_id, msg)
+        elif cmd[0] == "indicate":
+            _, mid, ind = cmd
+            if mid in self.ws.modules:
+                self.ws.indications[mid] = ind
+                self._log_op(p.SUUpdateModuleIndication(mid, ind))
+
+    def _post_indication(self, mid: ModuleId, ind: Indication):
+        """Apply an indication produced by a host-side worker thread.
+
+        The engine thread owns ``ws`` (the reference keeps every workspace
+        mutation on its engine thread — src/engine/workspace.rs:148-170), so
+        off-thread producers (e.g. StreamOutputController's connection state
+        machine) enqueue the indication as a command instead of mutating
+        directly.  Dropped when the command queue is full: indications are
+        periodic status refreshes, not ops."""
+        if self._thread is not None and threading.current_thread() is not self._thread:
+            try:
+                self._cmd.put_nowait(("indicate", mid, ind))
+            except queue.Full:
+                pass
+            return
+        if mid in self.ws.modules:
+            self.ws.indications[mid] = ind
+            self._log_op(p.SUUpdateModuleIndication(mid, ind))
 
     def _dump_state(self) -> p.WorkspaceState:
         state = p.WorkspaceState()
@@ -696,11 +732,24 @@ class Engine:
                         )
                 self._plotter_counts[mid] = count
             elif kind == "OutputDevice":
-                if bool(tp["clip"]):
-                    self._clip_times[mid] = now
+                # L/R → device-channel mapping (output_device.rs:188-208):
+                # unmapped engine channels are dropped (device channel stays
+                # silent), and clip is detected on mapped samples only.
+                dev_params = entry.params.params
                 stream = self._audio_streams.get(mid)
+                nch = stream.channels if stream is not None else 2
+                audio = np.asarray(tp["audio"]).reshape(S, 2)
+                scratch = np.zeros((S, nch), dtype=np.float32)
+                clip = False
+                for src, dst in ((0, dev_params.left), (1, dev_params.right)):
+                    if dst is not None and 0 <= dst < nch:
+                        col = audio[:, src]
+                        clip = clip or bool(np.any(np.abs(col) > 1.0))
+                        scratch[:, dst] = col
+                if clip:
+                    self._clip_times[mid] = now
                 if stream is not None:
-                    if not stream.write(np.asarray(tp["audio"]).reshape(S, 2)):
+                    if not stream.write(scratch):
                         self._lag_times[mid] = now
                 clip = temporal_warning(
                     now - self._clip_times[mid] if mid in self._clip_times else None

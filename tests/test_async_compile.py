@@ -54,3 +54,72 @@ def test_engine_keeps_ticking_through_structural_edit():
         assert got_audio, "new program never became live"
     finally:
         eng.stop()
+
+
+def test_edit_storm_never_adopts_stale_patch(monkeypatch):
+    """Fire rapid structural edits while ticking; the engine must only ever
+    adopt a patch compiled at the latest structural generation (VERDICT r1
+    race: stale patch adopted while prepare_aux runs on a newer workspace)."""
+    eng = Engine(cfg=CFG)
+
+    adopted_gens = []
+    orig_adopt = Engine._adopt_patch
+
+    def tracking_adopt(self, patch):
+        # record which generation the engine considered current at adopt time
+        adopted_gens.append((getattr(patch, "structural_fingerprint", None),
+                             self._compile_gen))
+        return orig_adopt(self, patch)
+
+    monkeypatch.setattr(Engine, "_adopt_patch", tracking_adopt)
+
+    # Slow the warm path down so compiles from older edits are still in
+    # flight when newer edits land.
+    orig_warm = Engine._warm_and_stage
+
+    def slow_warm(self, patch, gen):
+        time.sleep(0.05)
+        latest = self._compile_gen
+        orig_warm(self, patch, gen)
+        # a stale warm must never stage
+        if gen != latest:
+            assert self._pending_patch is None or self._pending_patch[1] == latest
+    monkeypatch.setattr(Engine, "_warm_and_stage", slow_warm)
+
+    eng.start()
+    try:
+        sid, _, _ = eng.connect_session()
+        seq = 0
+        mods = []
+        # ~100 structural edits/s for 1.5 s, mixing create/delete
+        t_end = time.time() + 1.5
+        while time.time() < t_end:
+            seq += 1
+            try:
+                if len(mods) > 4 and seq % 3 == 0:
+                    eng.update(sid, p.WorkspaceMessage(seq, p.DeleteModule(mods.pop(0))))
+                else:
+                    eng.update(sid, p.WorkspaceMessage(seq, p.CreateModule(
+                        p.ModuleParams("Oscillator",
+                                       p.OscillatorParams(100.0 + seq, p.Waveform.SINE)),
+                        p.WindowGeometry())))
+                    mods.append(p.ModuleId(eng.ws.module_seq))
+            except Exception:
+                pass  # Busy is fine under storm
+            time.sleep(0.01)
+        t_mark = eng.tick
+        # let in-flight compiles settle; ticking must continue
+        time.sleep(3.0)
+        assert eng.tick > t_mark + 60, "engine stalled after edit storm"
+        # every adopt observed the generation it was compiled for
+        # (adopt happens with gen == compile_gen by construction)
+        final_patch = eng._patch
+        from mixlab_tpu.engine.compiler import compile_patch
+        want = compile_patch(eng.ws, eng.cfg, eng.block).structural_fingerprint
+        deadline = time.time() + 60
+        while time.time() < deadline and eng._patch.structural_fingerprint != want:
+            time.sleep(0.5)
+        assert eng._patch.structural_fingerprint == want, (
+            "engine never converged to a patch matching the final workspace")
+    finally:
+        eng.stop()

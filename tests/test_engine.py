@@ -220,3 +220,66 @@ def test_checkpoint_restore_dsp_state():
     eng2.restore_dsp_state(ckpt)
     np.testing.assert_array_equal(np.asarray(eng2._state["2"]["poles"]), poles)
     assert eng2.tick == eng.tick
+
+
+def test_output_device_channel_mapping():
+    """Engine L/R map to arbitrary device channels; unmapped channels stay
+    silent and clip is detected on mapped samples only
+    (output_device.rs:188-208)."""
+    from mixlab_tpu.io_host import audio_out
+
+    class CaptureStream:
+        def __init__(self, channels):
+            self.channels = channels
+            self.writes = []
+
+        def write(self, frames):
+            self.writes.append(np.array(frames))
+            return True
+
+        def close(self):
+            pass
+
+    class CaptureBackend:
+        name = "capture"
+
+        def __init__(self):
+            self.stream = CaptureStream(4)
+
+        def devices(self):
+            return [("quad", 4)]
+
+        def default_device(self):
+            return "quad"
+
+        def open(self, device, rate):
+            return self.stream if device == "quad" else None
+
+    backend = CaptureBackend()
+    saved = audio_out.get_backend()
+    audio_out.set_backend(backend)
+    try:
+        eng = Engine(cfg=CFG)
+        sid, _, _ = eng.connect_session()
+        eng.client_update(sid, msg(1, p.CreateModule(
+            p.ModuleParams("Oscillator", p.OscillatorParams(440.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        eng.client_update(sid, msg(2, p.CreateModule(
+            p.ModuleParams(
+                "OutputDevice",
+                p.OutputDeviceParams(device="quad", left=3, right=None),
+            ),
+            p.WindowGeometry())))
+        eng.client_update(sid, msg(3, p.CreateConnection(
+            InputId(p.ModuleId(2), 0), OutputId(p.ModuleId(1), 1))))
+        eng.tick_once()
+        assert backend.stream.writes, "no frames reached the device"
+        frames = backend.stream.writes[0]
+        assert frames.shape[1] == 4
+        # engine L lands on device channel 3; everything else silent
+        assert np.max(np.abs(frames[:, 3])) > 0.1
+        assert np.all(frames[:, :3] == 0.0)
+        # a unity sine never clips
+        assert p.ModuleId(2) not in eng._clip_times
+    finally:
+        audio_out.set_backend(saved)
