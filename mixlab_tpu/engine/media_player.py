@@ -7,8 +7,9 @@ and loops by seeking back to the start on EOF (epoch accumulation,
 media_source.rs:246-292).
 
 Codec note (documented): the reference decodes any ffmpeg-supported media;
-this build natively decodes WAV (io_host/wav.py), resampling to the engine
-rate on the decode thread, with other formats gated on the ffmpeg backend.
+this build natively decodes WAV (io_host/wav.py) and Ogg/Vorbis
+(av/vorbis.py, the pure decoder), resampling to the engine rate on the
+decode thread, with other formats gated on the ffmpeg backend.
 The reference's media_source emits only video (media_source.rs:52-55); this
 build adds an audio output — WAV playback would otherwise be silent — as a
 documented extension.
@@ -48,6 +49,9 @@ class MediaPlayer(threading.Thread):
 
     def run(self):
         header = self.stream.read(64 * 1024)
+        if header[:4] == b"OggS":
+            self._run_ogg()
+            return
         try:
             fmt, data_off, data_size = parse_header(header)
         except WavError as e:
@@ -95,3 +99,59 @@ class MediaPlayer(threading.Thread):
                 while not self._stop.is_set():
                     if self.feed.push_block(out, block=True, timeout=0.25):
                         break
+
+    def _run_ogg(self):
+        """Ogg/Vorbis playback loop via the pure decoder (av/vorbis.py)."""
+        from mixlab_tpu.av.vorbis import OggVorbisStream
+
+        while not self._stop.is_set():
+            self.stream.seek(0)
+            dec = OggVorbisStream()
+            throttle = None
+            resample_ctx = None
+            carry = np.zeros((0, 2), dtype=np.float32)
+            got_any = False
+            while not self._stop.is_set():
+                raw = self.stream.read(16384)
+                if not raw:
+                    break
+                try:
+                    pcm = dec.feed(raw)
+                except Exception as e:
+                    log.warning("media_source: vorbis decode failed: %s", e)
+                    return
+                info = dec.info
+                if info is None or len(pcm) == 0:
+                    continue
+                got_any = True
+                if throttle is None:
+                    throttle = AudioThrottle(info.sample_rate)
+                    _, M, _ = design(info.sample_rate, self.cfg.sample_rate)
+                if pcm.shape[1] == 1:
+                    pcm = np.repeat(pcm, 2, axis=1)
+                pcm = pcm[:, :2]
+                throttle.send_samples(len(pcm))
+                if info.sample_rate != self.cfg.sample_rate:
+                    buf = np.concatenate([carry, pcm])
+                    usable = len(buf) - (len(buf) % M)
+                    carry = buf[usable:]
+                    if usable == 0:
+                        continue
+                    if resample_ctx is None:
+                        resample_ctx = np.zeros(
+                            (context_len(info.sample_rate, self.cfg.sample_rate), 2),
+                            dtype=np.float32,
+                        )
+                    out, resample_ctx = resample_block_np(
+                        buf[:usable],
+                        resample_ctx,
+                        info.sample_rate,
+                        self.cfg.sample_rate,
+                    )
+                else:
+                    out = pcm
+                while not self._stop.is_set():
+                    if self.feed.push_block(out, block=True, timeout=0.25):
+                        break
+            if not got_any:
+                return  # undecodable: don't loop forever

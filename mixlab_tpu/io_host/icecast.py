@@ -6,14 +6,15 @@ connects on the shared port, the request is parsed HTTP-style
 a worker thread into i16 stereo PCM pushed into the mountpoint registry
 with realtime pacing (``AudioThrottle``, ``src/icecast/mod.rs:101-138``).
 
-Codec support differs from the reference (documented): the reference
-decodes Ogg/Vorbis via lewton and rejects non-44.1 kHz streams with a TODO
+Codec support is a superset of the reference: the reference decodes
+Ogg/Vorbis via lewton and rejects non-44.1 kHz streams with a TODO
 (icecast/mod.rs:94-97).  Here:
+  * Ogg/Vorbis decodes natively via the pure decoder in ``av/vorbis.py``
+    (no ffmpeg), mono upmixed to stereo like the reference
+    (icecast/mod.rs:110-123);
   * WAV (s16/f32) and raw s16le (audio/L16) bodies decode natively;
   * ANY sample rate is accepted — the polyphase resampler converts to the
-    engine rate on the ingest thread (the reference's missing feature);
-  * Ogg/Vorbis requires the ffmpeg codec backend and is rejected with 501
-    otherwise.
+    engine rate on the ingest thread (the reference's missing feature).
 """
 
 from __future__ import annotations
@@ -55,21 +56,6 @@ async def accept(reader, writer):
     content_type = (req.header("content-type") or "").lower()
 
     is_ogg = "ogg" in content_type or "vorbis" in content_type
-    if is_ogg:
-        from mixlab_tpu.av.codecs import ffmpeg_available
-
-        if not ffmpeg_available():
-            # we still parse the container (av/ogg.py) to say WHAT we are
-            # rejecting — the reference rejects with a bare error
-            writer.write(
-                response(
-                    501,
-                    "Not Implemented",
-                    b"Ogg/Vorbis decode requires the ffmpeg codec backend; "
-                    b"send WAV (audio/wav) or raw PCM (audio/L16) instead",
-                )
-            )
-            return
 
     try:
         send = source_mod.ICECAST_MOUNTPOINTS.connect(mountpoint)
@@ -80,12 +66,21 @@ async def accept(reader, writer):
     writer.write(b"HTTP/1.0 200 OK\r\n\r\n")
     await writer.drain()
 
-    decoder = _PcmDecoder(content_type, engine_rate=ENGINE_RATE)
+    decoder = None
+    if is_ogg:
+        decoder = _OggVorbisDecoder(content_type, engine_rate=ENGINE_RATE)
     try:
         while True:
             chunk = await reader.read(16384)
             if not chunk:
                 break
+            if decoder is None:
+                # sniff: SOURCE clients don't always set content-type
+                decoder = (
+                    _OggVorbisDecoder(content_type, engine_rate=ENGINE_RATE)
+                    if chunk[:4] == b"OggS"
+                    else _PcmDecoder(content_type, engine_rate=ENGINE_RATE)
+                )
             # decode + pace on a worker thread so the event loop stays live
             pcm = await asyncio.get_running_loop().run_in_executor(
                 None, decoder.feed, chunk
@@ -177,3 +172,33 @@ class _PcmDecoder:
             x, self.resample_ctx, self.fmt.sample_rate, self.engine_rate
         )
         return np.clip(y, -32768, 32767).astype(np.int16)
+
+
+class _OggVorbisDecoder(_PcmDecoder):
+    """Ogg/Vorbis body decode via the pure decoder (av/vorbis.py), matching
+    the reference's lewton path (icecast/mod.rs:101-138): i16 stereo out,
+    mono upmixed, realtime-throttled at the source rate, resampled to the
+    engine rate (which the reference TODO'd at icecast/mod.rs:94-97)."""
+
+    def __init__(self, content_type: str, engine_rate: int):
+        super().__init__(content_type, engine_rate)
+        from mixlab_tpu.av.vorbis import OggVorbisStream
+
+        self.stream = OggVorbisStream()
+
+    def feed(self, chunk: bytes) -> Optional[np.ndarray]:
+        pcm = self.stream.feed_i16(chunk)
+        if self.fmt is None:
+            if self.stream.info is None:
+                return None
+            self.fmt = WavFormat(2, self.stream.info.sample_rate, 16, 1)
+            self.throttle = AudioThrottle(self.fmt.sample_rate)
+        if len(pcm) == 0:
+            return None
+        self.throttle.send_samples(len(pcm))
+        if self.fmt.sample_rate == self.engine_rate:
+            out = pcm
+        else:
+            out = self._resample(pcm)
+        self.samples_out += len(out)
+        return out

@@ -188,3 +188,56 @@ def test_icecast_wav_ingest(tmp_path):
         assert np.abs(all_pcm).max() > 15000
     finally:
         recv.close()
+
+
+def test_icecast_ogg_vorbis_ingest():
+    """SOURCE a real Ogg/Vorbis stream (pygame's 11025 Hz mono fixture):
+    decoded by the pure Vorbis decoder, mono upmixed to stereo
+    (icecast/mod.rs:110-123), resampled to the engine rate."""
+    import pathlib
+
+    ogg_bytes = pathlib.Path(
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+    ).read_bytes()
+    recv = source_mod.ICECAST_MOUNTPOINTS.listen("oggradio")
+
+    async def go():
+        async def on_conn(reader, writer):
+            peek = await reader.readexactly(7)
+            assert listen.classify(peek) == listen.Protocol.ICECAST
+            await icecast.accept(listen.PeekStreamReader(peek, reader), writer)
+            writer.close()
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            b"SOURCE /oggradio HTTP/1.0\r\nContent-Type: application/ogg\r\n\r\n"
+        )
+        # stream only the first ~1.2 s so the source-rate realtime throttle
+        # (11025 Hz) keeps the test fast
+        writer.write(ogg_bytes[:8192])
+        await writer.drain()
+        writer.write_eof()
+        head = await reader.read(64)
+        assert b"200 OK" in head
+        # the ingest thread paces ~1.2 s of source audio in real time
+        await asyncio.sleep(1.6)
+        server.close()
+
+    try:
+        asyncio.run(go())
+        frames = []
+        while (f := recv.read_audio()) is not None:
+            frames.append(f)
+        assert frames, "no audio ingested"
+        all_pcm = np.concatenate([f.data for f in frames])
+        assert all_pcm.shape[1] == 2
+        # mono upmix: channels identical
+        np.testing.assert_array_equal(all_pcm[:, 0], all_pcm[:, 1])
+        assert np.abs(all_pcm).max() > 5000
+        # 11025 -> 44100 resample: ~4x the decoded sample count
+        assert len(all_pcm) > 4000
+    finally:
+        recv.close()

@@ -171,3 +171,41 @@ def test_media_source_wav_playback(tmp_path):
         time.sleep(0.01)
     assert peak > 0.5, f"media playback silent (peak={peak})"
     proj.close()
+
+
+def test_media_source_ogg_vorbis_playback(tmp_path):
+    """An Ogg/Vorbis file from the media library plays through MediaSource
+    via the pure Vorbis decoder (reference decodes via ffmpeg,
+    media_source.rs:185-292; Vorbis bar set by codec/src/ogg.rs)."""
+    import pathlib
+
+    ogg_bytes = pathlib.Path(
+        "/opt/venv/lib/python3.12/site-packages/pygame/examples/data/house_lo.ogg"
+    ).read_bytes()
+    proj = open_or_create(tmp_path / "media_ogg.mixlab", CFG)
+    media_id = proj.upload_media("house_lo.ogg", "application/ogg", [ogg_bytes])
+
+    eng = proj.engine
+    sid, _, _ = eng.connect_session()
+    eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+        p.ModuleParams("MediaSource", p.MediaSourceParams(media_id=media_id)),
+        p.WindowGeometry())))
+    eng.update(sid, p.WorkspaceMessage(2, p.CreateModule(
+        p.ModuleParams("Monitor", None), p.WindowGeometry())))
+    eng.update(sid, p.WorkspaceMessage(3, p.CreateConnection(
+        InputId(p.ModuleId(2), 1), OutputId(p.ModuleId(1), 1))))
+
+    time.sleep(0.5)
+    peak = 0.0
+    for _ in range(30):
+        eng.tick_once()
+        pipe = eng.monitor_pipe(p.ModuleId(2))
+        while True:
+            try:
+                _, audio, _ = pipe.q.get_nowait()
+            except Exception:
+                break
+            peak = max(peak, float(np.abs(audio).max()))
+        time.sleep(0.01)
+    assert peak > 0.3, f"ogg playback silent (peak={peak})"
+    proj.close()
