@@ -1,16 +1,18 @@
 """Codec backends (gated on availability).
 
 The reference links fdk-aac and x264 via FFI (``codec/src/avc/encode.rs``,
-``src/video/encode.rs:146-308``).  This environment ships neither ffmpeg nor
-PyAV, so codecs are a pluggable backend interface:
+``src/video/encode.rs:146-308``).  Codecs here are a pluggable backend
+interface, in preference order:
 
-  * ``FfmpegAacStream`` / ``FfmpegH264Stream`` — used when an ``ffmpeg``
-    binary exists (subprocess pipes with drain threads); produce real
-    AAC-ADTS / AVC, feeding the fMP4 mux for true MSE monitor parity.
-  * ``PcmAudioEncoder`` — always available: s16le passthrough "encoder" for
-    the monitor path; the rebuilt web client plays it via WebAudio.
-  * ``PngVideoEncoder`` — always available: zlib-based PNG frames (stdlib
-    only) at a throttled rate for the monitor preview path.
+  * ``ShimAacStream`` / ``ShimH264Stream`` — in-process libavcodec/libx264
+    via the C++ shim (native/avshim.py): the reference's architecture.
+    Real AAC-ADTS / AVC feeding the fMP4 mux for true MSE monitor parity.
+  * ``FfmpegAacStream`` / ``FfmpegH264Stream`` — same via an ``ffmpeg``
+    CLI binary (subprocess pipes with drain threads), when only that exists.
+  * ``PureH264Stream`` (av/h264enc.py) — zero-dependency intra-only H.264.
+  * ``PcmAudioEncoder`` / ``PngVideoEncoder`` — always available: s16le
+    passthrough + zlib PNG frames; the rebuilt web client plays these via
+    WebAudio/img when no codec backend exists.
 
 Operating points mirror the reference profiles:
   monitor:  560x350, all-key-frames, low latency (monitor.rs:21-22)
@@ -38,6 +40,24 @@ STREAM_PICTURE = PictureSettings(1120, 700, "yuv420p")
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+def avshim_codecs_available() -> bool:
+    """True when the ffmpeg-libraries shim (native/avshim.py) provides real
+    AAC + H.264 encoders — the same FFI surface the reference links
+    (codec/src/avc/encode.rs, fdk-aac)."""
+    from mixlab_tpu.native import avshim
+
+    return (
+        avshim.available()
+        and avshim.have_encoder("libx264")
+        and avshim.have_encoder("aac")
+    )
+
+
+def fmp4_capable() -> bool:
+    """Can the monitor path produce a real AAC+AVC fMP4 stream?"""
+    return avshim_codecs_available() or ffmpeg_available()
 
 
 # ---------------------------------------------------------------------------
@@ -281,3 +301,96 @@ def make_monitor_encoders(sample_rate: int):
     audio = PcmAudioEncoder(sample_rate)
     video = PngVideoEncoder(MONITOR_PICTURE)
     return audio, video, "pcm+png"
+
+
+# ---------------------------------------------------------------------------
+# shim-backed codec streams (native/avshim.py): same duck-type interfaces as
+# the Ffmpeg* CLI streams, but in-process via libavcodec — the reference's
+# architecture (ffmpeg FFI + pure byte layers around it)
+# ---------------------------------------------------------------------------
+
+
+class ShimAacStream:
+    """AAC-LC via libavcodec's native encoder; ADTS framing from av/aac.py
+    (the reference wraps fdk output in its own pure-Rust ADTS the same way,
+    monitor.rs:187-191 + aac/adts.rs)."""
+
+    codec = "aac"
+
+    def __init__(self, sample_rate: int = 44100, channels: int = 2,
+                 bitrate: Optional[int] = 160_000):
+        from mixlab_tpu.av.aac import AudioSpecificConfiguration
+        from mixlab_tpu.native import avshim
+
+        self._enc = avshim.AacEncoder(sample_rate, channels, bitrate)
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.asc = AudioSpecificConfiguration.parse(self._enc.extradata()[:2])
+
+    def feed(self, pcm_i16: np.ndarray):
+        self._enc.send(np.asarray(pcm_i16).reshape(-1, self.channels))
+
+    def poll_frames(self) -> List[bytes]:
+        from mixlab_tpu.av.aac import adts_frame
+
+        return [adts_frame(raw, self.asc) for _, raw in self._enc.receive()]
+
+    def configuration_data(self) -> bytes:
+        return self._enc.extradata()
+
+    def close(self):
+        self._enc.close()
+
+
+class ShimH264Stream:
+    """H.264 via libx264 (libavcodec), avcc access units + DCR out.
+
+    Matches FfmpegH264Stream's interface; profiles mirror the reference
+    (monitor: CRF30/veryfast/zerolatency/gop1, monitor.rs:21-22;
+    stream: CBR 1.5 Mbps slow/film gop60, stream_output.rs:23-24)."""
+
+    codec = "h264"
+
+    def __init__(self, picture: PictureSettings, fps: int = 60,
+                 profile: str = "monitor"):
+        from mixlab_tpu.av.avc import (
+            DecoderConfigurationRecord,
+            UnitType,
+            annexb_to_avcc,
+        )
+        from mixlab_tpu.av.sps import parse_sps
+        from mixlab_tpu.native import avshim
+
+        self.picture = picture
+        self._enc = avshim.VideoEncoder(picture.width, picture.height,
+                                        max(fps, 1), profile)
+        self._annexb_to_avcc = annexb_to_avcc
+        # extradata is Annex-B SPS/PPS with GLOBAL_HEADER
+        _, params = annexb_to_avcc(self._enc.extradata())
+        sps = next(u for u in params if u.kind == UnitType.SEQUENCE_PARAMETER_SET)
+        pps = next(u for u in params if u.kind == UnitType.PICTURE_PARAMETER_SET)
+        info = parse_sps(sps.data)
+        self.dcr = DecoderConfigurationRecord(
+            1, info.profile_idc, 0, info.level_idc, 4, [sps], [pps]
+        ).to_bytes()
+        self._pts = 0
+
+    def feed(self, pic: Picture):
+        self._enc.send(
+            np.asarray(pic.planes["y"]),
+            np.asarray(pic.planes["u"]),
+            np.asarray(pic.planes["v"]),
+            self._pts,
+        )
+        self._pts += 1
+
+    def poll_access_units(self) -> List[tuple]:
+        out = []
+        for pts, dts, key, annexb in self._enc.receive():
+            payload, _params = self._annexb_to_avcc(annexb)
+            if payload:
+                out.append((key, payload))
+        return out
+
+    def close(self):
+        self._enc.close()

@@ -670,6 +670,7 @@ class Engine:
         for mid, feed in self._media_feeds.items():
             if str(mid.value) in running:
                 ext[str(mid.value)] = {"pcm": feed.fill_tick(S)}
+                stream_videos[mid] = feed.take_video(S)
 
         # 2. device program
         host_aux = self._patch.host_aux(t0, ext)
@@ -682,7 +683,7 @@ class Engine:
             if entry is None:
                 continue
             kind = entry.params.kind
-            if kind == "StreamInput":
+            if kind in ("StreamInput", "MediaSource"):
                 video_buffers[OutputId(mid, 0)] = stream_videos.get(mid)
             elif kind == "VideoMixer":
                 vins = [

@@ -108,13 +108,18 @@ class StreamInputFeed:
 
 
 class MediaSourceFeed:
-    """Bounded queue from a decode thread (sync_channel(2) analogue,
-    media_source.rs:140-143)."""
+    """Bounded queues from a decode thread (sync_channel(2) analogue,
+    media_source.rs:140-143).  Audio is pulled sample-exact; video frames
+    are pts-windowed against the feed's media position, mirroring the
+    reference's per-tick release (media_source.rs:93-126)."""
 
     def __init__(self, cfg: EngineConfig, depth: int = 2):
         self.cfg = cfg
         self.queue: "queue.Queue" = queue.Queue(maxsize=depth)
         self.carry: Optional[np.ndarray] = None  # f32 [n, 2]
+        self.video_q: "queue.Queue" = queue.Queue(maxsize=8)
+        self.video_carry = None  # (pts MediaTime, VideoFrame)
+        self.pos = MediaTime.new(0, cfg.sample_rate)
 
     def push_block(self, pcm_f32: np.ndarray, block: bool = True, timeout=None) -> bool:
         try:
@@ -122,6 +127,38 @@ class MediaSourceFeed:
             return True
         except queue.Full:
             return False
+
+    def push_video(self, pts: MediaTime, frame, block: bool = True, timeout=None) -> bool:
+        try:
+            self.video_q.put((pts, frame), block=block, timeout=timeout)
+            return True
+        except queue.Full:
+            return False
+
+    def take_video(self, n_samples: int):
+        """Release the pending frame if due within this tick's window; also
+        advances the media position clock."""
+        tick_dur = MediaDuration.new(n_samples, self.cfg.sample_rate)
+        item = self.video_carry
+        self.video_carry = None
+        if item is None:
+            try:
+                item = self.video_q.get_nowait()
+            except queue.Empty:
+                item = None
+        out = None
+        if item is not None:
+            pts, frame = item
+            offset = pts - self.pos
+            if offset > tick_dur:
+                self.video_carry = item  # not due yet (media_source.rs:117-121)
+            else:
+                frame.tick_offset = (
+                    offset if offset > MediaDuration.zero() else MediaDuration.zero()
+                )
+                out = frame
+        self.pos = self.pos + tick_dur
+        return out
 
     def fill_tick(self, n_samples: int) -> np.ndarray:
         out = np.zeros((n_samples, 2), dtype=np.float32)

@@ -55,6 +55,11 @@ class MediaPlayer(threading.Thread):
         try:
             fmt, data_off, data_size = parse_header(header)
         except WavError as e:
+            from mixlab_tpu.native import avshim
+
+            if avshim.available():
+                self._run_shim()
+                return
             log.warning("media_source: cannot decode media: %s", e)
             return
 
@@ -155,3 +160,113 @@ class MediaPlayer(threading.Thread):
                         break
             if not got_any:
                 return  # undecodable: don't loop forever
+
+    def _run_shim(self):
+        """Any-container playback through the ffmpeg-libs shim
+        (native/avshim.py): the reference's ffmpeg decode loop
+        (media_source.rs:185-292) — audio AND video, realtime-paced,
+        looping with epoch accumulation (media_source.rs:246-292)."""
+        import tempfile
+
+        from fractions import Fraction
+
+        from mixlab_tpu.io_host.throttle import MediaThrottle
+        from mixlab_tpu.native import avshim
+        from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        import jax.numpy as jnp
+
+        # spool the project blob stream to a file for avformat
+        self.stream.seek(0)
+        with tempfile.NamedTemporaryFile(suffix=".media", delete=False) as tf:
+            while True:
+                chunk = self.stream.read(1 << 20)
+                if not chunk:
+                    break
+                tf.write(chunk)
+            path = tf.name
+        try:
+            reader = avshim.MediaReader(path)
+        except avshim.ShimError as e:
+            log.warning("media_source: cannot open media: %s", e)
+            pathlib_unlink(path)
+            return
+        try:
+            a_rate = reader.audio["rate"] if reader.audio else None
+            resample_ctx = None
+            carry = np.zeros((0, 2), dtype=np.float32)
+            throttle = MediaThrottle()
+            epoch = Fraction(0)  # accumulated loop offset, seconds
+            last_pts = Fraction(0)
+            while not self._stop.is_set():
+                item = reader.read()
+                if item is None:
+                    # loop: seek to start, accumulate epoch
+                    epoch = last_pts
+                    reader.seek_start()
+                    resample_ctx = None
+                    carry = np.zeros((0, 2), dtype=np.float32)
+                    continue
+                kind, pts, payload = item
+                if kind == "audio":
+                    tb = Fraction(*reader.audio["time_base"])
+                    t = epoch + (pts * tb if pts >= 0 else last_pts - epoch)
+                    last_pts = max(last_pts, t + Fraction(len(payload), a_rate))
+                    throttle.wait_until(MediaTime(t))
+                    pcm = payload.astype(np.float32) / 32768.0
+                    if pcm.shape[1] == 1:
+                        pcm = np.repeat(pcm, 2, axis=1)
+                    pcm = pcm[:, :2]
+                    if a_rate != self.cfg.sample_rate:
+                        _, M, _ = design(a_rate, self.cfg.sample_rate)
+                        buf = np.concatenate([carry, pcm])
+                        usable = len(buf) - (len(buf) % M)
+                        carry = buf[usable:]
+                        if usable == 0:
+                            continue
+                        if resample_ctx is None:
+                            resample_ctx = np.zeros(
+                                (context_len(a_rate, self.cfg.sample_rate), 2),
+                                dtype=np.float32,
+                            )
+                        out, resample_ctx = resample_block_np(
+                            buf[:usable], resample_ctx, a_rate, self.cfg.sample_rate
+                        )
+                    else:
+                        out = pcm
+                    while not self._stop.is_set():
+                        if self.feed.push_block(out, block=True, timeout=0.25):
+                            break
+                else:  # video
+                    tb = Fraction(*reader.video["time_base"])
+                    t = epoch + (pts * tb if pts >= 0 else last_pts - epoch)
+                    last_pts = max(last_pts, t)
+                    throttle.wait_until(MediaTime(t))
+                    y, u, v = payload
+                    h, w = y.shape
+                    pic = Picture(
+                        PictureSettings(w, h),
+                        {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+                    )
+                    fps_n, fps_d = reader.video["fps"]
+                    frame = VideoFrame(
+                        picture=pic,
+                        duration_hint=MediaDuration.new(fps_d, fps_n),
+                    )
+                    pts_mt = MediaTime(t)
+                    while not self._stop.is_set():
+                        if self.feed.push_video(pts_mt, frame, block=True, timeout=0.25):
+                            break
+        finally:
+            reader.close()
+            pathlib_unlink(path)
+
+
+def pathlib_unlink(path):
+    import pathlib as _pl
+
+    try:
+        _pl.Path(path).unlink()
+    except OSError:
+        pass

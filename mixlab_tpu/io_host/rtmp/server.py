@@ -11,11 +11,11 @@ registry, then route FLV audio/video tag bodies:
   * AVC sequence header -> DecoderConfigurationRecord (rtmp/mod.rs:277-287)
   * AVC NALU -> decode to a video frame -> ``write_video``
 
-Codec gating (documented deviation): the reference decodes via fdk-aac and
-ffmpeg FFI.  This build routes decode through a pluggable ``MediaDecoder``;
-without the ffmpeg backend, media payloads are parsed and counted but
-dropped with a one-time warning (the protocol and registry paths still run
-end-to-end; tests inject a synthetic decoder).
+Decode is routed through a pluggable ``MediaDecoder``.  The default is
+``ShimDecoder`` — AAC + H.264 via the in-process ffmpeg-libraries shim
+(native/avshim.py), matching the reference's fdk-aac/ffmpeg FFI on the
+blocking receive thread (rtmp/mod.rs:192-338).  On images without the
+libraries, payloads are parsed but dropped with a one-time warning.
 """
 
 from __future__ import annotations
@@ -91,9 +91,68 @@ class NullDecoder(MediaDecoder):
         return None
 
 
+class ShimDecoder(MediaDecoder):
+    """AAC + H.264 ingest decode via the in-process ffmpeg-libraries shim
+    (native/avshim.py) — the reference's exact shape: fdk-aac/ffmpeg FFI on
+    the blocking receive thread (rtmp/mod.rs:192-338)."""
+
+    def __init__(self):
+        self._adec = None
+        self._vdec = None
+        self.video_duration_hint = None  # set by _on_video from ts deltas
+
+    def set_audio_config(self, asc: AudioSpecificConfiguration):
+        from mixlab_tpu.native import avshim
+
+        self._adec = avshim.AudioDecoder("aac", asc.to_bytes())
+
+    def set_video_config(self, dcr: DecoderConfigurationRecord):
+        from mixlab_tpu.native import avshim
+
+        self._vdec = avshim.VideoDecoder("h264", dcr.to_bytes())
+
+    def decode_audio(self, raw_aac: bytes):
+        if self._adec is None:
+            return None
+        out = []
+        for _pts, pcm, _rate in self._adec.decode(raw_aac):
+            # force stereo like the reference (rtmp/mod.rs:229-231)
+            if pcm.shape[1] == 1:
+                pcm = np.repeat(pcm, 2, axis=1)
+            out.append(pcm[:, :2])
+        return np.concatenate(out) if out else None
+
+    def decode_video(self, packet: flv.VideoPacket):
+        if self._vdec is None:
+            return None
+        import jax.numpy as jnp
+
+        from mixlab_tpu.utils.mtime import MediaDuration
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        frames = self._vdec.decode(packet.data)
+        if not frames:
+            return None
+        _pts, y, u, v = frames[-1]
+        h, w = y.shape
+        pic = Picture(
+            PictureSettings(w, h),
+            {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+        )
+        hint = self.video_duration_hint or MediaDuration.new(1, 30)
+        return VideoFrame(picture=pic, duration_hint=hint)
+
+
 def default_decoder_factory() -> MediaDecoder:
     from mixlab_tpu.av.codecs import ffmpeg_available
+    from mixlab_tpu.native import avshim
 
+    if (
+        avshim.available()
+        and avshim.have_decoder("aac")
+        and avshim.have_decoder("h264")
+    ):
+        return ShimDecoder()
     if ffmpeg_available():
         try:
             from mixlab_tpu.io_host.rtmp.ffmpeg_decode import FfmpegDecoder
@@ -235,6 +294,17 @@ def _on_video(msg: Message, send, decoder: MediaDecoder):
         return
     if pkt.packet_type == flv.VideoPacketType.END_OF_SEQUENCE:
         return
+    # estimate the frame duration from timestamp deltas so the video mixer's
+    # expiry window (video_mixer.rs:94-148) holds the frame exactly one
+    # frame interval
+    last_ts = getattr(decoder, "_last_video_ts", None)
+    if last_ts is not None and msg.timestamp > last_ts:
+        from mixlab_tpu.utils.mtime import MediaDuration
+
+        decoder.video_duration_hint = MediaDuration.new(
+            msg.timestamp - last_ts, 1000
+        )
+    decoder._last_video_ts = msg.timestamp
     frame = decoder.decode_video(pkt)
     if frame is not None:
         # presentation time = dts + composition time (rtmp/mod.rs:318-322)

@@ -30,7 +30,9 @@ import numpy as np
 from mixlab_tpu.av.codecs import (
     MONITOR_PICTURE,
     PngVideoEncoder,
+    avshim_codecs_available,
     ffmpeg_available,
+    fmp4_capable,
 )
 from mixlab_tpu.av.encode_stream import f32_to_i16
 from mixlab_tpu.engine.config import EngineConfig
@@ -105,7 +107,7 @@ class MonitorPipeline(threading.Thread):
         self.socket_id = str(uuid_mod.uuid4())
         self._stop = threading.Event()
         if mode is None:
-            mode = "fmp4" if ffmpeg_available() else "pcm+png"
+            mode = "fmp4" if fmp4_capable() else "pcm+png"
         self.mode = mode
         init = frame_packet(
             {
@@ -133,6 +135,16 @@ class MonitorPipeline(threading.Thread):
 
         if encoders is not None:
             self._aac, self._h264 = encoders  # injected (tests)
+        elif avshim_codecs_available():
+            # in-process libavcodec/libx264 (the reference's FFI shape)
+            from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
+
+            self._aac = ShimAacStream(self.cfg.sample_rate, bitrate=None)
+            self._h264 = ShimH264Stream(
+                MONITOR_PICTURE,
+                fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR,
+                profile="monitor",
+            )
         else:
             from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
 
@@ -188,9 +200,13 @@ class MonitorPipeline(threading.Thread):
                 sample_rate=self.cfg.sample_rate,
             )
             self._mux, init_seg = mp4.Mp4Mux.create(params)
+            # avc1.PPCCLL from the DCR's profile/compat/level bytes
+            avc1 = "avc1.%02x%02x%02x" % (
+                self._h264.dcr[1], self._h264.dcr[2], self._h264.dcr[3]
+            )
             self.broadcast.init_packet = frame_packet(
-                {"t": "init", "mode": "fmp4", "mime":
-                 'video/mp4; codecs="avc1.64001f, mp4a.40.2"'},
+                {"t": "init", "mode": "fmp4",
+                 "mime": f'video/mp4; codecs="{avc1}, mp4a.40.2"'},
                 init_seg,
             )
             self.broadcast.send(self.broadcast.init_packet)

@@ -144,8 +144,25 @@ class StreamOutputController:
         host, port, app = parse_rtmp_url(self.params.rtmp_url)
         client = await rtmp_client.start(host, port, app, self.params.rtmp_stream_key)
         self._client = client
+        self._setup_encoders()
         self._set_state(ConnState.LIVE)
         self._epoch_samples = None
+        self._tick_count = 0
+        # sequence headers first (LiveOutput::start, stream_output.rs:336-371)
+        if self._aac is not None:
+            client.publish_audio(
+                0, flv.AudioPacket(True, self._aac.configuration_data()).to_bytes()
+            )
+        if self._h264 is not None:
+            client.publish_video(
+                0,
+                flv.VideoPacket(
+                    flv.VideoFrameType.KEY_FRAME,
+                    flv.VideoPacketType.SEQUENCE_HEADER,
+                    0,
+                    self._h264.dcr,
+                ).to_bytes(),
+            )
         # drain the engine tick pipe and publish until stopped
         while not self._stop.is_set():
             try:
@@ -157,11 +174,37 @@ class StreamOutputController:
             if item is None:
                 continue
             t0, audio, video = item
-            self._publish_tick(t0, audio)
+            self._publish_tick(t0, audio, video)
         await client.close()
         self._client = None
         if self.state == ConnState.LIVE:
             self._set_state(ConnState.OFFLINE)
+
+    def _setup_encoders(self):
+        """AAC CBR 160k + x264 CBR 1.5 Mbps at 1120x700 when the codec shim
+        exists (the reference operating point, stream_output.rs:23-24,
+        337-345); PCM-FLV fallback otherwise."""
+        from mixlab_tpu.av.codecs import (
+            STREAM_PICTURE,
+            avshim_codecs_available,
+        )
+
+        self._aac = None
+        self._h264 = None
+        self._last_pic = None
+        if avshim_codecs_available():
+            from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
+
+            try:
+                self._aac = ShimAacStream(
+                    self.cfg.sample_rate, bitrate=160_000
+                )
+                self._h264 = ShimH264Stream(
+                    STREAM_PICTURE, fps=30, profile="stream"
+                )
+            except Exception as e:
+                log.warning("stream_output: codec init failed: %s", e)
+                self._aac = self._h264 = None
 
     def _pipe_get(self, timeout):
         try:
@@ -169,14 +212,53 @@ class StreamOutputController:
         except queue.Empty:
             return None
 
-    def _publish_tick(self, t0: int, audio: np.ndarray):
+    def _publish_tick(self, t0: int, audio: np.ndarray, video=None):
         if self._client is None:
             return
         if self._epoch_samples is None:
             self._epoch_samples = t0
         # RTMP timestamps on a 1 kHz timebase (stream_output.rs TIME_BASE)
         ts_ms = (t0 - self._epoch_samples) * 1000 // self.cfg.sample_rate
-        pcm = f32_to_i16(audio.reshape(-1)).astype("<i2").tobytes()
-        body = flv.pcm_s16le_tag(pcm, min(self.cfg.sample_rate, 44100))
-        if not self._client.publish_audio(int(ts_ms), body):
-            log.debug("stream_output: publish queue full, dropping tick")
+        if self._aac is None:
+            pcm = f32_to_i16(audio.reshape(-1)).astype("<i2").tobytes()
+            body = flv.pcm_s16le_tag(pcm, min(self.cfg.sample_rate, 44100))
+            if not self._client.publish_audio(int(ts_ms), body):
+                log.debug("stream_output: publish queue full, dropping tick")
+            return
+
+        # real AAC path: granule pts is in samples since epoch -> ms
+        self._aac.feed(f32_to_i16(audio.reshape(-1)))
+        for frame in self._aac.poll_frames():
+            # poll_frames wraps ADTS; RTMP wants raw AAC (rtmp/packet.rs)
+            raw = frame[7:]
+            if not self._client.publish_audio(
+                int(ts_ms), flv.AudioPacket(False, raw).to_bytes()
+            ):
+                log.debug("stream_output: audio publish queue full")
+
+        if self._h264 is not None:
+            # 30 fps: every other tick at 60 t/s (gop 60 = 2 s keyframes)
+            self._tick_count += 1
+            if self._tick_count % max(self.cfg.ticks_per_second // 30, 1) == 0:
+                from mixlab_tpu.av.codecs import STREAM_PICTURE
+                from mixlab_tpu.video.frame import Picture
+                from mixlab_tpu.video.scale import scale_picture
+
+                if video is not None:
+                    pic = scale_picture(video.picture, STREAM_PICTURE)
+                    self._last_pic = pic
+                else:
+                    # barrier semantics: repeat/blank so video never stalls
+                    # audio (video/encode.rs:78-84)
+                    pic = self._last_pic or Picture.blank(STREAM_PICTURE)
+                self._h264.feed(pic)
+            for is_key, avcc in self._h264.poll_access_units():
+                body = flv.VideoPacket(
+                    flv.VideoFrameType.KEY_FRAME if is_key
+                    else flv.VideoFrameType.INTER_FRAME,
+                    flv.VideoPacketType.NALU,
+                    0,
+                    avcc,
+                ).to_bytes()
+                if not self._client.publish_video(int(ts_ms), body):
+                    log.debug("stream_output: video publish queue full")

@@ -13,7 +13,12 @@ from mixlab_tpu.protocol import InputId, OutputId
 CFG = EngineConfig(sample_rate=44_100)
 
 
-def test_engine_keeps_ticking_through_structural_edit():
+def test_engine_keeps_ticking_through_structural_edit(monkeypatch):
+    # force the always-available monitor mode: this test is about the
+    # async-compile path, not codec backends
+    from mixlab_tpu.server import monitor as monitor_mod
+
+    monkeypatch.setattr(monitor_mod, "fmp4_capable", lambda: False)
     eng = Engine(cfg=CFG)
     eng.start()
     try:

@@ -77,3 +77,79 @@ def test_fmp4_monitor_emits_init_then_segments():
         assert payload[4:8] == b"moof"
         (moof_size,) = struct.unpack_from(">I", payload, 0)
         assert payload[moof_size + 4 : moof_size + 8] == b"mdat"
+
+
+def _real_codecs():
+    from mixlab_tpu.av.codecs import avshim_codecs_available
+
+    return avshim_codecs_available()
+
+
+def test_fmp4_monitor_real_codecs_validated_by_independent_demuxer(tmp_path):
+    """No mocks: real AAC (libavcodec) + real H.264 (libx264) through the
+    from-scratch fMP4 mux; the saved stream is then decoded by an
+    independent demuxer (OpenCV's libavformat) and the video content
+    verified.  This is the reference's monitor path end-to-end
+    (monitor.rs:185-251 + mux/src/mp4.rs:236-287)."""
+    import pytest
+
+    if not _real_codecs():
+        pytest.skip("avshim codecs unavailable")
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.frame import PictureSettings, VideoFrame
+    from mixlab_tpu.av.codecs import MONITOR_PICTURE
+
+    pipe = _MonitorPipe()
+    pipeline = MonitorPipeline(pipe, CFG, mode="fmp4")
+    sub = pipeline.broadcast.subscribe()
+
+    spt = CFG.samples_per_tick
+    t = np.arange(spt) / CFG.sample_rate
+    # bright half / dark half test pattern at monitor resolution
+    w, h = MONITOR_PICTURE.width, MONITOR_PICTURE.height
+    y_plane = np.zeros((h, w), np.uint8)
+    y_plane[:, : w // 2] = 200
+    pic = Picture(
+        PictureSettings(w, h),
+        {"y": jnp.asarray(y_plane),
+         "u": jnp.full((h // 2, w // 2), 128, jnp.uint8),
+         "v": jnp.full((h // 2, w // 2), 128, jnp.uint8)},
+    )
+    frame = VideoFrame(picture=pic)
+    for k in range(60):
+        tone = np.sin(2 * np.pi * 440 * (t + k * spt / CFG.sample_rate))
+        audio = np.stack([tone, tone], -1).astype(np.float32) * 0.5
+        pipeline._encode_tick_fmp4(k * spt, audio, frame)
+
+    packets = []
+    while True:
+        try:
+            packets.append(sub.get_nowait())
+        except queue.Empty:
+            break
+    pipeline.stop()
+
+    assert packets and b'"fmp4"' in packets[0].partition(b"\n")[0]
+    header = packets[0].partition(b"\n")[0].decode()
+    assert "avc1." in header and "mp4a.40.2" in header
+
+    # save init + all media segments as one fragmented MP4
+    blob = b"".join(p.partition(b"\n")[2] for p in packets)
+    out = tmp_path / "monitor.mp4"
+    out.write_bytes(blob)
+
+    import cv2
+
+    cap = cv2.VideoCapture(str(out))
+    ok, bgr = cap.read()
+    assert ok, "independent demuxer could not decode the monitor stream"
+    assert bgr.shape == (h, w, 3)
+    # left half bright, right half dark
+    left = bgr[:, : w // 2].mean()
+    right = bgr[:, w // 2 :].mean()
+    assert left > 150 and right < 50, (left, right)
+    n_frames = 1
+    while cap.read()[0]:
+        n_frames += 1
+    assert n_frames >= 5

@@ -169,16 +169,31 @@ def test_monitor_ws_streams_audio(server_port):
         op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
         header, _, _ = payload.partition(b"\n")
         init = json.loads(header)
-        assert init["t"] == "init" and init["sample_rate"] == 44_100
+        assert init["t"] == "init"
+        fmp4 = init["mode"] == "fmp4"
+        if fmp4:
+            assert "avc1." in init["mime"] and "mp4a.40.2" in init["mime"]
+        else:
+            assert init["sample_rate"] == 44_100
 
-        # audio packets follow; the first few may be the pre-edit program's
+        # packets follow; the first few may be the pre-edit program's
         # silence while the async compile-and-swap warms the new program
         deadline = asyncio.get_event_loop().time() + 20.0
         loud = False
+        segments = 0
         while asyncio.get_event_loop().time() < deadline:
             op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
             header, _, pcm = payload.partition(b"\n")
             pkt = json.loads(header)
+            if fmp4:
+                if pkt["t"] != "segment":
+                    continue
+                assert pcm[4:8] == b"moof"
+                segments += 1
+                if segments >= 10:
+                    loud = True  # real AAC+AVC fMP4 flowing over the WS
+                    break
+                continue
             if pkt["t"] != "audio":
                 continue
             samples = np.frombuffer(pcm, dtype="<i2")
@@ -186,7 +201,7 @@ def test_monitor_ws_streams_audio(server_port):
             if np.abs(samples).max() > 10000:  # sine at full scale
                 loud = True
                 break
-        assert loud, "monitor audio never became live"
+        assert loud, "monitor stream never became live"
         writer.close()
 
     loop.run_until_complete(go())

@@ -110,24 +110,77 @@ def test_stream_output_end_to_end_loopback():
         time.sleep(0.05)
     assert ctl.state == ConnState.LIVE
 
-    # feed ticks like the engine does
-    spt = CFG.samples_per_tick
-    tone = np.sin(2 * np.pi * 440 * np.arange(spt) / CFG.sample_rate).astype(np.float32)
-    audio = np.stack([tone, tone], -1)
-    for k in range(4):
-        pipe.push((k * spt, audio, None))
-        time.sleep(0.03)
+    # feed ticks like the engine does; with the codec shim present this
+    # exercises the full reference pipeline: AAC 160k + x264 CBR publish
+    # (stream_output.rs:336-406) -> RTMP ingest decode (rtmp/mod.rs:192-338)
+    from mixlab_tpu.av.codecs import avshim_codecs_available
 
-    deadline = time.time() + 10
-    frames = []
-    while time.time() < deadline and len(frames) < 2:
-        f = recv.read_audio()
-        if f is not None:
-            frames.append(f)
-        time.sleep(0.02)
-    assert len(frames) >= 2, "no PCM arrived over RTMP loopback"
-    got = frames[0].data[:, 0].astype(np.float32) / 32767.0
-    np.testing.assert_allclose(got, tone, atol=2e-4)
+    real_codecs = avshim_codecs_available()
+    video_frame = None
+    if real_codecs:
+        import jax.numpy as jnp
+
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        w, h = 320, 200
+        ypl = np.zeros((h, w), np.uint8)
+        ypl[:, : w // 2] = 210
+        video_frame = VideoFrame(picture=Picture(
+            PictureSettings(w, h),
+            {"y": jnp.asarray(ypl),
+             "u": jnp.full((h // 2, w // 2), 128, jnp.uint8),
+             "v": jnp.full((h // 2, w // 2), 128, jnp.uint8)},
+        ))
+
+    spt = CFG.samples_per_tick
+    audio_frames = []
+    video_frames = []
+
+    def drain():
+        while (f := recv.read_audio()) is not None:
+            audio_frames.append(f)
+        while (f := recv.read_video()) is not None:
+            video_frames.append(f)
+
+    k = 0
+    t_base = np.arange(spt) / CFG.sample_rate
+    deadline = time.time() + 25
+    want_video = 1 if real_codecs else 0
+    while time.time() < deadline and (
+        len(audio_frames) < 2 or len(video_frames) < want_video
+    ):
+        tone = np.sin(2 * np.pi * 440 * (t_base + k * spt / CFG.sample_rate))
+        pipe.push((k * spt, np.stack([tone, tone], -1).astype(np.float32) * 0.5,
+                   video_frame))
+        k += 1
+        time.sleep(0.01)
+        drain()
+    assert len(audio_frames) >= 2, "no audio arrived over RTMP loopback"
+
+    pcm = np.concatenate([f.data for f in audio_frames]).astype(np.float64)
+    assert pcm.shape[1] == 2
+    body = pcm[1024:, 0]  # skip codec priming
+    assert len(body) > 2048
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+    peak_hz = np.argmax(spec) * CFG.sample_rate / len(body)
+    if real_codecs:
+        assert abs(peak_hz - 440) < 15, f"tone lost in AAC loopback ({peak_hz} Hz)"
+    else:
+        got = audio_frames[0].data[:, 0].astype(np.float32) / 32767.0
+        np.testing.assert_allclose(got, np.sin(
+            2 * np.pi * 440 * t_base).astype(np.float32) * 0.5, atol=2e-4)
+
+    if real_codecs:
+        assert video_frames, "no video arrived over RTMP loopback"
+        vf = video_frames[0].data
+        ypl2 = np.asarray(vf.picture.planes["y"]).astype(np.float64)
+        # scaled to the 1120x700 broadcast raster with letterboxing;
+        # bright-left / dark-right must survive encode+decode
+        hh, ww = ypl2.shape
+        assert (ww, hh) == (1120, 700)
+        mid = ypl2[hh // 2 - 50 : hh // 2 + 50]
+        assert mid[:, : ww // 4].mean() > 120
+        assert mid[:, 3 * ww // 4 :].mean() < 60
 
     ctl.disconnect()
     ctl.stop()
@@ -208,4 +261,67 @@ def test_media_source_ogg_vorbis_playback(tmp_path):
             peak = max(peak, float(np.abs(audio).max()))
         time.sleep(0.01)
     assert peak > 0.3, f"ogg playback silent (peak={peak})"
+    proj.close()
+
+
+def _video_capable():
+    from mixlab_tpu.native import avshim
+
+    return avshim.available()
+
+
+@pytest.mark.skipif(not _video_capable(), reason="avshim unavailable")
+def test_media_source_video_playback_y4m(tmp_path):
+    """Upload a Y4M video to the media library; MediaSource feeds frames to
+    the video path and a composited frame reaches video_mixer's output
+    (media_source.rs:52-55,185-292 — the reference module's main purpose)."""
+    w, h, n_frames = 96, 64, 30
+    lines = [f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420\n".encode()]
+    for i in range(n_frames):
+        lines.append(b"FRAME\n")
+        lines.append(np.full((h, w), 50 + i * 5, np.uint8).tobytes())
+        lines.append(np.full((h // 2, w // 2), 100, np.uint8).tobytes())
+        lines.append(np.full((h // 2, w // 2), 200, np.uint8).tobytes())
+    y4m = b"".join(lines)
+
+    proj = open_or_create(tmp_path / "vid.mixlab", CFG)
+    media_id = proj.upload_media("clip.y4m", "video/x-yuv4mpeg", [y4m])
+    eng = proj.engine
+    sid, _, _ = eng.connect_session()
+    eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+        p.ModuleParams("MediaSource", p.MediaSourceParams(media_id=media_id)),
+        p.WindowGeometry())))
+    eng.update(sid, p.WorkspaceMessage(2, p.CreateModule(
+        p.ModuleParams("VideoMixer", p.VideoMixerParams(a=0)), p.WindowGeometry())))
+    eng.update(sid, p.WorkspaceMessage(3, p.CreateModule(
+        p.ModuleParams("Monitor", None), p.WindowGeometry())))
+    # MediaSource video -> mixer ch A; mixer composite -> monitor video
+    eng.update(sid, p.WorkspaceMessage(4, p.CreateConnection(
+        InputId(p.ModuleId(2), 0), OutputId(p.ModuleId(1), 0))))
+    eng.update(sid, p.WorkspaceMessage(5, p.CreateConnection(
+        InputId(p.ModuleId(3), 0), OutputId(p.ModuleId(2), 0))))
+
+    time.sleep(0.5)
+    got_video = None
+    deadline = time.time() + 10
+    pipe = eng.monitor_pipe(p.ModuleId(3))
+    while time.time() < deadline and got_video is None:
+        eng.tick_once()
+        while True:
+            try:
+                _, _, video = pipe.q.get_nowait()
+            except Exception:
+                break
+            # skip the mixer's blank composites before media frames land
+            if video is not None and float(
+                np.asarray(video.picture.planes["y"]).mean()
+            ) > 10:
+                got_video = video
+        time.sleep(0.01)
+    assert got_video is not None, "no media video frame reached the monitor"
+    ypl = np.asarray(got_video.picture.planes["y"])
+    assert ypl.shape == (h, w)
+    assert 45 <= ypl.mean() <= 210  # luma ramp content
+    upl = np.asarray(got_video.picture.planes["u"])
+    assert abs(float(upl.mean()) - 100) < 3
     proj.close()
