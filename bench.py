@@ -426,8 +426,39 @@ def bench_config5_full_session(seconds=4, reps=3):
 # ---------------------------------------------------------------------------
 
 
+def bench_realtime_engine(block_ticks=4, seconds=8.0):
+    """Achieved tick rate of the ACTUAL realtime engine thread
+    (Engine.start(): 60 Hz absolute deadlines, cmd drain, live monitor
+    codec) on this chip.  See BENCH_NOTES 'Realtime engine ON the TPU'."""
+    import time as _t
+
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.engine import Engine
+
+    ws, _mon = build_16_module_graph()
+    eng = Engine(workspace=ws, cfg=EngineConfig(sample_rate=44_100),
+                 block_ticks=block_ticks)
+    for _ in range(3):
+        eng.tick_once()  # compile + warm
+    eng.tick = 0
+    eng.start()
+    _t.sleep(seconds)
+    ticks = eng.tick
+    perf = eng.performance_info()
+    eng.stop()
+    return ticks / seconds, bool(perf.realtime if perf else False)
+
+
 def main():
     run_all = "--all" in sys.argv
+
+    tps, rt_flag = bench_realtime_engine()
+    _emit({
+        "metric": "realtime_engine_ticks_per_s_block4",
+        "value": round(tps, 1),
+        "unit": "ticks_per_s (target 60)",
+        "realtime_flag": rt_flag,
+    })
 
     multiple = bench_graph(build_16_module_graph)
     _emit(

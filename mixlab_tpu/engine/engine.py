@@ -30,6 +30,7 @@ here the explicit state pytree makes runtime state snapshottable too.
 from __future__ import annotations
 
 import queue
+from collections import deque
 import threading
 import time
 from dataclasses import dataclass, field
@@ -155,12 +156,16 @@ class Engine:
         persist_cb: Optional[Callable[[dict], None]] = None,
         block_ticks: int = 1,
         media_opener: Optional[Callable] = None,
+        pipeline_depth: int = 0,
     ):
         self.cfg = cfg
         self.ws = workspace or Workspace()
         self.persist_cb = persist_cb
         self.media_opener = media_opener
         self.block = BlockSpec(block_ticks)
+        # issue-ahead depth for the realtime loop (0 = fetch synchronously)
+        self.pipeline_depth = pipeline_depth
+        self._inflight: deque = deque()
 
         self._cmd: queue.Queue = queue.Queue(maxsize=8)
         self._log = _Broadcast(64)
@@ -463,6 +468,7 @@ class Engine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=5.0)
+        self.flush_inflight()
         # tear down host-side workers (codec threads, RTMP publishers,
         # decoders, audio sinks) so shutdown is clean, not daemon-leaky
         for pipeline in self._monitor_pipelines.values():
@@ -700,7 +706,31 @@ class Engine:
                 for i, frame in enumerate(outs):
                     video_buffers[OutputId(mid, i)] = frame
 
-        # 4. route taps
+        # 4. route taps — immediately, or deferred one block when pipelined:
+        # the device->host fetch of block N then overlaps block N+1's
+        # device compute (issue-ahead dispatch; essential over the TPU
+        # tunnel where a fetch costs a full RTT)
+        item = (t0, S, taps, video_buffers)
+        if self.pipeline_depth > 0:
+            self._inflight.append(item)
+            if len(self._inflight) > self.pipeline_depth:
+                indications = self._route_taps(*self._inflight.popleft())
+            else:
+                indications = {}
+        else:
+            indications = self._route_taps(*item)
+        self.tick += self.block.n_ticks
+        return indications
+
+    def flush_inflight(self) -> Dict[ModuleId, Indication]:
+        """Route any deferred blocks (pipelined mode) — call before
+        checkpoint/stop so no audio is lost."""
+        indications = {}
+        while self._inflight:
+            indications.update(self._route_taps(*self._inflight.popleft()))
+        return indications
+
+    def _route_taps(self, t0, S, taps, video_buffers) -> Dict[ModuleId, Indication]:
         indications: Dict[ModuleId, Indication] = {}
         now = time.monotonic()
         for k, tp in taps.items():
@@ -775,8 +805,6 @@ class Engine:
         for mid, ind in indications.items():
             self.ws.indications[mid] = ind
             self._log_op(p.SUUpdateModuleIndication(mid, ind))
-
-        self.tick += self.block.n_ticks
         return indications
 
     def _video_input(self, mid: ModuleId, index: int, buffers) -> Optional[object]:
