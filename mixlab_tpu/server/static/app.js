@@ -22,7 +22,7 @@ const wire = {
   seq: 0,
   send(op) {
     wire.seq += 1;
-    session.pendingSeq = wire.seq;
+    session.core.pendingSeq = wire.seq;
     session.ws.send(JSON.stringify({
       v: 1, kind: "Workspace", m: { sequence: wire.seq, op },
     }));
@@ -53,14 +53,36 @@ const CREATABLE = [
 
 /* --------------------------------------------------------------- session */
 
+/* The mirror + optimistic-sync logic lives in session_core.js (pure,
+ * DOM-free, executed under test by mixlab_tpu.utils.jsmini); this object
+ * owns the WebSocket and bridges core hooks to the DOM layers.  Render
+ * gating matches frontend/src/session.rs:83-108: server updates always
+ * apply to the mirror but re-render only once the server has caught up to
+ * our local edits; the catching-up Sync fires the deferred render. */
 const session = {
   ws: null,
-  state: null, // mirror: {modules: Map, geometry: Map, indications: Map, connections: Map(inputKey->outputArr), inputs: Map, outputs: Map}
-  pendingSeq: 0,
-  syncedSeq: 0,
+  state: null,
   media: [],
   perf: null,
   onchange: [],
+  core: makeSessionCore({
+    render: () => {
+      session.state = session.core.state;
+      notify();
+    },
+    onIndication: (mid, ind) => indications.dispatch(mid, ind),
+    onPerformance: (perf) => {
+      session.perf = perf;
+      sidebar.render();
+    },
+    onMediaLibrary: (items) => {
+      session.media = items;
+      library.render();
+      notify();
+    },
+    geometryHeld: (mid) => drag.activeWindow === mid,
+    onDeleteModule: (mid) => monitorPlayers.drop(mid),
+  }),
 
   connect() {
     const ws = new WebSocket(`ws://${location.host}/session`);
@@ -69,77 +91,15 @@ const session = {
     ws.onclose = () => setTimeout(() => session.connect(), 2000);
   },
 
-  caughtUp() { return session.syncedSeq >= session.pendingSeq; },
+  caughtUp() { return session.core.caughtUp(); },
 
   onMessage(msg) {
-    if (msg.kind === "WorkspaceState") {
-      const st = msg.m;
-      const s = {
-        modules: new Map(), geometry: new Map(), indications: new Map(),
-        connections: new Map(), inputs: new Map(), outputs: new Map(),
-      };
-      for (const [id, params] of st.modules) s.modules.set(id, params);
-      for (const [id, g] of st.geometry) s.geometry.set(id, g);
-      for (const [id, ind] of st.indications) s.indications.set(id, ind);
-      for (const [inp, out] of st.connections) s.connections.set(key(inp), out);
-      for (const [id, terms] of st.inputs) s.inputs.set(id, terms);
-      for (const [id, terms] of st.outputs) s.outputs.set(id, terms);
-      session.state = s;
-      notify();
-    } else if (msg.kind === "Update") {
-      session.applyUpdate(msg.m);
-      notify();
-    } else if (msg.kind === "Sync") {
-      session.syncedSeq = Math.max(session.syncedSeq, msg.m);
-    } else if (msg.kind === "Performance") {
-      session.perf = msg.m;
-      sidebar.render();
-    } else if (msg.kind === "MediaLibrary") {
-      session.media = msg.m.items || [];
-      library.render();
-      notify();
-    }
-  },
-
-  applyUpdate(u) {
-    const s = session.state;
-    if (!s) return;
-    switch (u.t) {
-      case "SUCreateModule":
-        s.modules.set(u.id, u.params);
-        s.geometry.set(u.id, u.geometry);
-        s.indications.set(u.id, u.indication);
-        s.inputs.set(u.id, u.inputs);
-        s.outputs.set(u.id, u.outputs);
-        break;
-      case "SUUpdateModuleParams": {
-        s.modules.set(u.module_id, u.params);
-        break;
-      }
-      case "SUUpdateWindowGeometry":
-        if (!drag.activeWindow || drag.activeWindow !== u.module_id) {
-          s.geometry.set(u.module_id, u.geometry);
-        }
-        break;
-      case "SUUpdateModuleIndication":
-        s.indications.set(u.module_id, u.indication);
-        indications.dispatch(u.module_id, u.indication);
-        return; // no full re-render for indications
-      case "SUDeleteModule":
-        for (const m of [s.modules, s.geometry, s.indications, s.inputs, s.outputs]) m.delete(u.module_id);
-        monitorPlayers.drop(u.module_id);
-        break;
-      case "SUCreateConnection":
-        s.connections.set(key(u.input_id), u.output_id);
-        break;
-      case "SUDeleteConnection":
-        s.connections.delete(key(u.input_id));
-        break;
-    }
+    session.core.onMessage(msg);
+    session.state = session.core.state;
   },
 };
 
-function key(idArr) { return idArr.join(":"); }
+function key(idArr) { return sessionKey(idArr); }
 function notify() { for (const f of session.onchange) f(); }
 
 /* ------------------------------------------------------------ indications */

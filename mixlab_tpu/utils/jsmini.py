@@ -38,10 +38,11 @@ from typing import Any, Dict, List, Optional, Tuple
 KEYWORDS = {
     "var", "let", "const", "function", "return", "if", "else", "for", "while",
     "do", "break", "continue", "new", "delete", "typeof", "instanceof", "in",
-    "of", "switch", "case", "default", "try", "catch", "finally", "throw",
+    "switch", "case", "default", "try", "catch", "finally", "throw",
     "this", "null", "true", "false", "undefined", "void", "class", "extends",
-    "super", "async", "await", "yield", "static", "get", "set",
+    "super", "await", "yield",
 }
+# contextual words (get/set/of/async/static) lex as plain identifiers
 
 PUNCT = [
     "...", "=>", "===", "!==", "**=", ">>>=", "<<=", ">>=", ">>>", "**",
@@ -319,6 +320,12 @@ class Parser:
 
     def statement(self):
         t = self.peek()
+        if (
+            t.kind == "id" and t.value == "async"
+            and self.peek(1).kind == "keyword" and self.peek(1).value == "function"
+        ):
+            self.next()
+            return self.function(decl=True)  # executed synchronously
         if t.kind == "punct" and t.value == "{":
             return self.block()
         if t.kind == "punct" and t.value == ";":
@@ -332,10 +339,6 @@ class Parser:
                 return d
             if v == "function":
                 return self.function(decl=True)
-            if v == "async" and self.peek(1).kind == "keyword" and self.peek(1).value == "function":
-                self.next()
-                fn = self.function(decl=True)
-                return ("async",) + fn[1:] if False else fn  # treat as sync
             if v == "class":
                 return self.class_decl()
             if v == "if":
@@ -492,7 +495,9 @@ class Parser:
             if self.at_punct(";"):
                 self.next()
                 continue
-            if self.at("keyword", "static"):
+            if self.at("id", "static") and not (
+                self.peek(1).kind == "punct" and self.peek(1).value == "("
+            ):
                 self.next()
             mname = self.next().value
             params = self.param_list()
@@ -524,7 +529,7 @@ class Parser:
                 init = self.var_decl()
             else:
                 init = ("expr", self.expression(no_in=True))
-            if self.at("keyword", "of") or self.at("keyword", "in"):
+            if self.at("id", "of") or self.at("keyword", "in"):
                 kind = self.next().value
                 it = self.assignment()
                 self.expect("punct", ")")
@@ -605,14 +610,30 @@ class Parser:
             return ("assign", op, _expr_to_pattern(left) if op == "=" else left, right)
         return left
 
+    def _try_arrow_inner(self):
+        return self._arrow_at_point()
+
     def _try_arrow(self):
-        start = self.pos
-        is_async = False
-        if self.at("keyword", "async") and self.peek(1).kind in ("id",) or (
-            self.at("keyword", "async") and self.peek(1).kind == "punct" and self.peek(1).value == "("
+        arrow = self._async_arrow()
+        if arrow is not None:
+            return arrow
+        return self._arrow_at_point()
+
+    def _async_arrow(self):
+        if self.at("id", "async") and (
+            self.peek(1).kind == "id"
+            or (self.peek(1).kind == "punct" and self.peek(1).value == "(")
         ):
-            is_async = True
+            save = self.pos
             self.next()
+            arrow = self._arrow_at_point()
+            if arrow is not None:
+                return arrow
+            self.pos = save
+        return None
+
+    def _arrow_at_point(self):
+        start = self.pos
         if self.at("id") and self.peek(1).kind == "punct" and self.peek(1).value == "=>":
             name = self.next().value
             self.next()
@@ -781,14 +802,6 @@ class Parser:
             if v == "class":
                 self.pos -= 1
                 return self.class_decl()
-            if v == "async":
-                # async function expr / async arrow handled earlier; treat
-                # `async function` here
-                if self.at("keyword", "function"):
-                    return self.function(decl=False)
-                return ("name", "async")
-            if v in ("get", "set", "of", "static"):  # contextual keywords
-                return ("name", v)
             if v == "new":
                 self.pos -= 1
                 return self.unary()
@@ -824,6 +837,12 @@ class Parser:
                         props.append(("spread", self.assignment()))
                     else:
                         kt = self.next()
+                        # async method shorthand: `async name() {}`
+                        if (
+                            kt.kind == "id" and kt.value == "async"
+                            and self.peek().kind in ("id", "str")
+                        ):
+                            kt = self.next()
                         computed = False
                         if kt.kind == "punct" and kt.value == "[":
                             keyexpr = self.assignment()
@@ -889,6 +908,8 @@ BROWSER_GLOBALS = {
     "Uint8Array", "Int16Array", "Float32Array", "DataView", "ArrayBuffer",
     "AudioContext", "XMLHttpRequest", "FormData", "FileReader", "Date",
     "performance", "localStorage", "alert", "confirm", "prompt", "Symbol",
+    "encodeURIComponent", "decodeURIComponent", "encodeURI", "decodeURI",
+    "Option", "Image", "Audio", "atob", "btoa", "crypto",
     "globalThis", "queueMicrotask", "structuredClone", "TextDecoder",
     "TextEncoder", "CustomEvent", "Event", "history", "RegExp",
     "module", "exports", "require",
@@ -1000,3 +1021,1315 @@ def lint_undeclared(src: str, extra_globals=()) -> List[str]:
     walk_uses(ast)
     walk_templates(ast)
     return sorted(used)
+
+
+# ---------------------------------------------------------------------------
+# interpreter
+# ---------------------------------------------------------------------------
+
+
+class _Undefined:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __repr__(self):
+        return "undefined"
+
+    def __bool__(self):
+        return False
+
+
+UNDEFINED = _Undefined()
+
+
+class JSObject:
+    def __init__(self, props=None):
+        self.props: Dict[str, Any] = props or {}
+
+    def __repr__(self):
+        return "JSObject(" + repr(self.props) + ")"
+
+
+class JSArray(list):
+    pass
+
+
+class JSMap:
+    def __init__(self, items=None):
+        self.d: Dict[Any, Any] = {}
+        if items:
+            for k, v in items:
+                self.d[k] = v
+
+
+class JSSet:
+    def __init__(self, items=None):
+        self.s = list(items or [])  # preserves insertion order, allows any vals
+
+
+class JSFunction:
+    def __init__(self, name, params, body, env, interp, is_arrow=False, this=None):
+        self.name = name
+        self.params = params
+        self.body = body
+        self.env = env
+        self.interp = interp
+        self.is_arrow = is_arrow
+        self.this = this  # lexical this for arrows
+
+    def __call__(self, *args, this=UNDEFINED):
+        return self.interp.call_function(self, list(args), this)
+
+
+class JSError(Exception):
+    """A thrown JS value."""
+
+    def __init__(self, value):
+        self.value = value
+        super().__init__(js_repr(value))
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class Environment:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars: Dict[str, Any] = {}
+        self.parent = parent
+
+    def lookup(self, name):
+        e = self
+        while e is not None:
+            if name in e.vars:
+                return e.vars
+            e = e.parent
+        return None
+
+    def get(self, name):
+        d = self.lookup(name)
+        if d is None:
+            raise JSError(f"ReferenceError: {name} is not defined")
+        return d[name]
+
+    def set(self, name, value):
+        d = self.lookup(name)
+        if d is None:
+            # implicit global (sloppy mode)
+            e = self
+            while e.parent is not None:
+                e = e.parent
+            e.vars[name] = value
+        else:
+            d[name] = value
+
+    def declare(self, name, value):
+        self.vars[name] = value
+
+
+def truthy(v) -> bool:
+    if v is None or v is UNDEFINED:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return v != 0 and not math.isnan(v)
+    if isinstance(v, str):
+        return len(v) > 0
+    return True
+
+
+def js_num(v) -> float:
+    if isinstance(v, bool):
+        return 1.0 if v else 0.0
+    if isinstance(v, float):
+        return v
+    if isinstance(v, str):
+        try:
+            return float(v) if v.strip() else 0.0
+        except ValueError:
+            return float("nan")
+    if v is None:
+        return 0.0
+    return float("nan")
+
+
+def js_str(v) -> str:
+    if isinstance(v, str):
+        return v
+    if v is UNDEFINED:
+        return "undefined"
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e21:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, JSArray):
+        return ",".join("" if x in (None, UNDEFINED) else js_str(x) for x in v)
+    if isinstance(v, JSObject):
+        return "[object Object]"
+    if isinstance(v, (JSFunction,)) or callable(v):
+        return f"function {getattr(v, 'name', '') or ''}() {{ ... }}"
+    return str(v)
+
+
+def js_repr(v) -> str:
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, JSArray):
+        return "[" + ", ".join(js_repr(x) for x in v) + "]"
+    if isinstance(v, JSObject):
+        return "{" + ", ".join(f"{k}: {js_repr(x)}" for k, x in v.props.items()) + "}"
+    if isinstance(v, JSMap):
+        return "Map(" + str(len(v.d)) + ")"
+    return js_str(v)
+
+
+def strict_eq(a, b) -> bool:
+    if a is UNDEFINED or b is UNDEFINED:
+        return a is b
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b
+    if isinstance(a, str) and isinstance(b, str):
+        return a == b
+    return a is b
+
+
+def loose_eq(a, b) -> bool:
+    nullish_a = a is None or a is UNDEFINED
+    nullish_b = b is None or b is UNDEFINED
+    if nullish_a or nullish_b:
+        return nullish_a and nullish_b
+    if isinstance(a, str) and isinstance(b, float):
+        return js_num(a) == b
+    if isinstance(a, float) and isinstance(b, str):
+        return a == js_num(b)
+    if isinstance(a, bool) or isinstance(b, bool):
+        return js_num(a) == js_num(b)
+    return strict_eq(a, b)
+
+
+def _to_key(v) -> Any:
+    """Map keys: JS Map uses same-value-zero; we use hashable natives and
+    identity for objects."""
+    if isinstance(v, (str, float, bool)) or v is None or v is UNDEFINED:
+        return v
+    return id(v)
+
+
+class Interpreter:
+    def __init__(self, extra_globals: Optional[Dict[str, Any]] = None):
+        self.globals = Environment()
+        self._install_builtins()
+        self.timers: List[Tuple[float, Any]] = []  # (delay_ms, callback)
+        if extra_globals:
+            for k, v in extra_globals.items():
+                self.globals.declare(k, v)
+
+    # -- public --------------------------------------------------------------
+
+    def run(self, src: str):
+        ast = parse(src)
+        return self.exec_block(ast[1], self.globals)
+
+    def run_timers(self):
+        """Fire queued setTimeout callbacks (in delay order), once."""
+        timers = sorted(self.timers, key=lambda t: t[0])
+        self.timers = []
+        for _, cb in timers:
+            self.call_any(cb, [])
+
+    def call_any(self, fn, args, this=UNDEFINED):
+        if isinstance(fn, JSFunction):
+            return self.call_function(fn, args, this)
+        if callable(fn):
+            return fn(*args)
+        raise JSError(f"TypeError: {js_repr(fn)} is not a function")
+
+    # -- builtins --------------------------------------------------------------
+
+    def _install_builtins(self):
+        g = self.globals
+
+        def _log(*args):
+            return UNDEFINED
+
+        console = JSObject({"log": _log, "warn": _log, "error": _log, "info": _log})
+        g.declare("console", console)
+        g.declare("undefined", UNDEFINED)
+        g.declare("NaN", float("nan"))
+        g.declare("Infinity", float("inf"))
+        g.declare("globalThis", JSObject({}))
+
+        mathobj = JSObject({
+            "max": lambda *a: max((js_num(x) for x in a), default=-float("inf")),
+            "min": lambda *a: min((js_num(x) for x in a), default=float("inf")),
+            "abs": lambda x=0.0: abs(js_num(x)),
+            "floor": lambda x=0.0: float(math.floor(js_num(x))),
+            "ceil": lambda x=0.0: float(math.ceil(js_num(x))),
+            "round": lambda x=0.0: float(math.floor(js_num(x) + 0.5)),
+            "trunc": lambda x=0.0: float(math.trunc(js_num(x))),
+            "sqrt": lambda x=0.0: math.sqrt(js_num(x)),
+            "pow": lambda a=0.0, b=0.0: js_num(a) ** js_num(b),
+            "sin": lambda x=0.0: math.sin(js_num(x)),
+            "cos": lambda x=0.0: math.cos(js_num(x)),
+            "atan2": lambda a=0.0, b=0.0: math.atan2(js_num(a), js_num(b)),
+            "hypot": lambda *a: math.hypot(*(js_num(x) for x in a)),
+            "log10": lambda x=0.0: math.log10(js_num(x)),
+            "log2": lambda x=0.0: math.log2(js_num(x)),
+            "log": lambda x=0.0: math.log(js_num(x)),
+            "sign": lambda x=0.0: float((js_num(x) > 0) - (js_num(x) < 0)),
+            "random": lambda: 0.5,  # deterministic for tests
+            "PI": math.pi,
+            "E": math.e,
+        })
+        g.declare("Math", mathobj)
+
+        def _json_stringify(v, *_a):
+            return json.dumps(_to_python(v))
+
+        def _json_parse(s):
+            return _from_python(json.loads(s))
+
+        g.declare("JSON", JSObject({"stringify": _json_stringify, "parse": _json_parse}))
+
+        def _object_keys(o):
+            if isinstance(o, JSObject):
+                return JSArray(o.props.keys())
+            if isinstance(o, JSArray):
+                return JSArray(str(i) for i in range(len(o)))
+            return JSArray()
+
+        def _object_values(o):
+            if isinstance(o, JSObject):
+                return JSArray(o.props.values())
+            return JSArray()
+
+        def _object_entries(o):
+            if isinstance(o, JSObject):
+                return JSArray(JSArray([k, v]) for k, v in o.props.items())
+            return JSArray()
+
+        def _object_assign(target, *srcs):
+            for s in srcs:
+                if isinstance(s, JSObject):
+                    target.props.update(s.props)
+            return target
+
+        def _object_freeze(o):
+            return o
+
+        g.declare("Object", JSObject({
+            "keys": _object_keys, "values": _object_values,
+            "entries": _object_entries, "assign": _object_assign,
+            "freeze": _object_freeze,
+            "fromEntries": lambda pairs: JSObject(
+                {js_str(k): v for k, v in (tuple(p) for p in pairs)}
+            ),
+        }))
+
+        def _array_isarray(v):
+            return isinstance(v, JSArray)
+
+        def _array_from(v, fn=None):
+            items = list(_iterate(v))
+            if fn is not None:
+                items = [self.call_any(fn, [x, float(i)]) for i, x in enumerate(items)]
+            return JSArray(items)
+
+        g.declare("Array", JSObject({"isArray": _array_isarray, "from": _array_from,
+                                     "of": lambda *a: JSArray(a)}))
+        g.declare("Number", JSObject({
+            "isInteger": lambda v=UNDEFINED: isinstance(v, float) and v.is_integer(),
+            "isFinite": lambda v=UNDEFINED: isinstance(v, float) and math.isfinite(v),
+            "isNaN": lambda v=UNDEFINED: isinstance(v, float) and math.isnan(v),
+            "parseFloat": lambda s="": js_num(s),
+            "MAX_SAFE_INTEGER": float(2**53 - 1),
+        }))
+        g.declare("String", lambda v=UNDEFINED: js_str(v))
+        g.declare("Boolean", lambda v=UNDEFINED: truthy(v))
+        g.declare("parseInt", lambda s="", base=10.0: _parse_int(s, base))
+        g.declare("parseFloat", lambda s="": js_num(s))
+        g.declare("isNaN", lambda v=UNDEFINED: math.isnan(js_num(v)))
+        g.declare("isFinite", lambda v=UNDEFINED: math.isfinite(js_num(v)))
+
+        g.declare("Map", _MapCtor)
+        g.declare("Set", _SetCtor)
+        g.declare("Error", _ErrorCtor)
+        g.declare("TypeError", _ErrorCtor)
+        g.declare("RangeError", _ErrorCtor)
+
+        def _set_timeout(cb, delay=0.0, *a):
+            self.timers.append((js_num(delay), cb))
+            return float(len(self.timers))
+
+        g.declare("setTimeout", _set_timeout)
+        g.declare("clearTimeout", lambda *_a: UNDEFINED)
+
+    # -- statements ------------------------------------------------------------
+
+    def exec_block(self, stmts, env):
+        # hoist function declarations
+        for st in stmts:
+            if st[0] == "funcdecl":
+                env.declare(st[1], JSFunction(st[1], st[2], st[3], env, self))
+        result = UNDEFINED
+        for st in stmts:
+            result = self.exec_stmt(st, env)
+        return result
+
+    def exec_stmt(self, node, env):
+        k = node[0]
+        if k == "expr":
+            return self.eval(node[1], env)
+        if k == "var":
+            for target, init in node[2]:
+                val = self.eval(init, env) if init is not None else UNDEFINED
+                self.bind_pattern(target, val, env, declare=True)
+            return UNDEFINED
+        if k == "funcdecl":
+            return UNDEFINED  # hoisted
+        if k == "block":
+            return self.exec_block(node[1], Environment(env))
+        if k == "if":
+            if truthy(self.eval(node[1], env)):
+                return self.exec_stmt(node[2], Environment(env))
+            if node[3] is not None:
+                return self.exec_stmt(node[3], Environment(env))
+            return UNDEFINED
+        if k == "while":
+            while truthy(self.eval(node[1], env)):
+                try:
+                    self.exec_stmt(node[2], Environment(env))
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNDEFINED
+        if k == "dowhile":
+            while True:
+                try:
+                    self.exec_stmt(node[2], Environment(env))
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if not truthy(self.eval(node[1], env)):
+                    break
+            return UNDEFINED
+        if k == "for":
+            _, init, cond, step, body = node
+            loop_env = Environment(env)
+            if init is not None:
+                self.exec_stmt(init, loop_env)
+            while cond is None or truthy(self.eval(cond, loop_env)):
+                try:
+                    self.exec_stmt(body, Environment(loop_env))
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                if step is not None:
+                    self.eval(step, loop_env)
+            return UNDEFINED
+        if k == "forof":
+            _, declkind, target, it_expr, body = node
+            it = self.eval(it_expr, env)
+            for item in _iterate(it):
+                loop_env = Environment(env)
+                self.bind_pattern(target, item, loop_env, declare=True)
+                try:
+                    self.exec_stmt(body, loop_env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNDEFINED
+        if k == "forin":
+            _, declkind, target, it_expr, body = node
+            it = self.eval(it_expr, env)
+            keys = (
+                list(it.props.keys()) if isinstance(it, JSObject)
+                else [str(i) for i in range(len(it))] if isinstance(it, JSArray)
+                else []
+            )
+            for key_ in keys:
+                loop_env = Environment(env)
+                self.bind_pattern(target, key_, loop_env, declare=True)
+                try:
+                    self.exec_stmt(body, loop_env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNDEFINED
+        if k == "return":
+            raise _Return(self.eval(node[1], env) if node[1] is not None else UNDEFINED)
+        if k == "break":
+            raise _Break()
+        if k == "continue":
+            raise _Continue()
+        if k == "throw":
+            raise JSError(self.eval(node[1], env))
+        if k == "try":
+            _, block, handler, finalizer = node
+            try:
+                self.exec_stmt(block, Environment(env))
+            except JSError as e:
+                if handler is not None:
+                    henv = Environment(env)
+                    if handler[0] is not None:
+                        self.bind_pattern(handler[0], e.value, henv, declare=True)
+                    self.exec_stmt(handler[1], henv)
+                elif finalizer is None:
+                    raise
+            finally:
+                if finalizer is not None:
+                    self.exec_stmt(finalizer, Environment(env))
+            return UNDEFINED
+        if k == "switch":
+            _, disc_expr, cases = node
+            disc = self.eval(disc_expr, env)
+            senv = Environment(env)
+            matched = False
+            try:
+                for test, body in cases:
+                    if not matched and test is not None and strict_eq(
+                        self.eval(test, senv), disc
+                    ):
+                        matched = True
+                    if matched:
+                        self.exec_block(body, senv)
+                if not matched:
+                    take = False
+                    for test, body in cases:
+                        if test is None:
+                            take = True
+                        if take:
+                            self.exec_block(body, senv)
+            except _Break:
+                pass
+            return UNDEFINED
+        if k == "empty":
+            return UNDEFINED
+        if k == "class":
+            raise JSError("classes are outside the jsmini interpreter subset")
+        raise JSError(f"unsupported statement {k}")
+
+    # -- patterns ------------------------------------------------------------
+
+    def bind_pattern(self, pat, value, env, declare=False):
+        k = pat[0]
+        if k == "name":
+            if declare:
+                env.declare(pat[1], value)
+            else:
+                env.set(pat[1], value)
+            return
+        if k == "member":
+            obj = self.eval(pat[1], env)
+            self.set_member(obj, pat[2], value)
+            return
+        if k == "index":
+            obj = self.eval(pat[1], env)
+            idx = self.eval(pat[2], env)
+            self.set_index(obj, idx, value)
+            return
+        if k == "default":
+            if value is UNDEFINED:
+                value = self.eval(pat[2], env)
+            self.bind_pattern(pat[1], value, env, declare)
+            return
+        if k == "arraypat":
+            items = list(_iterate(value)) if value not in (None, UNDEFINED) else []
+            i = 0
+            for sub in pat[1]:
+                if sub is None:
+                    i += 1
+                    continue
+                if sub[0] == "rest":
+                    self.bind_pattern(sub[1], JSArray(items[i:]), env, declare)
+                    break
+                self.bind_pattern(sub, items[i] if i < len(items) else UNDEFINED, env, declare)
+                i += 1
+            return
+        if k == "objpat":
+            for name, sub in pat[1]:
+                v = self.get_member(value, name) if value not in (None, UNDEFINED) else UNDEFINED
+                self.bind_pattern(sub, v, env, declare)
+            return
+        raise JSError(f"unsupported pattern {k}")
+
+    # -- expressions -----------------------------------------------------------
+
+    def eval(self, node, env):
+        k = node[0]
+        if k == "num":
+            return node[1]
+        if k == "str":
+            return node[1]
+        if k == "bool":
+            return node[1]
+        if k == "null":
+            return None
+        if k == "undefined":
+            return UNDEFINED
+        if k == "name":
+            return env.get(node[1])
+        if k == "this":
+            d = env.lookup("this")
+            return d["this"] if d else UNDEFINED
+        if k == "template":
+            out = []
+            for kind, payload in node[1]:
+                if kind == "str":
+                    out.append(payload)
+                else:
+                    sub = Parser(payload).expression()
+                    out.append(js_str(self.eval(sub, env)))
+            return "".join(out)
+        if k == "array":
+            items = []
+            for e in node[1]:
+                if e[0] == "spread":
+                    items.extend(_iterate(self.eval(e[1], env)))
+                else:
+                    items.append(self.eval(e, env))
+            return JSArray(items)
+        if k == "object":
+            obj = JSObject()
+            for p in node[1]:
+                if p[0] == "spread":
+                    src = self.eval(p[1], env)
+                    if isinstance(src, JSObject):
+                        obj.props.update(src.props)
+                    continue
+                _, key, vexpr, computed = p
+                key_s = js_str(self.eval(key, env)) if computed else key
+                val = self.eval(vexpr, env)
+                if isinstance(val, JSFunction) and val.name is None:
+                    val.name = key_s
+                obj.props[key_s] = val
+            return obj
+        if k in ("func", "funcdecl"):
+            return JSFunction(node[1], node[2], node[3], env, self)
+        if k == "arrow":
+            d = env.lookup("this")
+            return JSFunction(None, node[1], node[2], env, self, is_arrow=True,
+                              this=d["this"] if d else UNDEFINED)
+        if k == "binop":
+            return self.binop(node[1], node[2], node[3], env)
+        if k == "unary":
+            return self.unary_op(node[1], node[2], env)
+        if k == "update":
+            _, op, target, prefix = node
+            old = js_num(self.eval(target, env))
+            new = old + (1.0 if op == "++" else -1.0)
+            self.assign_to(target, new, env)
+            return new if prefix else old
+        if k == "assign":
+            _, op, target, rhs = node
+            if op == "=":
+                val = self.eval(rhs, env)
+                self.bind_pattern(_expr_to_pattern(target), val, env, declare=False)
+                return val
+            if op in ("&&=", "||=", "??="):
+                cur = self.eval(target, env)
+                if op == "&&=" and not truthy(cur):
+                    return cur
+                if op == "||=" and truthy(cur):
+                    return cur
+                if op == "??=" and cur not in (None, UNDEFINED):
+                    return cur
+                val = self.eval(rhs, env)
+                self.assign_to(target, val, env)
+                return val
+            cur = self.eval(target, env)
+            val = self.binop_values(op[:-1], cur, self.eval(rhs, env))
+            self.assign_to(target, val, env)
+            return val
+        if k == "cond":
+            return self.eval(node[2] if truthy(self.eval(node[1], env)) else node[3], env)
+        if k == "comma":
+            self.eval(node[1], env)
+            return self.eval(node[2], env)
+        if k == "member":
+            return self.get_member(self.eval(node[1], env), node[2])
+        if k == "optmember":
+            base = self.eval(node[1], env)
+            if base in (None, UNDEFINED):
+                return UNDEFINED
+            return self.get_member(base, node[2])
+        if k == "index":
+            return self.get_index(self.eval(node[1], env), self.eval(node[2], env))
+        if k == "call":
+            return self.eval_call(node, env)
+        if k == "optcall":
+            fn = self.eval(node[1], env)
+            if fn in (None, UNDEFINED):
+                return UNDEFINED
+            args = self._eval_args(node[2], env)
+            return self.call_any(fn, args)
+        if k == "new":
+            ctor = self.eval(node[1], env)
+            args = self._eval_args(node[2], env)
+            if ctor in (_MapCtor, _SetCtor, _ErrorCtor):
+                return ctor(*args)
+            if isinstance(ctor, JSFunction):
+                obj = JSObject()
+                self.call_function(ctor, args, obj)
+                return obj
+            if callable(ctor):
+                return ctor(*args)
+            raise JSError("TypeError: not a constructor")
+        if k == "regex":
+            raise JSError("regex literals are outside the jsmini interpreter subset")
+        raise JSError(f"unsupported expression {k}")
+
+    def _eval_args(self, arg_nodes, env):
+        args = []
+        for a in arg_nodes:
+            if a[0] == "spread":
+                args.extend(_iterate(self.eval(a[1], env)))
+            else:
+                args.append(self.eval(a, env))
+        return args
+
+    def eval_call(self, node, env):
+        _, callee, arg_nodes = node
+        args = self._eval_args(arg_nodes, env)
+        if callee[0] in ("member", "optmember"):
+            base = self.eval(callee[1], env)
+            if callee[0] == "optmember" and base in (None, UNDEFINED):
+                return UNDEFINED
+            method = self.get_member(base, callee[2])
+            if method is UNDEFINED:
+                raise JSError(
+                    f"TypeError: {js_repr(base)[:40]}.{callee[2]} is not a function"
+                )
+            if isinstance(method, JSFunction):
+                return self.call_function(method, args, base)
+            return method(*args)
+        if callee[0] == "index":
+            base = self.eval(callee[1], env)
+            method = self.get_index(base, self.eval(callee[2], env))
+            if isinstance(method, JSFunction):
+                return self.call_function(method, args, base)
+            return method(*args)
+        fn = self.eval(callee, env)
+        return self.call_any(fn, args)
+
+    def call_function(self, fn: JSFunction, args, this=UNDEFINED):
+        env = Environment(fn.env)
+        env.declare("this", fn.this if fn.is_arrow else this)
+        env.declare("arguments", JSArray(args))
+        i = 0
+        for p in fn.params:
+            if p[0] == "rest":
+                self.bind_pattern(p[1], JSArray(args[i:]), env, declare=True)
+                break
+            self.bind_pattern(p, args[i] if i < len(args) else UNDEFINED, env, declare=True)
+            i += 1
+        body = fn.body
+        try:
+            if body[0] == "return":  # expression-bodied arrow
+                return self.eval(body[1], env)
+            self.exec_stmt(body, env)
+        except _Return as r:
+            return r.value
+        return UNDEFINED
+
+    # -- operators -------------------------------------------------------------
+
+    def binop(self, op, ln, rn, env):
+        if op == "&&":
+            l = self.eval(ln, env)
+            return self.eval(rn, env) if truthy(l) else l
+        if op == "||":
+            l = self.eval(ln, env)
+            return l if truthy(l) else self.eval(rn, env)
+        if op == "??":
+            l = self.eval(ln, env)
+            return self.eval(rn, env) if l in (None, UNDEFINED) else l
+        return self.binop_values(op, self.eval(ln, env), self.eval(rn, env))
+
+    def binop_values(self, op, a, b):
+        if op == "+":
+            if isinstance(a, str) or isinstance(b, str):
+                return js_str(a) + js_str(b)
+            return js_num(a) + js_num(b)
+        if op == "-":
+            return js_num(a) - js_num(b)
+        if op == "*":
+            return js_num(a) * js_num(b)
+        if op == "/":
+            d = js_num(b)
+            n = js_num(a)
+            if d == 0:
+                return float("nan") if n == 0 else math.copysign(float("inf"), n) * math.copysign(1, d)
+            return n / d
+        if op == "%":
+            d = js_num(b)
+            return float("nan") if d == 0 else math.fmod(js_num(a), d)
+        if op == "**":
+            return js_num(a) ** js_num(b)
+        if op == "===":
+            return strict_eq(a, b)
+        if op == "!==":
+            return not strict_eq(a, b)
+        if op == "==":
+            return loose_eq(a, b)
+        if op == "!=":
+            return not loose_eq(a, b)
+        if op in ("<", ">", "<=", ">="):
+            if isinstance(a, str) and isinstance(b, str):
+                pass
+            else:
+                a, b = js_num(a), js_num(b)
+                if math.isnan(a) or math.isnan(b):
+                    return False
+            return {"<": a < b, ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+        if op in ("&", "|", "^", "<<", ">>", ">>>"):
+            ia, ib = _to_int32(a), _to_int32(b)
+            if op == "&":
+                return float(ia & ib)
+            if op == "|":
+                return float(ia | ib)
+            if op == "^":
+                return float(ia ^ ib)
+            if op == "<<":
+                return float(_wrap_int32(ia << (ib & 31)))
+            if op == ">>":
+                return float(ia >> (ib & 31))
+            if op == ">>>":
+                return float((ia & 0xFFFFFFFF) >> (ib & 31))
+        if op == "instanceof":
+            if b is _MapCtor:
+                return isinstance(a, JSMap)
+            if b is _SetCtor:
+                return isinstance(a, JSSet)
+            if b is _ErrorCtor:
+                return isinstance(a, JSObject) and "message" in a.props
+            return False
+        if op == "in":
+            if isinstance(b, JSObject):
+                return js_str(a) in b.props
+            if isinstance(b, JSArray):
+                return js_num(a) < len(b)
+            return False
+        raise JSError(f"unsupported operator {op}")
+
+    def unary_op(self, op, operand, env):
+        if op == "typeof":
+            try:
+                v = self.eval(operand, env)
+            except JSError:
+                return "undefined"
+            if v is UNDEFINED:
+                return "undefined"
+            if v is None:
+                return "object"
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, float):
+                return "number"
+            if isinstance(v, str):
+                return "string"
+            if isinstance(v, JSFunction) or callable(v):
+                return "function"
+            return "object"
+        if op == "delete":
+            if operand[0] == "member":
+                obj = self.eval(operand[1], env)
+                if isinstance(obj, JSObject):
+                    obj.props.pop(operand[2], None)
+                return True
+            if operand[0] == "index":
+                obj = self.eval(operand[1], env)
+                idx = self.eval(operand[2], env)
+                if isinstance(obj, JSObject):
+                    obj.props.pop(js_str(idx), None)
+                return True
+            return True
+        v = self.eval(operand, env)
+        if op == "!":
+            return not truthy(v)
+        if op == "-":
+            return -js_num(v)
+        if op == "+":
+            return js_num(v)
+        if op == "~":
+            return float(_wrap_int32(~_to_int32(v)))
+        if op == "void":
+            return UNDEFINED
+        if op == "await":
+            return v  # no event loop: promises resolve synchronously or not at all
+        raise JSError(f"unsupported unary {op}")
+
+    def assign_to(self, target, value, env):
+        if target[0] == "name":
+            env.set(target[1], value)
+        elif target[0] == "member":
+            self.set_member(self.eval(target[1], env), target[2], value)
+        elif target[0] == "index":
+            self.set_index(self.eval(target[1], env), self.eval(target[2], env), value)
+        else:
+            raise JSError("invalid assignment target")
+
+    # -- member access -----------------------------------------------------------
+
+    def get_member(self, base, name):
+        if base is None or base is UNDEFINED:
+            raise JSError(f"TypeError: cannot read {name!r} of {js_str(base)}")
+        if isinstance(base, JSObject):
+            if name in base.props:
+                return base.props[name]
+            return UNDEFINED
+        if isinstance(base, JSArray):
+            return _array_member(self, base, name)
+        if isinstance(base, str):
+            return _string_member(self, base, name)
+        if isinstance(base, JSMap):
+            return _map_member(self, base, name)
+        if isinstance(base, JSSet):
+            return _set_member(self, base, name)
+        if isinstance(base, float):
+            if name == "toFixed":
+                return lambda nd=0.0: f"{base:.{int(nd)}f}"
+            if name == "toString":
+                return lambda *a: js_str(base)
+            return UNDEFINED
+        if isinstance(base, bool):
+            return UNDEFINED
+        if callable(base):
+            if name == "call":
+                return lambda this=UNDEFINED, *a: self.call_any(base, list(a), this)
+            if name == "apply":
+                return lambda this=UNDEFINED, a=None: self.call_any(
+                    base, list(a or []), this
+                )
+            if name == "bind":
+                def bound(this=UNDEFINED, *pre):
+                    return lambda *a: self.call_any(base, list(pre) + list(a), this)
+                return bound
+            if name == "name":
+                return getattr(base, "name", "") or ""
+            return UNDEFINED
+        return UNDEFINED
+
+    def set_member(self, base, name, value):
+        if isinstance(base, JSObject):
+            base.props[name] = value
+            return
+        if isinstance(base, JSArray) and name == "length":
+            n = int(js_num(value))
+            del base[n:]
+            return
+        raise JSError(f"TypeError: cannot set {name!r} on {js_repr(base)[:40]}")
+
+    def get_index(self, base, idx):
+        if isinstance(base, JSArray):
+            if isinstance(idx, float) and idx.is_integer():
+                i = int(idx)
+                return base[i] if 0 <= i < len(base) else UNDEFINED
+            return self.get_member(base, js_str(idx))
+        if isinstance(base, str):
+            if isinstance(idx, float) and idx.is_integer():
+                i = int(idx)
+                return base[i] if 0 <= i < len(base) else UNDEFINED
+            return self.get_member(base, js_str(idx))
+        if isinstance(base, JSObject):
+            return base.props.get(js_str(idx), UNDEFINED)
+        return self.get_member(base, js_str(idx))
+
+    def set_index(self, base, idx, value):
+        if isinstance(base, JSArray) and isinstance(idx, float) and idx.is_integer():
+            i = int(idx)
+            while len(base) <= i:
+                base.append(UNDEFINED)
+            base[i] = value
+            return
+        if isinstance(base, JSObject):
+            base.props[js_str(idx)] = value
+            return
+        raise JSError("TypeError: cannot index-assign")
+
+
+def _parse_int(s, base=10.0):
+    try:
+        return float(int(js_str(s).strip() or "x", int(base)))
+    except ValueError:
+        m = re.match(r"\s*[+-]?[0-9]+", js_str(s))
+        return float(int(m.group(0))) if m else float("nan")
+
+
+def _to_int32(v) -> int:
+    f = js_num(v)
+    if math.isnan(f) or math.isinf(f):
+        return 0
+    return _wrap_int32(int(f))
+
+
+def _wrap_int32(i: int) -> int:
+    i &= 0xFFFFFFFF
+    return i - 0x100000000 if i >= 0x80000000 else i
+
+
+def _iterate(v):
+    if isinstance(v, JSArray):
+        return list(v)
+    if isinstance(v, str):
+        return list(v)
+    if isinstance(v, JSMap):
+        return [JSArray([k, val]) for k, val in v.d.items()]
+    if isinstance(v, JSSet):
+        return list(v.s)
+    if isinstance(v, JSObject):
+        raise JSError("TypeError: object is not iterable")
+    if v in (None, UNDEFINED):
+        raise JSError("TypeError: undefined is not iterable")
+    return []
+
+
+def _MapCtor(items=None):
+    if items is not None:
+        return JSMap([(tuple(_iterate(p))[0], tuple(_iterate(p))[1]) for p in _iterate(items)])
+    return JSMap()
+
+
+def _SetCtor(items=None):
+    return JSSet(_iterate(items) if items is not None else None)
+
+
+def _ErrorCtor(message=""):
+    return JSObject({"message": js_str(message), "name": "Error",
+                     "stack": ""})
+
+
+def _array_member(interp, arr: JSArray, name):
+    if name == "length":
+        return float(len(arr))
+    def method(fn):
+        fn.name = name
+        return fn
+    if name == "push":
+        def push(*a):
+            arr.extend(a)
+            return float(len(arr))
+        return push
+    if name == "pop":
+        return lambda: arr.pop() if arr else UNDEFINED
+    if name == "shift":
+        return lambda: arr.pop(0) if arr else UNDEFINED
+    if name == "unshift":
+        def unshift(*a):
+            arr[0:0] = a
+            return float(len(arr))
+        return unshift
+    if name == "map":
+        return lambda fn: JSArray(
+            interp.call_any(fn, [x, float(i), arr]) for i, x in enumerate(list(arr))
+        )
+    if name == "forEach":
+        def for_each(fn):
+            for i, x in enumerate(list(arr)):
+                interp.call_any(fn, [x, float(i), arr])
+            return UNDEFINED
+        return for_each
+    if name == "filter":
+        return lambda fn: JSArray(
+            x for i, x in enumerate(list(arr)) if truthy(interp.call_any(fn, [x, float(i), arr]))
+        )
+    if name == "find":
+        def find(fn):
+            for i, x in enumerate(list(arr)):
+                if truthy(interp.call_any(fn, [x, float(i), arr])):
+                    return x
+            return UNDEFINED
+        return find
+    if name == "findIndex":
+        def find_index(fn):
+            for i, x in enumerate(list(arr)):
+                if truthy(interp.call_any(fn, [x, float(i), arr])):
+                    return float(i)
+            return -1.0
+        return find_index
+    if name == "some":
+        return lambda fn: any(
+            truthy(interp.call_any(fn, [x, float(i), arr])) for i, x in enumerate(list(arr))
+        )
+    if name == "every":
+        return lambda fn: all(
+            truthy(interp.call_any(fn, [x, float(i), arr])) for i, x in enumerate(list(arr))
+        )
+    if name == "reduce":
+        def reduce(fn, *init):
+            items = list(arr)
+            if init:
+                acc = init[0]
+                start = 0
+            else:
+                acc = items[0]
+                start = 1
+            for i in range(start, len(items)):
+                acc = interp.call_any(fn, [acc, items[i], float(i), arr])
+            return acc
+        return reduce
+    if name == "join":
+        return lambda sep=",": js_str(sep).join(
+            "" if x in (None, UNDEFINED) else js_str(x) for x in arr
+        )
+    if name == "slice":
+        def slice_(start=0.0, end=None):
+            s = int(start)
+            e = len(arr) if end is None else int(end)
+            return JSArray(arr[s:e] if s >= 0 else arr[s:e])
+        return slice_
+    if name == "splice":
+        def splice(start=0.0, count=None, *items):
+            s = int(start)
+            c = len(arr) - s if count is None else int(count)
+            removed = JSArray(arr[s : s + c])
+            arr[s : s + c] = items
+            return removed
+        return splice
+    if name == "indexOf":
+        def index_of(v):
+            for i, x in enumerate(arr):
+                if strict_eq(x, v):
+                    return float(i)
+            return -1.0
+        return index_of
+    if name == "includes":
+        return lambda v: any(strict_eq(x, v) for x in arr)
+    if name == "concat":
+        def concat(*others):
+            out = JSArray(arr)
+            for o in others:
+                if isinstance(o, JSArray):
+                    out.extend(o)
+                else:
+                    out.append(o)
+            return out
+        return concat
+    if name == "reverse":
+        def reverse():
+            arr.reverse()
+            return arr
+        return reverse
+    if name == "sort":
+        def sort(fn=None):
+            import functools
+
+            if fn is None:
+                arr.sort(key=js_str)
+            else:
+                arr.sort(key=functools.cmp_to_key(
+                    lambda a, b: (lambda r: (r > 0) - (r < 0))(js_num(interp.call_any(fn, [a, b])))
+                ))
+            return arr
+        return sort
+    if name == "fill":
+        def fill(v, start=0.0, end=None):
+            e = len(arr) if end is None else int(end)
+            for i in range(int(start), e):
+                arr[i] = v
+            return arr
+        return fill
+    if name == "flat":
+        def flat(depth=1.0):
+            out = JSArray()
+            for x in arr:
+                if isinstance(x, JSArray) and depth >= 1:
+                    out.extend(x)
+                else:
+                    out.append(x)
+            return out
+        return flat
+    if name == "entries":
+        return lambda: JSArray(JSArray([float(i), x]) for i, x in enumerate(arr))
+    if name == "keys":
+        return lambda: JSArray(float(i) for i in range(len(arr)))
+    if name == "values":
+        return lambda: JSArray(arr)
+    return UNDEFINED
+
+
+def _string_member(interp, s: str, name):
+    if name == "length":
+        return float(len(s))
+    if name == "split":
+        def split(sep=UNDEFINED, limit=None):
+            if sep is UNDEFINED:
+                return JSArray([s])
+            parts = s.split(js_str(sep)) if sep != "" else list(s)
+            return JSArray(parts if limit is None else parts[: int(limit)])
+        return split
+    if name == "slice":
+        return lambda a=0.0, b=None: s[int(a): (None if b is None else int(b))]
+    if name == "substring":
+        def substring(a=0.0, b=None):
+            i = max(0, int(a))
+            j = len(s) if b is None else max(0, int(b))
+            if i > j:
+                i, j = j, i
+            return s[i:j]
+        return substring
+    if name == "toUpperCase":
+        return lambda: s.upper()
+    if name == "toLowerCase":
+        return lambda: s.lower()
+    if name == "trim":
+        return lambda: s.strip()
+    if name == "startsWith":
+        return lambda p, at=0.0: s.startswith(js_str(p), int(at))
+    if name == "endsWith":
+        return lambda p: s.endswith(js_str(p))
+    if name == "includes":
+        return lambda p: js_str(p) in s
+    if name == "indexOf":
+        return lambda p, at=0.0: float(s.find(js_str(p), int(at)))
+    if name == "lastIndexOf":
+        return lambda p: float(s.rfind(js_str(p)))
+    if name == "charAt":
+        return lambda i=0.0: s[int(i)] if 0 <= int(i) < len(s) else ""
+    if name == "charCodeAt":
+        return lambda i=0.0: float(ord(s[int(i)])) if 0 <= int(i) < len(s) else float("nan")
+    if name == "replace":
+        return lambda a, b: s.replace(js_str(a), js_str(b), 1)
+    if name == "replaceAll":
+        return lambda a, b: s.replace(js_str(a), js_str(b))
+    if name == "padStart":
+        return lambda n, fill=" ": s.rjust(int(n), js_str(fill)[:1] or " ")
+    if name == "padEnd":
+        return lambda n, fill=" ": s.ljust(int(n), js_str(fill)[:1] or " ")
+    if name == "repeat":
+        return lambda n: s * int(n)
+    if name == "concat":
+        return lambda *a: s + "".join(js_str(x) for x in a)
+    if name == "toString":
+        return lambda: s
+    return UNDEFINED
+
+
+def _map_member(interp, m: JSMap, name):
+    if name == "size":
+        return float(len(m.d))
+    if name == "get":
+        return lambda k: m.d.get(_to_key(k), UNDEFINED)
+    if name == "set":
+        def set_(k, v):
+            m.d[_to_key(k)] = v
+            return m
+        return set_
+    if name == "has":
+        return lambda k: _to_key(k) in m.d
+    if name == "delete":
+        return lambda k: m.d.pop(_to_key(k), _MISSING) is not _MISSING
+    if name == "clear":
+        return lambda: (m.d.clear(), UNDEFINED)[1]
+    if name == "forEach":
+        def for_each(fn):
+            for k, v in list(m.d.items()):
+                interp.call_any(fn, [v, k, m])
+            return UNDEFINED
+        return for_each
+    if name == "keys":
+        return lambda: JSArray(m.d.keys())
+    if name == "values":
+        return lambda: JSArray(m.d.values())
+    if name == "entries":
+        return lambda: JSArray(JSArray([k, v]) for k, v in m.d.items())
+    return UNDEFINED
+
+
+_MISSING = object()
+
+
+def _set_member(interp, st: JSSet, name):
+    if name == "size":
+        return float(len(st.s))
+    if name == "add":
+        def add(v):
+            if not any(strict_eq(x, v) for x in st.s):
+                st.s.append(v)
+            return st
+        return add
+    if name == "has":
+        return lambda v: any(strict_eq(x, v) for x in st.s)
+    if name == "delete":
+        def delete(v):
+            for i, x in enumerate(st.s):
+                if strict_eq(x, v):
+                    st.s.pop(i)
+                    return True
+            return False
+        return delete
+    if name == "forEach":
+        def for_each(fn):
+            for x in list(st.s):
+                interp.call_any(fn, [x, x, st])
+            return UNDEFINED
+        return for_each
+    if name == "clear":
+        return lambda: (st.s.clear(), UNDEFINED)[1]
+    return UNDEFINED
+
+
+def _to_python(v):
+    if v is UNDEFINED:
+        return None
+    if isinstance(v, JSArray):
+        return [_to_python(x) for x in v]
+    if isinstance(v, JSObject):
+        return {k: _to_python(x) for k, x in v.props.items() if x is not UNDEFINED}
+    if isinstance(v, float) and v.is_integer() and abs(v) < 2**53:
+        return int(v)
+    return v
+
+
+def _from_python(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, list):
+        return JSArray(_from_python(x) for x in v)
+    if isinstance(v, dict):
+        return JSObject({str(k): _from_python(x) for k, x in v.items()})
+    return v
+
+
+def evaluate(src: str, extra_globals: Optional[Dict[str, Any]] = None) -> Interpreter:
+    """Run a script; returns the Interpreter (globals inspectable)."""
+    interp = Interpreter(extra_globals)
+    interp.run(src)
+    return interp

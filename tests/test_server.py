@@ -232,3 +232,29 @@ def test_disambiguation_classify():
     assert listen.classify(b"SOURCE ") == listen.Protocol.ICECAST
     assert listen.classify(b"\x03abcdef") == listen.Protocol.RTMP
     assert listen.classify(b"GET / H") == listen.Protocol.HTTP
+
+
+def test_static_frontend_assets_served(server_port):
+    """index.html loads session_core.js before app.js; both assets serve."""
+    loop, port, _ = server_port
+
+    async def fetch(path):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        await writer.drain()
+        data = await reader.read(-1)
+        writer.close()
+        return data
+
+    async def go():
+        index = await fetch("/")
+        assert b"200 OK" in index
+        body = index.decode(errors="replace")
+        assert "session_core.js" in body and "app.js" in body
+        assert body.index("session_core.js") < body.index("app.js")
+        core = await fetch("/static/session_core.js")
+        assert b"makeSessionCore" in core
+        app = await fetch("/static/app.js")
+        assert b"session.core" in app
+
+    loop.run_until_complete(go())
