@@ -472,8 +472,12 @@ def main():
     )
 
     if run_all:
-        _emit({"metric": "config1_sine_amp_monitor", "value": round(bench_graph(build_config1_graph, seconds_audio=4.0, reps=2), 1), "unit": "x_realtime"})
-        _emit({"metric": "config2_mixer8_cascade", "value": round(bench_graph(build_config2_graph, seconds_audio=4.0, reps=2), 1), "unit": "x_realtime"})
+        v1 = bench_graph(build_config1_graph, reps=2)
+        # tiny graphs can dip under the slope-timing resolution floor
+        _emit({"metric": "config1_sine_amp_monitor",
+               "value": round(min(v1, 1e6), 1), "unit": "x_realtime",
+               "note": "clamped to measurement floor" if v1 > 1e6 else ""})
+        _emit({"metric": "config2_mixer8_cascade", "value": round(bench_graph(build_config2_graph, reps=2), 1), "unit": "x_realtime"})
         _emit({"metric": "config3_16stems_resample_eq", "value": round(bench_stems16(), 1), "unit": "x_realtime"})
         _emit({"metric": "video_blend_1080p", "value": round(bench_blend_1080p(), 1), "unit": "fps"})
         _emit({"metric": "config4_composite_720p_to_1080p", "value": round(bench_config4_composite(), 1), "unit": "fps"})

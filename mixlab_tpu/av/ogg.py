@@ -198,3 +198,133 @@ def parse_vorbis_comments(packet: bytes) -> Dict[str, str]:
             k, _, v = entry.partition("=")
             tags[k.upper()] = v
     return tags
+
+
+# ---------------------------------------------------------------------------
+# Ogg page writer (muxer) — TPU-build extension; the reference only reads
+# Ogg (codec/src/ogg.rs), but a writer lets the test suite construct real
+# Vorbis streams and completes the container layer.
+# ---------------------------------------------------------------------------
+
+
+def write_ogg_page(
+    serial: int,
+    sequence: int,
+    granule: int,
+    packets: List[bytes],
+    bos: bool = False,
+    eos: bool = False,
+    continued: bool = False,
+) -> bytes:
+    """One page holding whole packets (each packet must be < 255*255 bytes
+    unless it is the only one and continuation pages follow)."""
+    lacing = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        n = len(pkt)
+        while n >= 255:
+            lacing.append(255)
+            n -= 255
+        lacing.append(n)
+        body += pkt
+    header_type = (0x1 if continued else 0) | (0x2 if bos else 0) | (0x4 if eos else 0)
+    head = b"OggS" + struct.pack(
+        "<BBqIIIB",
+        0,
+        header_type,
+        granule,
+        serial & 0xFFFFFFFF,
+        sequence,
+        0,  # CRC placeholder
+        len(lacing),
+    ) + bytes(lacing)
+    raw = head + bytes(body)
+    crc = ogg_crc(raw)
+    return raw[:22] + struct.pack("<I", crc) + raw[26:]
+
+
+def write_ogg_stream(packets_with_granules, serial: int = 0x6D69786C) -> bytes:
+    """Mux (packet, granule) pairs into a single-logical-stream Ogg byte
+    string.  Packets larger than 255 lacing segments span pages with the
+    'continued' flag (RFC 3533 framing); a page's granule is that of the
+    last packet COMPLETED on it (-1 when none)."""
+    out = bytearray()
+    seq = 0
+    items = list(packets_with_granules)
+
+    def emit(lacing, body, granule, bos, eos, continued):
+        nonlocal seq, out
+        header_type = (0x1 if continued else 0) | (0x2 if bos else 0) | (0x4 if eos else 0)
+        head = b"OggS" + struct.pack(
+            "<BBqIIIB", 0, header_type, granule, serial & 0xFFFFFFFF, seq, 0,
+            len(lacing),
+        ) + bytes(lacing)
+        raw = head + bytes(body)
+        crc = ogg_crc(raw)
+        out += raw[:22] + struct.pack("<I", crc) + raw[26:]
+        seq += 1
+
+    lacing = bytearray()
+    body = bytearray()
+    page_granule = -1
+    continued = False
+    first_page = True
+
+    def flush(eos=False):
+        nonlocal lacing, body, page_granule, continued, first_page
+        emit(lacing, body, page_granule, first_page, eos, continued)
+        lacing = bytearray()
+        body = bytearray()
+        page_granule = -1
+        first_page = False
+        continued = False
+
+    for idx, (pkt, granule) in enumerate(items):
+        pos = 0
+        n = len(pkt)
+        while True:
+            # fill this page with as much of the packet as fits
+            while len(lacing) < 255:
+                take = min(255, n - pos)
+                lacing.append(take)
+                body += pkt[pos : pos + take]
+                pos += take
+                if take < 255:
+                    break  # packet completed on this page
+            completed = pos >= n and (len(lacing) == 0 or lacing[-1] < 255)
+            if completed:
+                page_granule = granule
+                # headers (granule 0 markers) get their own page boundary:
+                # BOS page carries only the first packet (Vorbis mandates it)
+                if idx == 0 or idx == len(items) - 1 or len(lacing) >= 255:
+                    flush(eos=(idx == len(items) - 1))
+                break
+            # page full mid-packet: flush and continue the packet
+            flush()
+            continued = True
+    if lacing:
+        flush(eos=True)
+    return bytes(out)
+
+
+def parse_xiph_extradata(extradata: bytes) -> List[bytes]:
+    """libavcodec-style xiph extradata -> the three Vorbis header packets."""
+    if not extradata or extradata[0] != 2:
+        raise OggError("not xiph-laced extradata")
+    pos = 1
+    sizes = []
+    for _ in range(2):
+        n = 0
+        while True:
+            b = extradata[pos]
+            pos += 1
+            n += b
+            if b < 255:
+                break
+        sizes.append(n)
+    out = []
+    for n in sizes:
+        out.append(extradata[pos : pos + n])
+        pos += n
+    out.append(extradata[pos:])
+    return out

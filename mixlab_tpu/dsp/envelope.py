@@ -41,9 +41,14 @@ _SENTINEL = -(2**31) + 1
 # The chunked two-pass implementation (envelope_chunked.py) measured slightly
 # SLOWER than these flat scans under low-variance timing (osc+env graph:
 # 4.2k vs 4.9k x realtime; earlier apparent wins were fetch-latency noise).
-# It stays available as the basis for a future Pallas kernel; set a finite
-# threshold to route large blocks to it.
+# It stays available as the reference formulation for the Pallas kernel.
 CHUNKED_THRESHOLD = float("inf")
+
+# Blocks at least this large route to the single-launch Pallas kernel on TPU
+# (dsp/envelope_pallas.py): one HBM read + one write instead of ~19
+# log-depth scan passes.  Realtime-sized blocks keep the flat scans (the
+# kernel's fixed cost only amortizes over big offline blocks).
+PALLAS_THRESHOLD = 32_768
 
 
 def _amp_on(ms_since_on, aux):
@@ -85,9 +90,15 @@ class EnvelopeDef(ModuleDef):
         x = expect_mono(inputs[0], S)
         ms_per_sample = 1000.0 / cfg.sample_rate
 
+        if S >= PALLAS_THRESHOLD and jax.default_backend() == "tpu":
+            from mixlab_tpu.dsp.envelope_pallas import envelope_block_pallas
+
+            out, new_state = envelope_block_pallas(x, state, aux, ms_per_sample)
+            return new_state, [out], {}
+
         if S >= CHUNKED_THRESHOLD:
-            # big offline blocks: chunked two-pass evaluation (2 HBM passes
-            # instead of ~19 log-depth scan passes; see envelope_chunked.py)
+            # chunked two-pass evaluation in plain XLA (2 HBM passes; see
+            # envelope_chunked.py) — superseded by the Pallas kernel on TPU
             from mixlab_tpu.dsp.envelope_chunked import run_block_chunked
 
             out, new_state = run_block_chunked(x, state, aux, ms_per_sample)

@@ -1,0 +1,284 @@
+"""ADSR envelope as ONE Pallas TPU kernel.
+
+The flat associative-scan formulation (dsp/envelope.py) costs ~19 log-depth
+HBM passes and was the flagship graph's costliest audio kernel; the chunked
+two-pass reformulation (dsp/envelope_chunked.py) has the right math but as
+XLA ops it pays per-step kernel launches.  This kernel fuses the whole
+thing into a single launch with the block resident in VMEM:
+
+  phase A  - C sequential steps of [1,K]-wide VPU work computing each
+             lane's symbolic dual-entry transfer record (entry mode unknown:
+             both machines run; `on`/`off`/`off_amp` may reference entry
+             state symbolically) — the math of envelope_chunked.py;
+  combine  - Hillis-Steele inclusive scan over the K lanes (log2 K
+             vectorized composition passes, VMEM-resident);
+  phase B  - C sequential steps emitting concrete outputs per lane.
+
+HBM traffic: one read of x, one write of out (the XLA path reads/writes
+~19x).  Semantics identical to dsp/envelope.py / src/module/envelope.rs,
+validated against the scalar oracle and the flat scans in
+tests/test_envelope_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mixlab_tpu.dsp.envelope_chunked import pick_lanes
+
+_POS_FLOOR = -(2**30)
+
+# amp record kinds (envelope_chunked.py)
+_K_CONC = 0   # off_amp is a concrete value
+_K_ENTRY = 1  # off_amp = entry.off_amp
+_K_ON = 2     # off_amp = ampOn(amp_pos - entry.on)
+
+_REC = ("mode", "on_sym", "on_pos", "off_sym", "off_pos", "ampk", "ampv", "ampp")
+
+
+def _amp_on(ms, attack, decay, sustain):
+    attack_amp = ms / attack
+    decay_amp = 1.0 - jnp.clip((ms - attack) / decay, 0.0, 1.0)
+    sustain_amp = sustain + (1.0 - sustain) * decay_amp
+    return jnp.where(ms < attack, attack_amp, sustain_amp)
+
+
+def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
+    C, K = x_ref.shape
+    attack = pf_ref[0]
+    decay = pf_ref[1]
+    sustain = pf_ref[2]
+    release = pf_ref[3]
+    msps = pf_ref[4]
+    ent_amp = pf_ref[5]
+    ent_mode = pi_ref[0]
+    ent_on = pi_ref[1]
+    ent_off = pi_ref[2]
+
+    amp_on = functools.partial(_amp_on, attack=attack, decay=decay, sustain=sustain)
+
+    def amp_on_at(pos, on):
+        return amp_on((pos - on).astype(jnp.float32) * msps)
+
+    lane_base = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) * C  # [1,K]
+
+    # ---- phase A: dual-machine symbolic records ---------------------------
+    # flags are int32 0/1 (Mosaic lowers 1-bit vectors poorly)
+    def initA():
+        rec = []
+        for m in (0, 1):
+            rec += [
+                jnp.full((1, K), m, dtype=jnp.int32),        # mode
+                jnp.ones((1, K), dtype=jnp.int32),           # on_sym
+                jnp.zeros((1, K), dtype=jnp.int32),          # on_pos
+                jnp.ones((1, K), dtype=jnp.int32),           # off_sym
+                jnp.zeros((1, K), dtype=jnp.int32),          # off_pos
+                jnp.full((1, K), _K_ENTRY, dtype=jnp.int32), # ampk
+                jnp.zeros((1, K), dtype=jnp.float32),        # ampv
+                jnp.zeros((1, K), dtype=jnp.int32),          # ampp
+            ]
+        return tuple(rec)
+
+    def stepA(c, rec):
+        xc = x_ref[pl.ds(c, 1), :]  # [1,K]
+        t = lane_base + c
+        out = []
+        for m in range(2):
+            mode, on_sym, on_pos, off_sym, off_pos, ampk, ampv, ampp = rec[m * 8 : m * 8 + 8]
+            rising = (mode == 0) & (xc == 1.0)
+            falling = (mode == 1) & (xc == 0.0)
+            conc_amp = amp_on_at(t, on_pos)
+            fall_conc = falling & (on_sym == 0)
+            fall_sym = falling & (on_sym == 1)
+            out += [
+                jnp.where(rising, 1, jnp.where(falling, 0, mode)),
+                jnp.where(rising, 0, on_sym),
+                jnp.where(rising, t, on_pos),
+                jnp.where(falling, 0, off_sym),
+                jnp.where(falling, t, off_pos),
+                jnp.where(fall_conc, _K_CONC, jnp.where(fall_sym, _K_ON, ampk)),
+                jnp.where(fall_conc, conc_amp, ampv),
+                jnp.where(fall_sym, t, ampp),
+            ]
+        return tuple(out)
+
+    rec = jax.lax.fori_loop(0, C, stepA, initA())
+
+    # ---- combine: Hillis-Steele over lanes --------------------------------
+    # prefix[k] = rec[k] ∘ ... ∘ rec[0]  (function composition, lane order)
+    def select(machine_pair, mode_sel):
+        """machine_pair: list of 16 arrays (2 machines x 8 fields);
+        mode_sel [1,K] bool — returns the 8 fields of the selected machine."""
+        take_b = mode_sel == 1
+        out = []
+        for f in range(8):
+            a = machine_pair[f]          # machine 0 (entry OFF)
+            b = machine_pair[8 + f]      # machine 1 (entry ON)
+            out.append(jnp.where(take_b, b, a))
+        return out
+
+    def substitute(g, f_exit):
+        """g's entry symbols resolved against f_exit (8-field records)."""
+        g_mode, g_on_sym, g_on_pos, g_off_sym, g_off_pos, g_ampk, g_ampv, g_ampp = g
+        f_mode, f_on_sym, f_on_pos, f_off_sym, f_off_pos, f_ampk, f_ampv, f_ampp = f_exit
+        o_mode = g_mode
+        g_on_s = g_on_sym == 1
+        g_off_s = g_off_sym == 1
+        o_on_sym = jnp.where(g_on_s, f_on_sym, 0)
+        o_on_pos = jnp.where(g_on_s, f_on_pos, g_on_pos)
+        o_off_sym = jnp.where(g_off_s, f_off_sym, 0)
+        o_off_pos = jnp.where(g_off_s, f_off_pos, g_off_pos)
+        g_k0 = g_ampk == _K_CONC
+        g_k1 = g_ampk == _K_ENTRY
+        k2_conc = (g_ampk == _K_ON) & (f_on_sym == 0)
+        k2_val = amp_on_at(g_ampp, f_on_pos)
+        o_ampk = jnp.where(
+            g_k0, _K_CONC,
+            jnp.where(g_k1, f_ampk, jnp.where(k2_conc, _K_CONC, _K_ON)),
+        )
+        o_ampv = jnp.where(
+            g_k0, g_ampv, jnp.where(g_k1, f_ampv, jnp.where(k2_conc, k2_val, 0.0))
+        )
+        o_ampp = jnp.where(g_k1, f_ampp, g_ampp)
+        return [o_mode, o_on_sym, o_on_pos, o_off_sym, o_off_pos, o_ampk, o_ampv, o_ampp]
+
+    def compose(f_pair, g_pair):
+        """(g ∘ f) per entry machine; 16-array lists."""
+        out = []
+        for m in range(2):
+            f_exit = f_pair[m * 8 : m * 8 + 8]
+            g_sel = select(g_pair, f_exit[0])
+            out += substitute(g_sel, f_exit)
+        return out
+
+    identity_pair = initA
+
+    prefix = list(rec)
+    ident = identity_pair()
+    s = 1
+    while s < K:
+        shifted = [
+            jnp.concatenate([ident[f][:, :s], prefix[f][:, : K - s]], axis=1)
+            for f in range(16)
+        ]
+        prefix = compose(shifted, prefix)
+        s *= 2
+
+    # ---- entries per lane: apply prefix[k-1] to E0 -------------------------
+    def apply_entry(pair, e_mode, e_on, e_off, e_amp):
+        selr = select(pair, e_mode)
+        mode, on_sym, on_pos, off_sym, off_pos, ampk, ampv, ampp = selr
+        on = jnp.where(on_sym == 1, e_on, on_pos)
+        off = jnp.where(off_sym == 1, e_off, off_pos)
+        amp = jnp.where(
+            ampk == _K_CONC, ampv,
+            jnp.where(ampk == _K_ENTRY, e_amp, amp_on_at(ampp, e_on)),
+        )
+        return mode, on, off, amp
+
+    e_mode0 = jnp.full((1, K), ent_mode, dtype=jnp.int32)
+    e_on0 = jnp.full((1, K), ent_on, dtype=jnp.int32)
+    e_off0 = jnp.full((1, K), ent_off, dtype=jnp.int32)
+    e_amp0 = jnp.full((1, K), ent_amp, dtype=jnp.float32)
+    ap_mode, ap_on, ap_off, ap_amp = apply_entry(prefix, e_mode0, e_on0, e_off0, e_amp0)
+
+    # entry of lane k = exit of lane k-1 (lane 0 = E0): shift right by one
+    def shift1(applied, e0):
+        return jnp.concatenate([e0[:, :1], applied[:, : K - 1]], axis=1)
+
+    st_mode = shift1(ap_mode, e_mode0)
+    st_on = shift1(ap_on, e_on0)
+    st_off = shift1(ap_off, e_off0)
+    st_amp = shift1(ap_amp, e_amp0)
+
+    # exit state of the whole block = exit of last lane
+    exit_i_ref[0, 0] = ap_mode[0, K - 1]
+    exit_i_ref[0, 1] = ap_on[0, K - 1]
+    exit_i_ref[0, 2] = ap_off[0, K - 1]
+    exit_f_ref[0, 0] = ap_amp[0, K - 1]
+
+    # ---- phase B: concrete outputs ----------------------------------------
+    def stepB(c, st):
+        mode, on, off, amp = st
+        xc = x_ref[pl.ds(c, 1), :]
+        t = lane_base + c
+        rising = (mode == 0) & (xc == 1.0)
+        falling = (mode == 1) & (xc == 0.0)
+        amp_now = amp_on_at(t, on)
+        n_mode = jnp.where(rising, 1, jnp.where(falling, 0, mode))
+        n_on = jnp.where(rising, t, on)
+        n_off = jnp.where(falling, t, off)
+        n_amp = jnp.where(falling, amp_now, amp)
+        ms_off = (t - n_off).astype(jnp.float32) * msps
+        rel = 1.0 - jnp.clip(ms_off / release, 0.0, 1.0)
+        on_amp = amp_on_at(t, n_on)
+        out = jnp.where(n_mode == 1, on_amp, n_amp * rel).astype(jnp.float32)
+        out_ref[pl.ds(c, 1), :] = out
+        return (n_mode, n_on, n_off, n_amp)
+
+    jax.lax.fori_loop(0, C, stepB, (st_mode, st_on, st_off, st_amp))
+
+
+def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=None):
+    """Evaluate the envelope over ``x`` [S]; same contract as
+    envelope_chunked.run_block_chunked.  Runs the Pallas kernel (interpret
+    mode off-TPU so CPU tests execute the same code path)."""
+    S = x.shape[0]
+    if K is None:
+        K = pick_lanes(S)
+    C = -(-S // K)
+    pad = C * K - S
+    xp = jnp.concatenate([x, jnp.full((pad,), 0.5, x.dtype)]) if pad else x
+    xT = xp.reshape(K, C).T  # [C, K]
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    pf = jnp.stack([
+        jnp.asarray(params["attack_ms"], jnp.float32),
+        jnp.asarray(params["decay_ms"], jnp.float32),
+        jnp.asarray(params["sustain_amplitude"], jnp.float32),
+        jnp.asarray(params["release_ms"], jnp.float32),
+        jnp.float32(ms_per_sample),
+        jnp.asarray(state["off_amp"], jnp.float32),
+    ])
+    pi = jnp.stack([
+        jnp.asarray(state["mode_on"]).astype(jnp.int32),
+        jnp.asarray(state["on_pos"], jnp.int32),
+        jnp.asarray(state["off_pos"], jnp.int32),
+    ])
+
+    outT, exit_i, exit_f = pl.pallas_call(
+        _kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((C, K), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # exit state scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        interpret=interpret,
+    )(pf, pi, xT)
+
+    out = outT.T.reshape(-1)[:S]
+    new_state = {
+        "mode_on": exit_i[0, 0] != 0,
+        "on_pos": jnp.maximum(exit_i[0, 1] - S, _POS_FLOOR).astype(jnp.int32),
+        "off_pos": jnp.maximum(exit_i[0, 2] - S, _POS_FLOOR).astype(jnp.int32),
+        "off_amp": exit_f[0, 0],
+    }
+    return out, new_state

@@ -262,19 +262,20 @@ class AacEncoder:
     """Native AAC-LC encoder (AudioCtx analogue, video/encode.rs:146-222)."""
 
     def __init__(self, sample_rate: int, channels: int = 2,
-                 bitrate: Optional[int] = None):
+                 bitrate: Optional[int] = None, codec: str = "aac"):
         lib = _load()
         if lib is None:
             raise ShimError("avshim unavailable")
-        self._h = lib.avshim_aenc_open(b"aac", sample_rate, channels,
+        self._h = lib.avshim_aenc_open(codec.encode(), sample_rate, channels,
                                        bitrate or 0)
         if not self._h:
-            raise ShimError("aac open failed")
+            raise ShimError(f"{codec} open failed")
         self._lib = lib
         self.sample_rate = sample_rate
         self.channels = channels
         self.frame_size = lib.avshim_aenc_frame_size(self._h)
         self._buf = np.zeros(65536, dtype=np.uint8)
+        self._pending: List[Tuple[int, bytes]] = []
 
     def extradata(self) -> bytes:
         """AudioSpecificConfiguration bytes (aac/config.rs analogue)."""
@@ -285,16 +286,28 @@ class AacEncoder:
     def send(self, pcm_i16: np.ndarray):
         pcm = np.ascontiguousarray(pcm_i16, dtype=np.int16).reshape(-1)
         nframes = len(pcm) // self.channels
-        rc = self._lib.avshim_aenc_send(self._h, pcm.ctypes.data_as(c_i16p),
-                                        nframes)
-        if rc < 0:
-            raise ShimError(f"aenc_send: {rc}")
+        # chunk large pushes so the C-side granule fifo never overflows
+        step = 16384
+        for at in range(0, nframes, step):
+            chunk = pcm[at * self.channels : (at + step) * self.channels]
+            rc = self._lib.avshim_aenc_send(
+                self._h, chunk.ctypes.data_as(c_i16p),
+                len(chunk) // self.channels)
+            if rc < 0:
+                raise ShimError(f"aenc_send: {rc}")
+            self._pending.extend(self._receive_raw())
 
     def flush(self):
         self._lib.avshim_aenc_flush(self._h)
 
     def receive(self) -> List[Tuple[int, bytes]]:
-        """[(pts_samples, raw_aac_frame)] — no ADTS; wrap via av/aac.py."""
+        """[(pts_samples, raw_frame)] — no framing; wrap via av/aac.py."""
+        out = self._pending
+        self._pending = []
+        out.extend(self._receive_raw())
+        return out
+
+    def _receive_raw(self) -> List[Tuple[int, bytes]]:
         out = []
         pts = ctypes.c_int64()
         while True:
