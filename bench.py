@@ -49,6 +49,45 @@ def _emit(obj, primary=False):
 
 _RTT = None
 
+# TPU v5e peaks for utilization accounting (VERDICT r1 item 8: report MFU /
+# HBM util so perf claims are judgeable against the silicon)
+PEAK_FLOPS = 197e12  # bf16 MXU
+PEAK_HBM = 819e9     # bytes/s
+
+
+def _thunk(jitted, *args):
+    """Zero-arg timing thunk that also carries what's needed for XLA cost
+    analysis (flops / bytes accessed)."""
+    t = lambda: jitted(*args)
+    t.jitted = jitted
+    t.args = args
+    return t
+
+
+def slope_utilization(make, n1, n2, sec_per_unit):
+    """MFU and HBM utilization per work unit from XLA's own cost analysis,
+    differenced between the two slope points (fixed overhead cancels)."""
+    try:
+        costs = []
+        for n in (n1, n2):
+            t = make(n)
+            if not hasattr(t, "jitted"):
+                return {}
+            ca = t.jitted.lower(*t.args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            costs.append((float(ca.get("flops", 0.0)),
+                          float(ca.get("bytes accessed", 0.0))))
+        df = (costs[1][0] - costs[0][0]) / (n2 - n1)
+        db = (costs[1][1] - costs[0][1]) / (n2 - n1)
+        return {
+            "gflops_per_unit": round(df / 1e9, 3),
+            "hbm_gb_per_unit": round(db / 1e9, 3),
+            "mfu": round(df / sec_per_unit / PEAK_FLOPS, 4),
+            "hbm_util": round(db / sec_per_unit / PEAK_HBM, 4),
+        }
+    except Exception:
+        return {}
+
 
 def measure_rtt():
     global _RTT
@@ -222,12 +261,18 @@ def bench_graph(build, block_ticks=480, n1=2, n2=32, reps=4, sample_rate=48_000)
     aux = patch.prepare_aux(ws)
     state0 = patch.init_state(ws)
 
+    import jax
+
+    jfn = jax.jit(lambda a, h, s: fn(a, h, s)[1])
+
     def make(n):
         host_aux = stacked_host_aux(patch, 0, n)
-        return lambda: fn(aux, host_aux, state0)[1]
+        return _thunk(jfn, aux, host_aux, state0)
 
     sec_per_block = timed_slope(make, n1, n2, reps=reps)
     block_seconds = block.n_samples(cfg) / cfg.sample_rate
+    util = slope_utilization(make, n1, n2, sec_per_block)
+    bench_graph.last_utilization = util
     return block_seconds / sec_per_block
 
 
@@ -417,9 +462,12 @@ def bench_config5_full_session(seconds=4, reps=3):
             return audio_sum + jnp.sum(vsums).astype(jnp.float32)
 
         f = jax.jit(whole)
-        return lambda: f(aux, host_aux_n, state0)
+        return _thunk(f, aux, host_aux_n, state0)
 
     sec_per_content_second = timed_slope(make, seconds, 2 * seconds, reps=reps)
+    bench_config5_full_session.last_utilization = slope_utilization(
+        make, seconds, 2 * seconds, sec_per_content_second
+    )
     return 1.0 / sec_per_content_second
 
 
@@ -467,6 +515,7 @@ def main():
             "value": round(multiple, 1),
             "unit": "x_realtime",
             "vs_baseline": round(multiple, 1),
+            **getattr(bench_graph, "last_utilization", {}),
         },
         primary=True,
     )
@@ -481,7 +530,10 @@ def main():
         _emit({"metric": "config3_16stems_resample_eq", "value": round(bench_stems16(), 1), "unit": "x_realtime"})
         _emit({"metric": "video_blend_1080p", "value": round(bench_blend_1080p(), 1), "unit": "fps"})
         _emit({"metric": "config4_composite_720p_to_1080p", "value": round(bench_config4_composite(), 1), "unit": "fps"})
-        _emit({"metric": "config5_full_session_1080p30", "value": round(bench_config5_full_session(), 2), "unit": "x_realtime"})
+        _emit({"metric": "config5_full_session_1080p30",
+               "value": round(bench_config5_full_session(), 2),
+               "unit": "x_realtime",
+               **getattr(bench_config5_full_session, "last_utilization", {})})
 
 
 if __name__ == "__main__":

@@ -194,3 +194,22 @@ def test_polyphase_upscale_matches_dense_matmul():
         want = np.clip(np.round(x), 0, 255).astype(np.uint8)
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1, (out_h, out_w, diff.max())  # f32 rounding ties
+
+
+def test_resize_pallas_matches_dense():
+    """Polyphase Pallas resize (kept as a documented experiment) matches
+    the shipping dense-matmul resize within 1 LSB (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.resize_pallas import can_resize_pallas, resize_plane_pallas
+    from mixlab_tpu.video.scale import resize_plane
+
+    rng = np.random.default_rng(0)
+    for (h1, w1, h2, w2) in [(72, 128, 108, 192), (54, 96, 108, 192), (64, 96, 48, 64)]:
+        assert can_resize_pallas(h1, w1, h2, w2)
+        x = jnp.asarray(rng.integers(0, 256, (h1, w1), dtype=np.uint8))
+        a = np.asarray(resize_plane(x, h2, w2)).astype(int)
+        b = np.asarray(resize_plane_pallas(x, h2, w2)).astype(int)
+        assert np.abs(a - b).max() <= 1
+    assert not can_resize_pallas(1080, 1920, 560, 352)  # falls back to dense
