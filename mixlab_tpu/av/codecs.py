@@ -9,10 +9,12 @@ interface, in preference order:
     Real AAC-ADTS / AVC feeding the fMP4 mux for true MSE monitor parity.
   * ``FfmpegAacStream`` / ``FfmpegH264Stream`` — same via an ``ffmpeg``
     CLI binary (subprocess pipes with drain threads), when only that exists.
-  * ``PureH264Stream`` (av/h264enc.py) — zero-dependency intra-only H.264.
-  * ``PcmAudioEncoder`` / ``PngVideoEncoder`` — always available: s16le
+  * ``PureH264Stream`` (av/h264enc.py) + ``PureFlacStream`` (av/flacenc.py)
+    — zero-dependency tier: CAVLC intra H.264 + lossless FLAC; fMP4 with
+    ``codecs="avc1.*, flac"`` plays via MSE with no codec libraries at all.
+  * ``PcmAudioEncoder`` / ``PngVideoEncoder`` — preview mode: s16le
     passthrough + zlib PNG frames; the rebuilt web client plays these via
-    WebAudio/img when no codec backend exists.
+    WebAudio/img when MSE is unavailable.
 
 Operating points mirror the reference profiles:
   monitor:  560x350, all-key-frames, low latency (monitor.rs:21-22)
@@ -55,9 +57,25 @@ def avshim_codecs_available() -> bool:
     )
 
 
+def codec_tier() -> str:
+    """Best available monitor codec backend:
+      * "shim"   — in-process libavcodec/libx264 (AAC + H.264)
+      * "ffmpeg" — CLI subprocess pipes (AAC + H.264)
+      * "pure"   — zero-dependency encoders: CAVLC intra H.264
+                   (av/h264cavlc.py) + FLAC (av/flacenc.py)
+    """
+    if avshim_codecs_available():
+        return "shim"
+    if ffmpeg_available():
+        return "ffmpeg"
+    return "pure"
+
+
 def fmp4_capable() -> bool:
-    """Can the monitor path produce a real AAC+AVC fMP4 stream?"""
-    return avshim_codecs_available() or ffmpeg_available()
+    """Can the monitor path produce a real fMP4 stream?  Always true since
+    the pure tier (CAVLC H.264 + FLAC) has no dependencies; kept for
+    callers that distinguish fmp4 from the pcm+png preview mode."""
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -83,6 +83,23 @@ def _mp4a_entry(sample_rate: int, channels: int, asc: bytes) -> bytes:
     return box(b"mp4a", body)
 
 
+def _flac_entry(sample_rate: int, channels: int, streaminfo_block: bytes) -> bytes:
+    """FLAC-in-ISO-BMFF sample entry (encapsulation spec: 'fLaC' audio
+    sample entry + 'dfLa' box carrying the STREAMINFO metadata block).
+    Used by the pure zero-dependency monitor tier (av/flacenc.py);
+    browsers accept it via MSE as codecs="flac"."""
+    dfla = full_box(b"dfLa", 0, 0, streaminfo_block)
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HHHH", channels, 16, 0, 0)
+        + struct.pack(">I", sample_rate << 16)
+        + dfla
+    )
+    return box(b"fLaC", body)
+
+
 def _avc1_entry(width: int, height: int, dcr: bytes) -> bytes:
     body = (
         b"\x00" * 6
@@ -164,6 +181,8 @@ class Mp4Params:
     dcr: bytes  # raw AVCDecoderConfigurationRecord
     sample_rate: int = 44100
     channels: int = 2
+    audio_codec: str = "aac"  # "aac" | "flac" (pure tier, av/flacenc.py)
+    flac_streaminfo_block: bytes = b""  # dfLa payload when audio_codec=flac
 
 
 def make_init_segment(params: Mp4Params) -> bytes:
@@ -179,7 +198,13 @@ def make_init_segment(params: Mp4Params) -> bytes:
         b"\x00" * 24,
         struct.pack(">I", 0xFFFFFFFF),  # next_track_ID
     )
-    asc = AudioSpecificConfiguration.lc_stereo(params.sample_rate).to_bytes()
+    if params.audio_codec == "flac":
+        audio_entry = _flac_entry(
+            params.sample_rate, params.channels, params.flac_streaminfo_block
+        )
+    else:
+        asc = AudioSpecificConfiguration.lc_stereo(params.sample_rate).to_bytes()
+        audio_entry = _mp4a_entry(params.sample_rate, params.channels, asc)
     audio_trak = box(
         b"trak",
         _tkhd(AUDIO_TRACK, 0, 0, 0x0100),
@@ -188,7 +213,7 @@ def make_init_segment(params: Mp4Params) -> bytes:
             b"soun",
             b"Mixlab-TPU Audio",
             full_box(b"smhd", 0, 0, struct.pack(">HH", 0, 0)),
-            _mp4a_entry(params.sample_rate, params.channels, asc),
+            audio_entry,
         ),
     )
     video_trak = box(
@@ -218,13 +243,18 @@ class AdtsFrame:
 
 
 @dataclass(frozen=True)
+class FlacFrame:
+    data: bytes  # one complete FLAC frame (header..CRC-16), stored verbatim
+
+
+@dataclass(frozen=True)
 class AvcFrame:
     is_key_frame: bool
     composition_time: MediaDuration
     data: bytes  # length-prefixed NALUs
 
 
-TrackData = Union[AdtsFrame, AvcFrame]
+TrackData = Union[AdtsFrame, FlacFrame, AvcFrame]
 
 
 def _sample_flags(is_key: bool) -> int:
@@ -249,8 +279,12 @@ class Mp4Mux:
 
     def write_track(self, duration: MediaDuration, data: TrackData) -> bytes:
         ts = self.params.timescale
-        if isinstance(data, AdtsFrame):
-            payload = strip_adts_header(data.data)
+        if isinstance(data, (AdtsFrame, FlacFrame)):
+            payload = (
+                strip_adts_header(data.data)
+                if isinstance(data, AdtsFrame)
+                else data.data
+            )
             start = self.audio_time.round_to_base(ts)
             end_time = self.audio_time + duration
             end = end_time.round_to_base(ts)

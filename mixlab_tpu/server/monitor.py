@@ -6,10 +6,11 @@ registered in a global map (monitor.rs:24-26); a codec thread consumes
 drop-on-lag (monitor.rs:154-176) and broadcasts encoded segments to every
 WebSocket subscribed at ``/_monitor/<uuid>`` (monitor.rs:33-66).
 
-Codec mode depends on backend availability (av/codecs.py):
-  * ``fmp4``    — AAC + AVC via ffmpeg into the fMP4 mux (MSE parity with
-                  the reference) — used when ffmpeg exists;
-  * ``pcm+png`` — always available: s16le audio ticks + PNG video frames at
+Codec mode (av/codecs.py codec_tier selects the backend):
+  * ``fmp4``    — audio + AVC into the fMP4 mux for MSE (reference parity).
+                  Backends: libavcodec shim > ffmpeg CLI > pure zero-dep
+                  (CAVLC intra H.264 + FLAC) — always capable;
+  * ``pcm+png`` — preview mode: s16le audio ticks + PNG video frames at
                   ~10 fps; the rebuilt web client plays PCM via WebAudio.
 
 Transport packet framing (binary WS message): one JSON header line + b"\\n"
@@ -30,8 +31,6 @@ import numpy as np
 from mixlab_tpu.av.codecs import (
     MONITOR_PICTURE,
     PngVideoEncoder,
-    avshim_codecs_available,
-    ffmpeg_available,
     fmp4_capable,
 )
 from mixlab_tpu.av.encode_stream import f32_to_i16
@@ -128,32 +127,44 @@ class MonitorPipeline(threading.Thread):
         register_socket(self.socket_id, self.broadcast)
 
     def _init_fmp4(self, encoders=None):
-        """Real AAC+AVC into the fragmented-MP4 mux for MSE playback —
-        the reference's monitor path (monitor.rs:185-251) — active when the
-        ffmpeg backend exists."""
+        """Real audio+AVC into the fragmented-MP4 mux for MSE playback —
+        the reference's monitor path (monitor.rs:185-251).  Backend tier
+        (av/codecs.py codec_tier): shim (libavcodec) > ffmpeg CLI > pure
+        (zero-dep CAVLC H.264 + FLAC)."""
+        from mixlab_tpu.av.codecs import codec_tier
         from mixlab_tpu.av.encode_stream import SAMPLES_PER_CHANNEL_PER_FRAGMENT
 
+        fps = max(self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR, 1)
         if encoders is not None:
             self._aac, self._h264 = encoders  # injected (tests)
-        elif avshim_codecs_available():
-            # in-process libavcodec/libx264 (the reference's FFI shape)
-            from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
-
-            self._aac = ShimAacStream(self.cfg.sample_rate, bitrate=None)
-            self._h264 = ShimH264Stream(
-                MONITOR_PICTURE,
-                fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR,
-                profile="monitor",
-            )
         else:
-            from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
+            tier = codec_tier()
+            if tier == "shim":
+                # in-process libavcodec/libx264 (the reference's FFI shape)
+                from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
 
-            self._aac = FfmpegAacStream(self.cfg.sample_rate, bitrate=None)
-            self._h264 = FfmpegH264Stream(
-                MONITOR_PICTURE,
-                fps=self.cfg.ticks_per_second // VIDEO_TICK_DIVISOR,
-                profile="monitor",
-            )
+                self._aac = ShimAacStream(self.cfg.sample_rate, bitrate=None)
+                self._h264 = ShimH264Stream(
+                    MONITOR_PICTURE, fps=fps, profile="monitor"
+                )
+            elif tier == "ffmpeg":
+                from mixlab_tpu.av.codecs import FfmpegAacStream, FfmpegH264Stream
+
+                self._aac = FfmpegAacStream(self.cfg.sample_rate, bitrate=None)
+                self._h264 = FfmpegH264Stream(
+                    MONITOR_PICTURE, fps=fps, profile="monitor"
+                )
+            else:
+                from mixlab_tpu.av.flacenc import PureFlacStream
+                from mixlab_tpu.av.h264enc import PureH264Stream
+
+                self._aac = PureFlacStream(
+                    self.cfg.sample_rate, self.cfg.channels,
+                    SAMPLES_PER_CHANNEL_PER_FRAGMENT,
+                )
+                self._h264 = PureH264Stream(
+                    MONITOR_PICTURE, fps=fps, profile="monitor"
+                )
         self._mux = None
         self._granule = SAMPLES_PER_CHANNEL_PER_FRAGMENT
         self._audio_frames = 0
@@ -192,28 +203,36 @@ class MonitorPipeline(threading.Thread):
         if self._mux is None:
             if self._h264.dcr is None:
                 return  # wait for SPS/PPS before emitting the init segment
+            audio_is_flac = getattr(self._aac, "codec", "aac") == "flac"
             params = mp4.Mp4Params(
                 timescale=self.cfg.sample_rate,
                 width=MONITOR_PICTURE.width,
                 height=MONITOR_PICTURE.height,
                 dcr=self._h264.dcr,
                 sample_rate=self.cfg.sample_rate,
+                audio_codec="flac" if audio_is_flac else "aac",
+                flac_streaminfo_block=(
+                    self._aac.streaminfo_block() if audio_is_flac else b""
+                ),
             )
             self._mux, init_seg = mp4.Mp4Mux.create(params)
             # avc1.PPCCLL from the DCR's profile/compat/level bytes
             avc1 = "avc1.%02x%02x%02x" % (
                 self._h264.dcr[1], self._h264.dcr[2], self._h264.dcr[3]
             )
+            audio_codec = "flac" if audio_is_flac else "mp4a.40.2"
             self.broadcast.init_packet = frame_packet(
                 {"t": "init", "mode": "fmp4",
-                 "mime": f'video/mp4; codecs="{avc1}, mp4a.40.2"'},
+                 "mime": f'video/mp4; codecs="{avc1}, {audio_codec}"'},
                 init_seg,
             )
             self.broadcast.send(self.broadcast.init_packet)
 
+        audio_is_flac = self._mux.params.audio_codec == "flac"
         for frame in self._aac.poll_frames():
             dur = MediaDuration.new(self._granule, self.cfg.sample_rate)
-            seg = self._mux.write_track(dur, mp4.AdtsFrame(frame))
+            track = mp4.FlacFrame(frame) if audio_is_flac else mp4.AdtsFrame(frame)
+            seg = self._mux.write_track(dur, track)
             self.broadcast.send(frame_packet({"t": "segment"}, seg))
         for is_key, payload in units:
             dur = MediaDuration.new(

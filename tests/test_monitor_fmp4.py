@@ -153,3 +153,96 @@ def test_fmp4_monitor_real_codecs_validated_by_independent_demuxer(tmp_path):
     while cap.read()[0]:
         n_frames += 1
     assert n_frames >= 5
+
+
+def test_fmp4_monitor_pure_tier_zero_dependency(tmp_path, monkeypatch):
+    """The zero-dependency tier: pure CAVLC intra H.264 (av/h264cavlc.py) +
+    pure FLAC (av/flacenc.py) through the from-scratch fMP4 mux, with the
+    tier forced to "pure" (as on an image with no codec libraries at all).
+    The stream is then demuxed+decoded by an independent stack (libavformat/
+    libavcodec via MediaReader): video content and lossless-ish audio are
+    verified.  Closes the 'monitor falls back to pcm+png' gap."""
+    import pytest
+
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        pytest.skip("avshim unavailable (needed only to VERIFY the stream)")
+
+    import mixlab_tpu.server.monitor as monitor_mod
+    import mixlab_tpu.av.codecs as codecs_mod
+
+    monkeypatch.setattr(codecs_mod, "codec_tier", lambda: "pure")
+    import jax.numpy as jnp
+
+    from mixlab_tpu.av.codecs import MONITOR_PICTURE
+    from mixlab_tpu.video.frame import PictureSettings, VideoFrame
+
+    pipe = _MonitorPipe()
+    pipeline = MonitorPipeline(pipe, CFG, mode="fmp4")
+    from mixlab_tpu.av.flacenc import PureFlacStream
+    from mixlab_tpu.av.h264enc import PureH264Stream
+
+    assert isinstance(pipeline._aac, PureFlacStream)
+    assert isinstance(pipeline._h264, PureH264Stream)
+    sub = pipeline.broadcast.subscribe()
+
+    spt = CFG.samples_per_tick
+    t = np.arange(spt) / CFG.sample_rate
+    w, h = MONITOR_PICTURE.width, MONITOR_PICTURE.height
+    y_plane = np.zeros((h, w), np.uint8)
+    y_plane[:, : w // 2] = 200
+    pic = Picture(
+        PictureSettings(w, h),
+        {"y": jnp.asarray(y_plane),
+         "u": jnp.full((h // 2, w // 2), 128, jnp.uint8),
+         "v": jnp.full((h // 2, w // 2), 128, jnp.uint8)},
+    )
+    frame = VideoFrame(picture=pic)
+    sent_audio = []
+    for k in range(30):
+        tone = np.sin(2 * np.pi * 440 * (t + k * spt / CFG.sample_rate))
+        audio = np.stack([tone, tone], -1).astype(np.float32) * 0.5
+        sent_audio.append(audio)
+        pipeline._encode_tick_fmp4(k * spt, audio, frame)
+
+    packets = []
+    while True:
+        try:
+            packets.append(sub.get_nowait())
+        except queue.Empty:
+            break
+    pipeline.stop()
+
+    assert packets, "no packets emitted"
+    header = packets[0].partition(b"\n")[0].decode()
+    assert '"fmp4"' in header and "avc1." in header and "flac" in header
+
+    blob = b"".join(p.partition(b"\n")[2] for p in packets)
+    out = tmp_path / "monitor_pure.mp4"
+    out.write_bytes(blob)
+
+    r = avshim.MediaReader(str(out))
+    assert r.audio and r.audio["channels"] == 2
+    assert r.video and r.video["width"] == w and r.video["height"] == h
+    pcm, frames = [], []
+    while True:
+        item = r.read()
+        if item is None:
+            break
+        if item[0] == "audio":
+            pcm.append(item[2])
+        else:
+            frames.append(item[2])
+    r.close()
+
+    assert frames, "no video frames decoded from the pure-tier stream"
+    y, u, v = frames[0]
+    left, right = y[:, : w // 2].mean(), y[:, w // 2 :].mean()
+    assert left > 150 and right < 60, (left, right)
+
+    got = np.concatenate(pcm).astype(np.float32) / 32767.0
+    want = np.concatenate(sent_audio)[: len(got)]
+    # FLAC is lossless; the only error is the f32 -> i16 quantization
+    assert got.shape[0] >= 20 * spt
+    assert np.max(np.abs(got - want[: len(got)])) < 2.0 / 32767.0

@@ -172,7 +172,10 @@ def test_monitor_ws_streams_audio(server_port):
         assert init["t"] == "init"
         fmp4 = init["mode"] == "fmp4"
         if fmp4:
-            assert "avc1." in init["mime"] and "mp4a.40.2" in init["mime"]
+            # audio codec depends on the backend tier: AAC (shim/ffmpeg)
+            # or FLAC (pure zero-dep tier)
+            assert "avc1." in init["mime"]
+            assert "mp4a.40.2" in init["mime"] or "flac" in init["mime"]
         else:
             assert init["sample_rate"] == 44_100
 
