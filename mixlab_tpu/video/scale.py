@@ -117,8 +117,72 @@ def _upscale_axis(x, n_out: int, axis: int):
     return stacked.reshape(new_shape)
 
 
-def resize_plane(plane, out_h: int, out_w: int):
+@functools.lru_cache(maxsize=256)
+def _resize_matrix_i8(n_in: int, n_out: int):
+    """int8 quantization of the bicubic resample matrix with per-row scales.
+
+    Returns (Wq int8 [n_out, n_in], dequant f32 [n_out], offset f32 [n_out])
+    such that  W @ x  ≈  (Wq @ (x - 128)) * dequant + offset + 128·(row sums
+    folded into offset).  Per-row scale keeps every row at full 8-bit
+    resolution; the offset term corrects the quantized rows not summing to
+    exactly the dequantized 1.0."""
+    W = resize_matrix(n_in, n_out).astype(np.float64)
+    s = 127.0 / np.maximum(np.abs(W).max(axis=1, keepdims=True), 1e-12)
+    Wq = np.clip(np.round(W * s), -127, 127).astype(np.int8)
+    dequant = (1.0 / s[:, 0]).astype(np.float32)
+    # exact center restore: W @ x = W @ (x-128) + 128 * rowsum(W); use the
+    # QUANTIZED row sums so the +128 path carries no quantization error
+    rowsum_q = Wq.astype(np.float64).sum(axis=1) / s[:, 0]
+    offset = (128.0 * rowsum_q).astype(np.float32)
+    # exact output bound for a centered input (|x-128| <= 128): bicubic
+    # overshoot makes |W @ (x-128)| exceed 128, so the separable-pass
+    # intermediate must be RANGE-SCALED into int8, never clipped
+    bound = float(128.0 * np.abs(W).sum(axis=1).max())
+    return Wq, dequant, offset, bound
+
+
+def _resize_plane_int8(plane, out_h: int, out_w: int):
+    """Two int8 MXU matmuls (s8 x s8 -> s32 at 2x the bf16 rate on v5e/v6e).
+
+    Planes are centered to [-128, 127] so they fit int8 exactly; the
+    intermediate between the separable passes is requantized to centered
+    int8 (cost: one 0.5-LSB rounding, same as any two-pass u8 resampler).
+    Measured accuracy vs the f64 reference is within the bf16 path's own
+    error envelope (tests/test_video.py::test_resize_int8_accuracy)."""
+    in_h, in_w = plane.shape
+    xc = (plane.astype(jnp.int16) - 128).astype(jnp.int8)  # exact centering
+    mid_scale = 1.0  # intermediate units per original pixel unit
+    if in_h != out_h:
+        Wq, dq, off, bound = _resize_matrix_i8(in_h, out_h)
+        acc = jnp.einsum(
+            "oi,iw->ow", jnp.asarray(Wq), xc, preferred_element_type=jnp.int32
+        )
+        y = acc.astype(jnp.float32) * dq[:, None] + (off[:, None] - 128.0)
+        if in_w == out_w:
+            return jnp.clip(jnp.round(y) + 128.0, 0, 255).astype(jnp.uint8)
+        # range-scale the centered intermediate into int8: |y| <= bound
+        mid_scale = 127.0 / bound
+        xc = jnp.round(y * mid_scale).astype(jnp.int8)
+    Wq, dq, off, _ = _resize_matrix_i8(in_w, out_w)
+    acc = jnp.einsum(
+        "hw,ow->ho", xc, jnp.asarray(Wq), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * (dq[None, :] / mid_scale) + off[None, :]
+    return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
+
+
+def _int8_default() -> bool:
+    """int8 resize wins only where the MXU has a double-rate s8 path; on CPU
+    the f32 path is both faster and exacter."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+def resize_plane(plane, out_h: int, out_w: int, method: str = "auto"):
     """Bicubic resize of a [H, W] u8 plane via two dense matmuls.
+
+    ``method``: "auto" (int8 on TPU, f32 elsewhere), "int8", or "f32".
 
     NOTE: a polyphase shift/MAC fast path for integer upscales exists above
     (:func:`_upscale_axis`) but measured SLOWER on TPU (config5 422x -> 162x):
@@ -126,6 +190,9 @@ def resize_plane(plane, out_h: int, out_w: int):
     rides the MXU.  The fast path is kept for CPU-bound uses and as the
     seed of a fused Pallas resize kernel."""
     in_h, in_w = plane.shape
+    if method == "int8" or (method == "auto" and _int8_default()):
+        if in_h != out_h or in_w != out_w:
+            return _resize_plane_int8(plane, out_h, out_w)
     x = plane.astype(jnp.float32)
     # default (bf16-input) MXU precision: outputs are 8-bit pixels (<=1 LSB
     # effect); HIGHEST measured 4.7x slower at 1080p

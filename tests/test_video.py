@@ -1,5 +1,6 @@
 """Video kernel + video mixer engine tests."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -213,3 +214,43 @@ def test_resize_pallas_matches_dense():
         b = np.asarray(resize_plane_pallas(x, h2, w2)).astype(int)
         assert np.abs(a - b).max() <= 1
     assert not can_resize_pallas(1080, 1920, 560, 352)  # falls back to dense
+
+
+def test_resize_int8_accuracy():
+    """int8 MXU resize (2x s8 rate on TPU) stays within ~1 LSB of the f64
+    reference: per-row-scaled int8 weights, exactly-centered input, and a
+    range-scaled (never clipped) intermediate between the separable passes."""
+    import numpy as np
+
+    from mixlab_tpu.video.scale import resize_matrix, resize_plane
+
+    rng = np.random.default_rng(0)
+
+    def f64_ref(plane, oh, ow):
+        x = plane.astype(np.float64)
+        ih, iw = x.shape
+        if ih != oh:
+            x = resize_matrix(ih, oh).astype(np.float64) @ x
+        if iw != ow:
+            x = x @ resize_matrix(iw, ow).astype(np.float64).T
+        return np.clip(np.round(x), 0, 255)
+
+    cases = [
+        (rng.integers(0, 256, (540, 960), dtype=np.uint8), 1080, 1920),  # 2x up
+        (rng.integers(0, 256, (720, 1280), dtype=np.uint8), 1080, 1920),  # 1.5x
+        (rng.integers(0, 256, (1080, 1920), dtype=np.uint8), 350, 560),  # minify
+        (rng.integers(0, 256, (256, 256), dtype=np.uint8), 256, 512),  # w only
+        (rng.integers(0, 256, (256, 256), dtype=np.uint8), 512, 256),  # h only
+        (np.kron(rng.integers(0, 2, (45, 80)),
+                 np.ones((16, 16))).astype(np.uint8) * 255, 1080, 1920),  # edges
+    ]
+    for plane, oh, ow in cases:
+        ref = f64_ref(plane, oh, ow)
+        got = np.asarray(resize_plane(jnp.asarray(plane), oh, ow, method="int8"))
+        err = np.abs(got.astype(np.float64) - ref)
+        assert err.max() <= 3.0, (plane.shape, oh, ow, err.max())
+        assert np.sqrt((err ** 2).mean()) <= 1.0, (plane.shape, oh, ow)
+    # no-op passthrough unaffected by method flag
+    same = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    out = np.asarray(resize_plane(jnp.asarray(same), 64, 64, method="int8"))
+    assert np.array_equal(out, same)
