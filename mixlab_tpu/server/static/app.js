@@ -130,6 +130,21 @@ const workspace = {
     workspace.el.addEventListener("click", () => {
       document.getElementById("ctxmenu").style.display = "none";
     });
+    // live connect wire follows the cursor (workspace.rs:173-178)
+    workspace.el.addEventListener("pointermove", (ev) => {
+      if (!connectFlow.pending) return;
+      const rect = workspace.el.getBoundingClientRect();
+      connectFlow.move(ev.clientX - rect.left, ev.clientY - rect.top);
+      workspace.renderWires();
+    });
+    // pressing empty workspace cancels a pending connect
+    workspace.el.addEventListener("pointerdown", () => {
+      if (connectFlow.pending) {
+        connectFlow.cancel();
+        setStatus("");
+        workspace.renderWires();
+      }
+    });
     session.onchange.push(() => workspace.render());
   },
 
@@ -193,6 +208,20 @@ const workspace = {
       path.setAttribute("stroke", a.color || "#888");
       path.onclick = () => wire.send({ t: "DeleteConnection", input_id: [imid, iidx] });
       svg.appendChild(path);
+    }
+    // live wire from the pending terminal to the cursor while connecting
+    if (connectFlow.pending && connectFlow.cursor) {
+      const p = connectFlow.pending;
+      const a = terminalPos(p.mid, p.idx, p.dir);
+      if (a) {
+        const b = connectFlow.cursor;
+        const path = document.createElementNS("http://www.w3.org/2000/svg", "path");
+        const mx = (a.x + b.x) / 2;
+        path.setAttribute("d", `M ${a.x} ${a.y} C ${mx} ${a.y}, ${mx} ${b.y}, ${b.x} ${b.y}`);
+        path.setAttribute("class", "wire live");
+        path.setAttribute("stroke", a.color || "#888");
+        svg.appendChild(path);
+      }
     }
   },
 };
@@ -280,35 +309,40 @@ const windows = {
         dot.dataset.color = LINE_COLORS[lineType] || "#888";
         dot.style.background = dot.dataset.color;
         dot.title = `${label || ""} (${lineType})`;
-        dot.onclick = (ev) => {
+        dot.addEventListener("pointerdown", (ev) => {
           ev.stopPropagation();
-          connectFlow.click(mid, idx, dir, lineType);
-        };
+          terminalDown(mid, idx, dir, lineType, ev);
+        });
+        dot.addEventListener("click", (ev) => ev.stopPropagation());
+        dot.addEventListener("contextmenu", (ev) => {
+          ev.preventDefault();
+          ev.stopPropagation();
+        });
         holder.appendChild(dot);
       });
     }
   },
 };
 
-/* click-to-connect: pick an output then an input (type-checked) */
-const connectFlow = {
-  pending: null,
-  click(mid, idx, dir, lineType) {
-    if (dir === "out") {
-      connectFlow.pending = { mid, idx, lineType };
-      setStatus(`connecting from ${mid}:${idx} (${lineType}) — click an input`);
-    } else if (connectFlow.pending) {
-      const p = connectFlow.pending;
-      if (p.lineType !== lineType) {
-        setStatus(`type mismatch: ${p.lineType} -> ${lineType}`, true);
-      } else {
-        wire.send({ t: "CreateConnection", input_id: [mid, idx], output_id: [p.mid, p.idx] });
-        setStatus("");
-      }
-      connectFlow.pending = null;
-    }
-  },
-};
+/* drag/click-to-connect with a live wire, reference semantics
+ * (workspace.rs:185-252): left-press a terminal (either direction) to
+ * start, left-press a matching opposite terminal to connect; right-press
+ * clears a terminal's connections.  State machine in session_core.js. */
+const connectFlow = makeConnectFlow(session.core, (m) => wire.send(m));
+
+function terminalDown(mid, idx, dir, lineType, ev) {
+  const result = connectFlow.down(mid, idx, dir, lineType, ev.buttons);
+  if (result === "pending") {
+    setStatus(`connecting from ${mid}:${idx} (${lineType}) — pick the other end`);
+  } else if (result === "mismatch") {
+    setStatus(`type mismatch: ${connectFlow.pending.lineType} vs ${lineType}`, true);
+  } else if (result === "invalid") {
+    setStatus("pick one output and one input", true);
+  } else {
+    setStatus("");
+  }
+  workspace.renderWires();
+}
 
 function setStatus(text, warn) {
   const el = document.getElementById("status");

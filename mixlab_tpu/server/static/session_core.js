@@ -15,6 +15,13 @@
 
 function sessionKey(idArr) { return idArr.join(":"); }
 
+/* Terminals arrive on the wire as [label, lineType] pairs
+ * (protocol/wire.py:79-80); accept the object form too for robustness. */
+function terminalLineType(term) {
+  if (Array.isArray(term)) return term[1];
+  return term && term.line_type;
+}
+
 function makeSessionCore(hooks) {
   // hooks: {
   //   render(),                      -- workspace re-render
@@ -129,13 +136,90 @@ function makeSessionCore(hooks) {
       const outs = s.outputs.get(outModuleId);
       const ins = s.inputs.get(inModuleId);
       if (!outs || !ins || outIdx >= outs.length || inIdx >= ins.length) return false;
-      return outs[outIdx].line_type === ins[inIdx].line_type;
+      const a = terminalLineType(outs[outIdx]);
+      const b = terminalLineType(ins[inIdx]);
+      return a !== undefined && a === b;
     },
   };
   return core;
 }
 
+/* Connect-flow state machine, mirroring the reference's terminal mouse
+ * handling (frontend/src/workspace.rs:185-252 + 588-600):
+ *   - left mousedown on a terminal enters Connect mode; a second left
+ *     mousedown on an opposite-direction terminal with a matching line
+ *     type sends CreateConnection (SelectTerminal, workspace.rs:185-220);
+ *     type mismatch or same-direction picks keep Connect mode
+ *     (workspace.rs:208-215)
+ *   - right mousedown clears: an input's connection, or ALL connections
+ *     from an output (ClearTerminal, workspace.rs:222-252)
+ *   - the live wire endpoint tracks the cursor while connecting
+ *     (workspace.rs:173-178, 341-348)
+ * Pure logic, no DOM: app.js renders flow.pending/flow.cursor. */
+function makeConnectFlow(core, send) {
+  const flow = {
+    pending: null, // {mid, idx, dir, lineType}
+    cursor: null,  // {x, y} live-wire endpoint
+
+    /* left mousedown on terminal -> "pending" | "connected" | "mismatch"
+     * | "invalid" */
+    select(mid, idx, dir, lineType) {
+      if (!flow.pending) {
+        flow.pending = { mid: mid, idx: idx, dir: dir, lineType: lineType };
+        return "pending";
+      }
+      const p = flow.pending;
+      if (p.dir === dir) return "invalid";       // need one input + one output
+      if (p.lineType !== lineType) return "mismatch";
+      const inp = dir === "in" ? [mid, idx] : [p.mid, p.idx];
+      const out = dir === "out" ? [mid, idx] : [p.mid, p.idx];
+      send({ t: "CreateConnection", input_id: inp, output_id: out });
+      flow.pending = null;
+      flow.cursor = null;
+      return "connected";
+    },
+
+    /* right mousedown on terminal -> number of connections cleared */
+    clear(mid, idx, dir) {
+      const s = core.state;
+      if (!s) return 0;
+      let n = 0;
+      if (dir === "in") {
+        if (s.connections.has(sessionKey([mid, idx]))) {
+          send({ t: "DeleteConnection", input_id: [mid, idx] });
+          n = 1;
+        }
+      } else {
+        for (const [inpKey, out] of s.connections) {
+          if (out[0] === mid && out[1] === idx) {
+            send({ t: "DeleteConnection",
+                   input_id: inpKey.split(":").map((v) => parseInt(v, 10)) });
+            n += 1;
+          }
+        }
+      }
+      return n;
+    },
+
+    /* terminal mousedown dispatcher (buttons as in MouseEvent.buttons) */
+    down(mid, idx, dir, lineType, buttons) {
+      if ((buttons & 2) !== 0) return "cleared:" + flow.clear(mid, idx, dir);
+      return flow.select(mid, idx, dir, lineType);
+    },
+
+    move(x, y) {
+      if (flow.pending) flow.cursor = { x: x, y: y };
+    },
+
+    cancel() {
+      flow.pending = null;
+      flow.cursor = null;
+    },
+  };
+  return flow;
+}
+
 /* CommonJS export for the test interpreter; browsers use the globals. */
 if (typeof module !== "undefined" && module.exports) {
-  module.exports = { makeSessionCore, sessionKey };
+  module.exports = { makeSessionCore, makeConnectFlow, sessionKey, terminalLineType };
 }

@@ -40,7 +40,7 @@ def test_js_asset_parses(js):
 
 @pytest.mark.parametrize("js", JS_FILES, ids=lambda f: f.name)
 def test_js_asset_no_undeclared_identifiers(js):
-    extra = ("makeSessionCore", "sessionKey") if js.name == "app.js" else ()
+    extra = ("makeSessionCore", "makeConnectFlow", "sessionKey") if js.name == "app.js" else ()
     assert lint_undeclared(js.read_text(), extra) == []
 
 
@@ -220,6 +220,110 @@ def test_can_connect_checks_line_types():
     assert not interp.call_any(can, [1.0, 0.0, 2.0, 1.0])  # mono -> stereo
     assert not interp.call_any(can, [1.0, 1.0, 2.0, 0.0])  # stereo -> video
     assert not interp.call_any(can, [9.0, 0.0, 2.0, 0.0])  # unknown module
+
+
+def test_can_connect_with_real_wire_terminal_arrays():
+    """Terminals arrive on the wire as [label, lineType] PAIRS
+    (protocol/wire.py:79-80), not objects — the regression this guards:
+    `.line_type` on a pair is undefined and undefined === undefined
+    silently accepted every mismatched wire."""
+    interp, core, hooks = make_core()
+    st = json.loads(json.dumps(WS_STATE))
+    st["m"]["outputs"] = [[1, [["L", "mono"], [None, "stereo"]]]]
+    st["m"]["modules"].append([2, {"kind": "Monitor", "params": None}])
+    st["m"]["inputs"].append([2, [["cam", "video"], [None, "stereo"]]])
+    st["m"]["outputs"].append([2, []])
+    send(interp, core, st)
+    can = interp.get_member(core, "canConnect")
+    assert interp.call_any(can, [1.0, 1.0, 2.0, 1.0])  # stereo -> stereo
+    assert not interp.call_any(can, [1.0, 0.0, 2.0, 1.0])  # mono -> stereo
+    assert not interp.call_any(can, [1.0, 1.0, 2.0, 0.0])  # stereo -> video
+
+
+# ---------------------------------------------------------------------------
+# connect-flow state machine (drag/click-to-connect, workspace.rs:185-252)
+# ---------------------------------------------------------------------------
+
+
+def _flow_state(tmp_connections=()):
+    interp, core, hooks = make_core()
+    st = json.loads(json.dumps(WS_STATE))
+    st["m"]["modules"].append([2, {"kind": "Monitor", "params": None}])
+    st["m"]["inputs"].append([2, [["in0", "stereo"], ["in1", "stereo"]]])
+    st["m"]["outputs"].append([2, []])
+    st["m"]["connections"] = list(tmp_connections)
+    send(interp, core, st)
+    sent = []
+    factory = interp.globals.get("makeConnectFlow")
+    flow = interp.call_any(
+        factory, [core, lambda m: sent.append(_to_python(m))]
+    )
+    down = interp.get_member(flow, "down")
+    return interp, flow, down, sent
+
+
+def test_connect_flow_output_then_input():
+    interp, flow, down, sent = _flow_state()
+    assert interp.call_any(down, [1.0, 1.0, "out", "stereo", 1.0]) == "pending"
+    assert interp.call_any(down, [2.0, 0.0, "in", "stereo", 1.0]) == "connected"
+    assert sent == [{"t": "CreateConnection",
+                     "input_id": [2, 0], "output_id": [1, 1]}]
+    assert interp.get_member(flow, "pending") in (None, UNDEFINED)
+
+
+def test_connect_flow_input_first_also_works():
+    interp, flow, down, sent = _flow_state()
+    assert interp.call_any(down, [2.0, 1.0, "in", "stereo", 1.0]) == "pending"
+    assert interp.call_any(down, [1.0, 1.0, "out", "stereo", 1.0]) == "connected"
+    assert sent == [{"t": "CreateConnection",
+                     "input_id": [2, 1], "output_id": [1, 1]}]
+
+
+def test_connect_flow_mismatch_and_same_direction_keep_pending():
+    # reference stays in Connect mode on both (workspace.rs:208-215)
+    interp, flow, down, sent = _flow_state()
+    assert interp.call_any(down, [1.0, 1.0, "out", "stereo", 1.0]) == "pending"
+    assert interp.call_any(down, [1.0, 0.0, "out", "mono", 1.0]) == "invalid"
+    assert interp.call_any(down, [2.0, 0.0, "in", "video", 1.0]) == "mismatch"
+    assert sent == []
+    # still pending: a valid pick completes
+    assert interp.call_any(down, [2.0, 0.0, "in", "stereo", 1.0]) == "connected"
+    assert len(sent) == 1
+
+
+def test_connect_flow_right_click_clears_input_and_output():
+    conns = [[[2, 0], [1, 1]], [[2, 1], [1, 1]]]
+    interp, flow, down, sent = _flow_state(conns)
+    # right-click an input clears just that connection (workspace.rs:224-231)
+    assert interp.call_any(down, [2.0, 0.0, "in", "stereo", 2.0]) == "cleared:1"
+    assert sent == [{"t": "DeleteConnection", "input_id": [2, 0]}]
+    sent.clear()
+    # right-click an output clears EVERY connection from it
+    # (workspace.rs:233-248)
+    assert interp.call_any(down, [1.0, 1.0, "out", "stereo", 2.0]) == "cleared:2"
+    assert sorted(m["input_id"] for m in sent) == [[2, 0], [2, 1]]
+    assert all(m["t"] == "DeleteConnection" for m in sent)
+    sent.clear()
+    # unconnected input clears nothing
+    interp2, flow2, down2, sent2 = _flow_state()
+    assert interp2.call_any(down2, [2.0, 0.0, "in", "stereo", 2.0]) == "cleared:0"
+    assert sent2 == []
+
+
+def test_connect_flow_cursor_tracking_and_cancel():
+    interp, flow, down, sent = _flow_state()
+    move = interp.get_member(flow, "move")
+    cancel = interp.get_member(flow, "cancel")
+    interp.call_any(move, [5.0, 6.0])  # no pending -> ignored
+    assert interp.get_member(flow, "cursor") in (None, UNDEFINED)
+    interp.call_any(down, [1.0, 1.0, "out", "stereo", 1.0])
+    interp.call_any(move, [40.0, 50.0])
+    cur = _to_python(interp.get_member(flow, "cursor"))
+    assert cur == {"x": 40, "y": 50}
+    interp.call_any(cancel, [])
+    assert interp.get_member(flow, "pending") in (None, UNDEFINED)
+    assert interp.get_member(flow, "cursor") in (None, UNDEFINED)
+    assert sent == []
 
 
 def test_js_mirror_tracks_real_server_wire_messages():
