@@ -450,13 +450,28 @@ class Engine:
             "dsp_state": [np.asarray(x) for x in flat],
         }
 
-    def restore_dsp_state(self, ckpt: dict):
+    def restore_dsp_state(self, ckpt: dict) -> bool:
         import jax
 
         flat, treedef = jax.tree.flatten(self._state)
         if len(flat) == len(ckpt["dsp_state"]):
             self._state = jax.tree.unflatten(treedef, ckpt["dsp_state"])
             self.tick = ckpt.get("tick", 0)
+            return True
+        return False
+
+    def checkpoint_sync(self, timeout: float = 10.0) -> dict:
+        """Checkpoint taken ON the engine thread via the command queue
+        (self._state is engine-thread-owned) — used for live migration
+        (server/fleet.py)."""
+        done: "queue.Queue" = queue.Queue(maxsize=1)
+        self._send_cmd(("checkpoint", done))
+        return done.get(timeout=timeout)
+
+    def restore_sync(self, ckpt: dict, timeout: float = 10.0) -> bool:
+        done: "queue.Queue" = queue.Queue(maxsize=1)
+        self._send_cmd(("restore", ckpt, done))
+        return bool(done.get(timeout=timeout))
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -526,6 +541,11 @@ class Engine:
             if mid in self.ws.modules:
                 self.ws.indications[mid] = ind
                 self._log_op(p.SUUpdateModuleIndication(mid, ind))
+        elif cmd[0] == "checkpoint":
+            # state snapshot on the engine thread (it owns self._state)
+            cmd[1].put(self.checkpoint())
+        elif cmd[0] == "restore":
+            cmd[2].put(self.restore_dsp_state(cmd[1]))
 
     def _post_indication(self, mid: ModuleId, ind: Indication):
         """Apply an indication produced by a host-side worker thread.

@@ -63,17 +63,33 @@ class Server:
             await rtmp_server.accept(reader, writer)
 
     async def handle_http(self, reader, writer):
-        try:
-            req = await read_request(reader)
-        except HttpError:
-            writer.write(response(400, "Bad Request"))
-            return
-        if req is None:
-            return
+        """Persistent-connection request loop (HTTP/1.1 keep-alive); a
+        WebSocket upgrade hands the connection over and ends the loop."""
+        while True:
+            try:
+                req = await read_request(reader)
+            except HttpError:
+                writer.write(response(400, "Bad Request"))
+                return
+            if req is None:
+                return
+            keep = await self._handle_request(req, reader, writer)
+            try:
+                await writer.drain()
+            except ConnectionError:
+                return
+            if not keep:
+                return
 
+    async def _handle_request(self, req, reader, writer) -> bool:
+        """Dispatch one request; -> True to keep the connection open."""
+        from mixlab_tpu.server.http import wants_keep_alive
+
+        keep = wants_keep_alive(req)
         if req.path == "/" and req.method == "GET":
             body = INDEX_HTML.read_bytes() if INDEX_HTML.exists() else b"mixlab-tpu"
-            writer.write(response(200, "OK", body, "text/html; charset=utf-8"))
+            writer.write(response(200, "OK", body, "text/html; charset=utf-8",
+                                  keep_alive=keep))
         elif req.path.startswith("/static/") and req.method == "GET":
             name = req.path[len("/static/") :]
             target = (INDEX_HTML.parent / name).resolve()
@@ -83,21 +99,25 @@ class Server:
                     ".css": "text/css",
                     ".html": "text/html; charset=utf-8",
                 }.get(target.suffix, "application/octet-stream")
-                writer.write(response(200, "OK", target.read_bytes(), ctype))
+                writer.write(response(200, "OK", target.read_bytes(), ctype,
+                                      keep_alive=keep))
             else:
-                writer.write(response(404, "Not Found", b"not found"))
+                writer.write(response(404, "Not Found", b"not found",
+                                      keep_alive=keep))
         elif req.path == "/session" and req.method == "GET":
             await self.handle_session_ws(req, reader, writer)
+            return False
         elif req.path.startswith("/_monitor/") and req.method == "GET":
             await self.handle_monitor_ws(req, reader, writer)
+            return False
         elif req.path.startswith("/_upload/") and req.method == "POST":
+            # upload replies Connection: close (body framing is simplest)
             await self.handle_upload(req, reader, writer)
+            return False
         else:
-            writer.write(response(404, "Not Found", b"not found"))
-        try:
-            await writer.drain()
-        except ConnectionError:
-            pass
+            writer.write(response(404, "Not Found", b"not found",
+                                  keep_alive=keep))
+        return keep
 
     # -- websocket helpers -------------------------------------------------
 
@@ -106,9 +126,13 @@ class Server:
         if req.header("upgrade", "").lower() != "websocket" or not key:
             writer.write(response(400, "Bad Request", b"websocket required"))
             return None
-        writer.write(ws_mod.handshake_response(key))
+        # permessage-deflate when the client offers it (RFC 7692)
+        ext = ws_mod.negotiate_deflate(req.header("sec-websocket-extensions"))
+        ext_header, server_wbits = ext if ext else (None, 15)
+        writer.write(ws_mod.handshake_response(key, ext_header))
         await writer.drain()
-        return ws_mod.WebSocket(reader, writer)
+        return ws_mod.WebSocket(reader, writer, deflate=ext is not None,
+                                server_wbits=server_wbits)
 
     # -- /session ----------------------------------------------------------
 

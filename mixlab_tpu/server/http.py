@@ -58,17 +58,26 @@ async def read_request(reader: asyncio.StreamReader) -> Optional[Request]:
     return Request(method, path, version, headers)
 
 
+def wants_keep_alive(req: Request) -> bool:
+    """HTTP/1.1 defaults to persistent connections; 1.0 opts in."""
+    conn = (req.header("connection") or "").lower()
+    if req.version == "HTTP/1.0":
+        return "keep-alive" in conn
+    return "close" not in conn
+
+
 def response(
     status: int,
     reason: str,
     body: bytes = b"",
     content_type: str = "text/plain",
     extra_headers: Optional[Dict[str, str]] = None,
+    keep_alive: bool = False,
 ) -> bytes:
     headers = {
         "Content-Length": str(len(body)),
         "Content-Type": content_type,
-        "Connection": "close",
+        "Connection": "keep-alive" if keep_alive else "close",
     }
     if extra_headers:
         headers.update(extra_headers)

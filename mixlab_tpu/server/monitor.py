@@ -169,6 +169,44 @@ class MonitorPipeline(threading.Thread):
         self._granule = SAMPLES_PER_CHANNEL_PER_FRAGMENT
         self._audio_frames = 0
         self._video_frames = 0
+        # shim/pure encoders know their DCR at construction: emit the real
+        # fmp4 init segment immediately so the FIRST subscriber sees it
+        # (the reference sends init once, up front — monitor.rs:203-214);
+        # only the ffmpeg-CLI tier must defer until SPS/PPS appear.
+        self._try_create_mux()
+
+    def _try_create_mux(self) -> bool:
+        from mixlab_tpu.av import mp4
+
+        if self._mux is not None:
+            return True
+        if getattr(self._h264, "dcr", None) is None:
+            return False
+        audio_is_flac = getattr(self._aac, "codec", "aac") == "flac"
+        params = mp4.Mp4Params(
+            timescale=self.cfg.sample_rate,
+            width=MONITOR_PICTURE.width,
+            height=MONITOR_PICTURE.height,
+            dcr=self._h264.dcr,
+            sample_rate=self.cfg.sample_rate,
+            audio_codec="flac" if audio_is_flac else "aac",
+            flac_streaminfo_block=(
+                self._aac.streaminfo_block() if audio_is_flac else b""
+            ),
+        )
+        self._mux, init_seg = mp4.Mp4Mux.create(params)
+        # avc1.PPCCLL from the DCR's profile/compat/level bytes
+        avc1 = "avc1.%02x%02x%02x" % (
+            self._h264.dcr[1], self._h264.dcr[2], self._h264.dcr[3]
+        )
+        audio_codec = "flac" if audio_is_flac else "mp4a.40.2"
+        self.broadcast.init_packet = frame_packet(
+            {"t": "init", "mode": "fmp4",
+             "mime": f'video/mp4; codecs="{avc1}, {audio_codec}"'},
+            init_seg,
+        )
+        self.broadcast.send(self.broadcast.init_packet)
+        return True
 
     def stop(self):
         self._stop.set()
@@ -200,33 +238,8 @@ class MonitorPipeline(threading.Thread):
             self._h264.feed(pic)
 
         units = self._h264.poll_access_units()
-        if self._mux is None:
-            if self._h264.dcr is None:
-                return  # wait for SPS/PPS before emitting the init segment
-            audio_is_flac = getattr(self._aac, "codec", "aac") == "flac"
-            params = mp4.Mp4Params(
-                timescale=self.cfg.sample_rate,
-                width=MONITOR_PICTURE.width,
-                height=MONITOR_PICTURE.height,
-                dcr=self._h264.dcr,
-                sample_rate=self.cfg.sample_rate,
-                audio_codec="flac" if audio_is_flac else "aac",
-                flac_streaminfo_block=(
-                    self._aac.streaminfo_block() if audio_is_flac else b""
-                ),
-            )
-            self._mux, init_seg = mp4.Mp4Mux.create(params)
-            # avc1.PPCCLL from the DCR's profile/compat/level bytes
-            avc1 = "avc1.%02x%02x%02x" % (
-                self._h264.dcr[1], self._h264.dcr[2], self._h264.dcr[3]
-            )
-            audio_codec = "flac" if audio_is_flac else "mp4a.40.2"
-            self.broadcast.init_packet = frame_packet(
-                {"t": "init", "mode": "fmp4",
-                 "mime": f'video/mp4; codecs="{avc1}, {audio_codec}"'},
-                init_seg,
-            )
-            self.broadcast.send(self.broadcast.init_packet)
+        if not self._try_create_mux():
+            return  # ffmpeg tier: wait for SPS/PPS before the init segment
 
         audio_is_flac = self._mux.params.audio_codec == "flac"
         for frame in self._aac.poll_frames():

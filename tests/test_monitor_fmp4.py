@@ -66,11 +66,13 @@ def test_fmp4_monitor_emits_init_then_segments():
     pipeline.stop()
 
     assert packets, "no packets emitted"
-    header, _, init_payload = packets[0].partition(b"\n")
+    # the init segment is ready at construction (DCR known up front) and is
+    # delivered to subscribers by the WS handler via broadcast.init_packet
+    header, _, init_payload = pipeline.broadcast.init_packet.partition(b"\n")
     assert b'"fmp4"' in header
     assert init_payload[4:8] == b"ftyp"
-    # subsequent packets are moof/mdat media segments
-    segs = [p for p in packets[1:] if b'"segment"' in p.partition(b"\n")[0]]
+    # broadcast packets are moof/mdat media segments
+    segs = [p for p in packets if b'"segment"' in p.partition(b"\n")[0]]
     assert segs, "no media segments"
     for s in segs:
         _, _, payload = s.partition(b"\n")
@@ -130,12 +132,15 @@ def test_fmp4_monitor_real_codecs_validated_by_independent_demuxer(tmp_path):
             break
     pipeline.stop()
 
-    assert packets and b'"fmp4"' in packets[0].partition(b"\n")[0]
-    header = packets[0].partition(b"\n")[0].decode()
+    init_pkt = pipeline.broadcast.init_packet
+    assert b'"fmp4"' in init_pkt.partition(b"\n")[0]
+    header = init_pkt.partition(b"\n")[0].decode()
     assert "avc1." in header and "mp4a.40.2" in header
 
     # save init + all media segments as one fragmented MP4
-    blob = b"".join(p.partition(b"\n")[2] for p in packets)
+    blob = init_pkt.partition(b"\n")[2] + b"".join(
+        p.partition(b"\n")[2] for p in packets
+        if b'"segment"' in p.partition(b"\n")[0])
     out = tmp_path / "monitor.mp4"
     out.write_bytes(blob)
 
@@ -215,10 +220,13 @@ def test_fmp4_monitor_pure_tier_zero_dependency(tmp_path, monkeypatch):
     pipeline.stop()
 
     assert packets, "no packets emitted"
-    header = packets[0].partition(b"\n")[0].decode()
+    init_pkt = pipeline.broadcast.init_packet
+    header = init_pkt.partition(b"\n")[0].decode()
     assert '"fmp4"' in header and "avc1." in header and "flac" in header
 
-    blob = b"".join(p.partition(b"\n")[2] for p in packets)
+    blob = init_pkt.partition(b"\n")[2] + b"".join(
+        p.partition(b"\n")[2] for p in packets
+        if b'"segment"' in p.partition(b"\n")[0])
     out = tmp_path / "monitor_pure.mp4"
     out.write_bytes(blob)
 

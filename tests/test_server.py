@@ -91,12 +91,12 @@ def test_http_index_and_404(server_port):
 
     async def go():
         reader, writer = await asyncio.open_connection("127.0.0.1", port)
-        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
         await writer.drain()
         data = await reader.read(-1)
         assert b"200 OK" in data and b"mixlab" in data
         reader, writer = await asyncio.open_connection("127.0.0.1", port)
-        writer.write(b"GET /nope HTTP/1.1\r\nHost: x\r\n\r\n")
+        writer.write(b"GET /nope HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
         await writer.drain()
         data = await reader.read(-1)
         assert b"404" in data
@@ -243,7 +243,7 @@ def test_static_frontend_assets_served(server_port):
 
     async def fetch(path):
         reader, writer = await asyncio.open_connection("127.0.0.1", port)
-        writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+        writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n".encode())
         await writer.drain()
         data = await reader.read(-1)
         writer.close()
@@ -259,5 +259,109 @@ def test_static_frontend_assets_served(server_port):
         assert b"makeSessionCore" in core
         app = await fetch("/static/app.js")
         assert b"session.core" in app
+
+    loop.run_until_complete(go())
+
+
+def test_http_keep_alive_serves_multiple_requests(server_port):
+    loop, port, _ = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+
+        async def get(path):
+            writer.write(f"GET {path} HTTP/1.1\r\nHost: x\r\n\r\n".encode())
+            await writer.drain()
+            head = await reader.readuntil(b"\r\n\r\n")
+            n = int([l for l in head.split(b"\r\n")
+                     if l.lower().startswith(b"content-length")][0].split(b":")[1])
+            body = await reader.readexactly(n)
+            return head, body
+
+        # three requests on ONE connection
+        head, body = await get("/")
+        assert b"200 OK" in head and b"keep-alive" in head.lower()
+        head2, body2 = await get("/static/app.js")
+        assert b"200 OK" in head2 and b"connectFlow" in body2
+        head3, _ = await get("/nope")
+        assert b"404" in head3 and b"keep-alive" in head3.lower()
+
+        # Connection: close is honored
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        head4 = await reader.readuntil(b"\r\n\r\n")
+        assert b"close" in head4.lower()
+        n = int([l for l in head4.split(b"\r\n")
+                 if l.lower().startswith(b"content-length")][0].split(b":")[1])
+        await reader.readexactly(n)
+        assert await reader.read(64) == b""  # server closed
+        writer.close()
+
+    loop.run_until_complete(go())
+
+
+def test_session_ws_permessage_deflate(server_port):
+    """Full compressed session: handshake negotiates RFC 7692, the server's
+    WorkspaceState arrives RSV1-compressed, and a client-compressed
+    CreateModule op round-trips through the engine."""
+    import zlib
+
+    loop, port, project = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            b"GET /session HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+            b"Connection: Upgrade\r\nSec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+            b"Sec-WebSocket-Version: 13\r\n"
+            b"Sec-WebSocket-Extensions: permessage-deflate; "
+            b"client_max_window_bits\r\n\r\n")
+        await writer.drain()
+        head = await reader.readuntil(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0]
+        assert b"permessage-deflate" in head
+
+        async def recv():
+            h = await reader.readexactly(2)
+            rsv1 = bool(h[0] & 0x40)
+            n = h[1] & 0x7F
+            if n == 126:
+                (n,) = struct.unpack(">H", await reader.readexactly(2))
+            elif n == 127:
+                (n,) = struct.unpack(">Q", await reader.readexactly(8))
+            payload = await reader.readexactly(n)
+            if rsv1:
+                do = zlib.decompressobj(wbits=-15)
+                payload = do.decompress(payload + b"\x00\x00\xff\xff")
+            return rsv1, payload
+
+        rsv1, payload = await asyncio.wait_for(recv(), 5.0)
+        kind, _ = wire.parse_envelope(payload)
+        assert kind == "WorkspaceState"
+        assert rsv1, "WorkspaceState should arrive compressed"
+
+        # send a compressed client op
+        msg = p.WorkspaceMessage(1, p.CreateModule(
+            p.ModuleParams("Oscillator", p.OscillatorParams(220.0, p.Waveform.SINE)),
+            p.WindowGeometry()))
+        env = json.dumps({"v": 1, "kind": "Workspace", "m": wire.encode(msg)}).encode()
+        co = zlib.compressobj(wbits=-15)
+        data = co.compress(env) + co.flush(zlib.Z_SYNC_FLUSH)
+        assert data.endswith(b"\x00\x00\xff\xff")
+        frame = bytearray(mask_frame(ws_mod.OP_TEXT, data[:-4]))
+        frame[0] |= 0x40  # RSV1
+        writer.write(bytes(frame))
+        await writer.drain()
+
+        got = {}
+        for _ in range(6):
+            _, payload = await asyncio.wait_for(recv(), 5.0)
+            kind, body = wire.parse_envelope(payload)
+            got[kind] = body
+            if "Update" in got and "Sync" in got:
+                break
+        assert got["Sync"] == 1
+        assert got["Update"]["t"] == "SUCreateModule"
+        writer.close()
 
     loop.run_until_complete(go())

@@ -112,3 +112,112 @@ def test_http_parse_ok_and_errors():
         asyncio.run(read_request(PipeReader(b"GARBAGE\r\n\r\n")))
     with pytest.raises(HttpError):
         asyncio.run(read_request(PipeReader(b"GET / HTTP/1.1\r\nbadheader\r\n\r\n")))
+
+
+# ---------------------------------------------------------------------------
+# permessage-deflate (RFC 7692)
+# ---------------------------------------------------------------------------
+
+
+def client_deflate(payload: bytes, wbits=15) -> bytes:
+    import zlib
+
+    co = zlib.compressobj(wbits=-wbits)
+    data = co.compress(payload) + co.flush(zlib.Z_SYNC_FLUSH)
+    assert data.endswith(b"\x00\x00\xff\xff")
+    return data[:-4]
+
+
+def client_frame_rsv1(opcode, payload, key=b"\x01\x02\x03\x04"):
+    frame = bytearray(client_frame(opcode, payload, key=key))
+    frame[0] |= 0x40
+    return bytes(frame)
+
+
+def test_negotiate_deflate_offers():
+    nd = ws_mod.negotiate_deflate
+    assert nd(None) is None
+    assert nd("x-webkit-deflate-frame") is None
+    hdr, bits = nd("permessage-deflate")
+    assert "permessage-deflate" in hdr
+    assert "server_no_context_takeover" in hdr
+    assert "client_no_context_takeover" in hdr
+    assert bits == 15
+    # browser-style offer
+    hdr, bits = nd("permessage-deflate; client_max_window_bits")
+    assert bits == 15
+    # an explicit server window cap is honored and echoed
+    hdr, bits = nd("permessage-deflate; server_max_window_bits=10")
+    assert bits == 10 and "server_max_window_bits=10" in hdr
+    # unknown parameter declines that offer; later offer still accepted
+    assert nd("permessage-deflate; foo=bar") is None
+    hdr, bits = nd("permessage-deflate; foo=bar, permessage-deflate")
+    assert bits == 15
+    # out-of-range window bits decline
+    assert nd("permessage-deflate; server_max_window_bits=4") is None
+
+
+def test_deflate_recv_roundtrip():
+    body = b'{"kind":"Workspace","m":{}}' * 20
+    data = client_frame_rsv1(ws_mod.OP_TEXT, client_deflate(body))
+    sock = ws_mod.WebSocket(PipeReader(data), PipeWriter(), deflate=True)
+    op, payload = asyncio.run(sock.recv())
+    assert (op, payload) == (ws_mod.OP_TEXT, body)
+
+
+def test_deflate_recv_small_window_client():
+    body = bytes(range(256)) * 64
+    data = client_frame_rsv1(ws_mod.OP_TEXT, client_deflate(body, wbits=9))
+    sock = ws_mod.WebSocket(PipeReader(data), PipeWriter(), deflate=True)
+    op, payload = asyncio.run(sock.recv())
+    assert payload == body
+
+
+def test_deflate_send_sets_rsv1_and_roundtrips():
+    import zlib
+
+    w = PipeWriter()
+    sock = ws_mod.WebSocket(PipeReader(), w, deflate=True)
+    body = b"A" * 500  # compressible, above DEFLATE_MIN_SIZE
+    asyncio.run(sock.send_text(body.decode()))
+    frame = bytes(w.sent)
+    assert frame[0] & 0x40, "RSV1 not set on compressed frame"
+    n = frame[1] & 0x7F
+    payload = frame[2:]
+    if n == 126:
+        payload = frame[4:]
+    assert len(payload) < len(body)  # actually compressed
+    do = zlib.decompressobj(wbits=-15)
+    assert do.decompress(payload + b"\x00\x00\xff\xff") == body
+
+
+def test_deflate_send_skips_tiny_frames():
+    w = PipeWriter()
+    sock = ws_mod.WebSocket(PipeReader(), w, deflate=True)
+    asyncio.run(sock.send_text("hi"))
+    assert not (w.sent[0] & 0x40)
+    assert bytes(w.sent[2:4]) == b"hi"
+
+
+def test_deflate_uncompressed_frames_still_pass():
+    data = client_frame(ws_mod.OP_TEXT, b"plain")
+    sock = ws_mod.WebSocket(PipeReader(data), PipeWriter(), deflate=True)
+    op, payload = asyncio.run(sock.recv())
+    assert payload == b"plain"
+
+
+def test_deflate_corrupt_stream_closes_1002():
+    data = client_frame_rsv1(ws_mod.OP_TEXT, b"\xff\xff\xff\xff\xff")
+    w = PipeWriter()
+    sock = ws_mod.WebSocket(PipeReader(data), w, deflate=True)
+    assert asyncio.run(sock.recv()) is None
+    assert sock.closed
+    assert struct.unpack(">H", bytes(w.sent[2:4]))[0] == 1002
+
+
+def test_handshake_response_includes_extensions():
+    resp = ws_mod.handshake_response("dGhlIHNhbXBsZSBub25jZQ==",
+                                     "permessage-deflate")
+    assert b"Sec-WebSocket-Extensions: permessage-deflate\r\n" in resp
+    resp = ws_mod.handshake_response("dGhlIHNhbXBsZSBub25jZQ==")
+    assert b"Extensions" not in resp
