@@ -114,6 +114,42 @@ class Server:
             # upload replies Connection: close (body framing is simplest)
             await self.handle_upload(req, reader, writer)
             return False
+        elif req.path == "/_checkpoint" and req.method == "GET":
+            # live-migration support (server/fleet.py): runtime DSP-state
+            # snapshot, taken on the engine thread
+            from mixlab_tpu.server.fleet import encode_checkpoint
+
+            loop = asyncio.get_running_loop()
+            try:
+                ckpt = await loop.run_in_executor(
+                    None, self.engine.checkpoint_sync
+                )
+                writer.write(response(200, "OK", encode_checkpoint(ckpt),
+                                      "application/octet-stream",
+                                      keep_alive=keep))
+            except Exception:
+                writer.write(response(503, "Service Unavailable",
+                                      b"checkpoint failed", keep_alive=keep))
+        elif req.path == "/_restore" and req.method == "POST":
+            from mixlab_tpu.server.fleet import decode_checkpoint
+
+            length = int(req.header("content-length", "0"))
+            body = await reader.readexactly(length) if length else b""
+            loop = asyncio.get_running_loop()
+            try:
+                ok = await loop.run_in_executor(
+                    None, self.engine.restore_sync, decode_checkpoint(body)
+                )
+            except Exception:
+                ok = False
+            if ok:
+                writer.write(response(200, "OK", b"restored",
+                                      keep_alive=keep))
+            else:
+                # state tree mismatch: the initial patch hasn't compiled
+                # yet, or the checkpoint is from another workspace shape
+                writer.write(response(409, "Conflict", b"state mismatch",
+                                      keep_alive=keep))
         else:
             writer.write(response(404, "Not Found", b"not found",
                                   keep_alive=keep))
