@@ -134,22 +134,31 @@ class PacketReader:
         self._partial: Dict[int, bytearray] = {}
 
     def feed(self, data: bytes) -> List[Tuple[int, bytes]]:
+        return [(serial, pkt) for serial, pkt, _, _ in self.feed_ex(data)]
+
+    def feed_ex(self, data: bytes) -> List[Tuple[int, bytes, int, bool]]:
+        """Like :meth:`feed` but each completed packet carries the granule
+        position and EOS flag of the page it COMPLETED on — what a decoder
+        needs for sample-exact end-of-stream truncation (RFC 3533 §6;
+        the reference's lewton does the same internally)."""
         out = []
         self.pages.feed(data)
         for page in self.pages.pages():
+            granule = page.granule_position
+            eos = page.is_eos
             carry = self._partial.pop(page.serial, bytearray())
             for i, (seg, complete) in enumerate(page.segments):
                 if i == 0 and page.continued:
                     carry += seg
                     if complete:
-                        out.append((page.serial, bytes(carry)))
+                        out.append((page.serial, bytes(carry), granule, eos))
                         carry = bytearray()
                     continue
                 if carry:
-                    out.append((page.serial, bytes(carry)))
+                    out.append((page.serial, bytes(carry), granule, eos))
                     carry = bytearray()
                 if complete:
-                    out.append((page.serial, seg))
+                    out.append((page.serial, seg, granule, eos))
                 else:
                     carry = bytearray(seg)
             if carry:

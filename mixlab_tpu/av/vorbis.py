@@ -978,8 +978,7 @@ class OggVorbisStream:
     def feed(self, data: bytes) -> np.ndarray:
         """Returns decoded PCM float32 (samples, channels) for this chunk."""
         out: List[np.ndarray] = []
-        # track EOS granule for final truncation
-        for serial, packet in self.packets.feed(data):
+        for serial, packet, granule, eos in self.packets.feed_ex(data):
             if self._serial is None:
                 self._serial = serial
             if serial != self._serial:
@@ -996,6 +995,20 @@ class OggVorbisStream:
             if len(pcm):
                 self._emitted += len(pcm)
                 out.append(pcm)
+            if eos and granule >= 0:
+                # sample-exact end of stream (Vorbis-over-Ogg spec: the EOS
+                # page granule is the stream's total length; a final partial
+                # frame must be truncated to it — lewton/ogg.rs do the same)
+                excess = self._emitted - granule
+                self._eos_granule = granule
+                while excess > 0 and out:
+                    tail = out[-1]
+                    cut = min(excess, len(tail))
+                    out[-1] = tail[: len(tail) - cut]
+                    self._emitted -= cut
+                    excess -= cut
+                    if not len(out[-1]):
+                        out.pop()
         if out:
             return np.concatenate(out)
         chn = self.decoder.info.channels if self.decoder else 1

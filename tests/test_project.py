@@ -95,3 +95,104 @@ def test_media_library(tmp_path):
     r = proj.base.open_media(media_id)
     assert r.read() == b"abcdef"
     proj.close()
+
+
+def test_reference_migration_version_ids():
+    """Version identifiers match the reference's migration set
+    (src/db/mod.rs:28-60): a project file created by the reference opens
+    here without re-running its migrations."""
+    from mixlab_tpu.engine.project import MIGRATIONS
+
+    assert [v for v, _ in sorted(MIGRATIONS)] == [0, 20200804, 20200805]
+
+
+def test_upgrade_from_20200804_preserves_media(tmp_path):
+    """A v20200804 project (media/streams/blobs, no workspace table — the
+    reference's first schema) upgrades in place: the workspace table is
+    added, the version advances, and existing media bytes survive."""
+    import sqlite3
+
+    from mixlab_tpu.engine.project import ProjectBase
+
+    path = tmp_path / "old.mixlab"
+    conn = sqlite3.connect(str(path))
+    conn.executescript(
+        """
+        CREATE TABLE schema_migrations (version INTEGER NOT NULL);
+        INSERT INTO schema_migrations (version) VALUES (20200804);
+        CREATE TABLE media (
+            id INTEGER PRIMARY KEY NOT NULL, name TEXT NOT NULL,
+            kind TEXT NOT NULL, stream_id INTEGER NOT NULL,
+            FOREIGN KEY (stream_id) REFERENCES streams (id));
+        CREATE TABLE streams (
+            id INTEGER PRIMARY KEY NOT NULL, size INTEGER NOT NULL,
+            CONSTRAINT non_negative_size CHECK (size >= 0));
+        CREATE TABLE blobs (
+            stream_id INTEGER NOT NULL, offset INTEGER NOT NULL,
+            data BLOB NOT NULL,
+            FOREIGN KEY (stream_id) REFERENCES streams (id),
+            CONSTRAINT non_negative_offset CHECK (offset >= 0));
+        CREATE UNIQUE INDEX blob_sequence_idx ON blobs (stream_id, offset);
+        INSERT INTO streams (id, size) VALUES (1, 9);
+        INSERT INTO blobs (stream_id, offset, data) VALUES (1, 0, x'48656c6c6f204f6c64');
+        INSERT INTO media (id, name, kind, stream_id)
+            VALUES (1, 'legacy.wav', 'audio/wav', 1);
+        """
+    )
+    conn.commit()
+    conn.close()
+
+    base = ProjectBase(path)
+    # version advanced, workspace table exists and is usable
+    row = base.query_one("SELECT version FROM schema_migrations")
+    assert row[0] == 20200805
+    assert base.read_workspace() is None
+    base.write_workspace({"modules": []})
+    assert base.read_workspace() == {"modules": []}
+    # legacy media intact
+    lib = base.media_library()
+    assert lib.items[0].name == "legacy.wav" and lib.items[0].size == 9
+    rs = base.open_media(lib.items[0].id)
+    assert rs.read() == b"Hello Old"
+    base.close()
+
+
+def test_future_version_left_untouched(tmp_path):
+    """A project from a NEWER build (version beyond our migration set)
+    must not be downgraded or have migrations re-run."""
+    import sqlite3
+
+    from mixlab_tpu.engine.project import ProjectBase
+
+    path = tmp_path / "future.mixlab"
+    conn = sqlite3.connect(str(path))
+    conn.executescript(
+        """
+        CREATE TABLE schema_migrations (version INTEGER NOT NULL);
+        INSERT INTO schema_migrations (version) VALUES (99990101);
+        CREATE TABLE workspace (serialized TEXT NOT NULL);
+        INSERT INTO workspace (serialized) VALUES ('{"modules": [1]}');
+        """
+    )
+    conn.commit()
+    conn.close()
+
+    base = ProjectBase(path)
+    assert base.query_one("SELECT version FROM schema_migrations")[0] == 99990101
+    assert base.read_workspace() == {"modules": [1]}
+    base.close()
+
+
+def test_empty_file_bootstraps_full_schema(tmp_path):
+    """A zero-byte file (touch foo.mixlab) bootstraps the full schema."""
+    from mixlab_tpu.engine.project import ProjectBase
+
+    path = tmp_path / "blank.mixlab"
+    path.touch()
+    base = ProjectBase(path)
+    assert base.query_one("SELECT version FROM schema_migrations")[0] == 20200805
+    names = {r[0] for r in base.query_all(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"schema_migrations", "media", "streams", "blobs",
+            "workspace"} <= names
+    base.close()

@@ -149,3 +149,67 @@ def test_ogg_writer_pages_reparse():
     got = pr.feed(blob)
     assert [g[1] for g in got] == [p[0] for p in packets]
     assert all(serial == 7 for serial, _ in got)
+
+
+def test_eos_granule_trims_to_sample_exact_length():
+    """Vorbis-over-Ogg: the EOS page's granule position is the stream's
+    exact total sample count; the decoder must truncate the final block to
+    it (lewton does this inside codec/src/ogg.rs's decode loop).  Encode a
+    deliberately non-block-aligned length and check the pure decoder's
+    output is sample-exact."""
+    avshim = _shim()
+    rate = 44100
+    n = 44100 + 1234  # not a multiple of any vorbis block size
+    t = np.arange(n) / rate
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t),
+                     np.sin(2 * np.pi * 660 * t)], 1) * 12000).astype(np.int16)
+    enc = avshim.AacEncoder(rate, 2, None, codec="libvorbis")
+    headers = parse_xiph_extradata(enc.extradata())
+    enc.send(pcm)
+    enc.flush()
+    frames = [frame for _pts, frame in enc.receive()]
+    enc.close()
+
+    packets = [(h, 0) for h in headers]
+    for i, frame in enumerate(frames[:-1]):
+        packets.append((frame, 0))  # mid-stream granules unused by decode
+    packets.append((frames[-1], n))  # EOS page granule = exact length
+    blob = write_ogg_stream(packets)
+
+    # whole-blob decode is sample-exact
+    stream = OggVorbisStream()
+    out = stream.feed(blob)
+    assert out.shape == (n, 2), out.shape
+    assert stream._eos_granule == n
+
+    # dribble-fed decode (odd chunk sizes) is sample-exact too
+    stream2 = OggVorbisStream()
+    outs = []
+    pos = 0
+    k = 0
+    while pos < len(blob):
+        step = 777 + (k % 5) * 1301
+        outs.append(stream2.feed(blob[pos:pos + step]))
+        pos += step
+        k += 1
+    total = sum(len(o) for o in outs)
+    assert total == n, total
+
+
+def test_eos_granule_longer_than_decode_is_harmless():
+    """An EOS granule >= the decoded total must not trim anything."""
+    avshim = _shim()
+    rate = 44100
+    n = 8192
+    t = np.arange(n) / rate
+    pcm = (np.stack([np.sin(2 * np.pi * 300 * t)] * 2, 1) * 9000).astype(np.int16)
+    enc = avshim.AacEncoder(rate, 2, None, codec="libvorbis")
+    headers = parse_xiph_extradata(enc.extradata())
+    enc.send(pcm)
+    enc.flush()
+    frames = [frame for _pts, frame in enc.receive()]
+    enc.close()
+    packets = [(h, 0) for h in headers] + [(f, 0) for f in frames[:-1]]
+    packets.append((frames[-1], 10_000_000))  # absurdly large granule
+    out = OggVorbisStream().feed(write_ogg_stream(packets))
+    assert len(out) >= n  # untrimmed (codec padding may exceed n)
