@@ -247,9 +247,11 @@ class PureH264Stream:
         ).to_bytes()
         self._pending: List[Tuple[bool, bytes]] = []
         if mode == "cavlc":
-            from mixlab_tpu.av.h264cavlc import CavlcIntraEncoder
+            # vectorized two-pass encoder (bit-identical to the scalar
+            # CavlcIntraEncoder; ~9x faster on typical content)
+            from mixlab_tpu.av.h264cavlc_fast import FastCavlcIntraEncoder
 
-            self._cavlc = CavlcIntraEncoder(qp)
+            self._cavlc = FastCavlcIntraEncoder(qp)
 
     def feed(self, pic: Picture):
         if self.mode == "ipcm":
