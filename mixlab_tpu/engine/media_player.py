@@ -7,9 +7,11 @@ and loops by seeking back to the start on EOF (epoch accumulation,
 media_source.rs:246-292).
 
 Codec note (documented): the reference decodes any ffmpeg-supported media;
-this build natively decodes WAV (io_host/wav.py) and Ogg/Vorbis
-(av/vorbis.py, the pure decoder), resampling to the engine rate on the
-decode thread, with other formats gated on the ffmpeg backend.
+this build natively decodes WAV (io_host/wav.py), Ogg/Vorbis (av/vorbis.py),
+Y4M raw video (av/y4m.py), and JPEG stills (av/jpeg.py) — all pure, zero
+dependencies — resampling audio to the engine rate on the decode thread;
+every other container/codec plays through the in-process libavcodec shim
+(native/avshim.py) when the libraries exist.
 The reference's media_source emits only video (media_source.rs:52-55); this
 build adds an audio output — WAV playback would otherwise be silent — as a
 documented extension.
@@ -42,15 +44,21 @@ class MediaPlayer(threading.Thread):
         self.stream = stream  # seekable reader (project ReadStream)
         self.feed = feed
         self.cfg = cfg
-        self._stop = threading.Event()
+        self._stop_evt = threading.Event()
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
 
     def run(self):
         header = self.stream.read(64 * 1024)
         if header[:4] == b"OggS":
             self._run_ogg()
+            return
+        if header[:9] == b"YUV4MPEG2":
+            self._run_y4m()
+            return
+        if header[:2] == b"\xff\xd8":
+            self._run_jpeg_still()
             return
         try:
             fmt, data_off, data_size = parse_header(header)
@@ -68,12 +76,12 @@ class MediaPlayer(threading.Thread):
         bpf = fmt.bytes_per_frame
         L, M, _ = design(fmt.sample_rate, self.cfg.sample_rate)
 
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             # (re)start from the beginning of the data chunk: loop semantics
             self.stream.seek(data_off)
             remaining = data_size
             carry = np.zeros((0, 2), dtype=np.int16)
-            while remaining > 0 and not self._stop.is_set():
+            while remaining > 0 and not self._stop_evt.is_set():
                 n = min(DECODE_CHUNK_FRAMES * bpf, remaining)
                 raw = self.stream.read(n - (n % bpf) or bpf)
                 if not raw:
@@ -101,7 +109,7 @@ class MediaPlayer(threading.Thread):
                 else:
                     out = frames.astype(np.float32) / 32768.0
                 # bounded put paces decode against engine consumption
-                while not self._stop.is_set():
+                while not self._stop_evt.is_set():
                     if self.feed.push_block(out, block=True, timeout=0.25):
                         break
 
@@ -109,14 +117,14 @@ class MediaPlayer(threading.Thread):
         """Ogg/Vorbis playback loop via the pure decoder (av/vorbis.py)."""
         from mixlab_tpu.av.vorbis import OggVorbisStream
 
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             self.stream.seek(0)
             dec = OggVorbisStream()
             throttle = None
             resample_ctx = None
             carry = np.zeros((0, 2), dtype=np.float32)
             got_any = False
-            while not self._stop.is_set():
+            while not self._stop_evt.is_set():
                 raw = self.stream.read(16384)
                 if not raw:
                     break
@@ -155,11 +163,105 @@ class MediaPlayer(threading.Thread):
                     )
                 else:
                     out = pcm
-                while not self._stop.is_set():
+                while not self._stop_evt.is_set():
                     if self.feed.push_block(out, block=True, timeout=0.25):
                         break
             if not got_any:
                 return  # undecodable: don't loop forever
+
+    def _run_y4m(self):
+        """Raw-video playback via the pure Y4M reader (av/y4m.py) — the
+        zero-dependency video tier; realtime-paced, looping with epoch
+        accumulation like the reference (media_source.rs:246-292)."""
+        from fractions import Fraction
+
+        import jax.numpy as jnp
+
+        from mixlab_tpu.av.y4m import Y4mError, Y4mReader
+        from mixlab_tpu.io_host.throttle import MediaThrottle
+        from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        try:
+            reader = Y4mReader(self.stream)
+        except Y4mError as e:
+            log.warning("media_source: bad y4m: %s", e)
+            return
+        info = reader.info
+        frame_dur = Fraction(info.fps.denominator, info.fps.numerator)
+        throttle = MediaThrottle()
+        epoch = Fraction(0)
+        n = 0
+        while not self._stop_evt.is_set():
+            planes = reader.read_frame()
+            if planes is None:
+                if n == 0:
+                    return  # no frames at all: don't loop forever
+                epoch += n * frame_dur
+                n = 0
+                reader.rewind()
+                continue
+            t = epoch + n * frame_dur
+            n += 1
+            throttle.wait_until(MediaTime(t))
+            y, u, v = planes
+            pic = Picture(
+                PictureSettings(info.width, info.height),
+                {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+            )
+            frame = VideoFrame(
+                picture=pic,
+                duration_hint=MediaDuration.new(
+                    info.fps.denominator, info.fps.numerator
+                ),
+            )
+            pts = MediaTime(t)
+            while not self._stop_evt.is_set():
+                if self.feed.push_video(pts, frame, block=True, timeout=0.25):
+                    break
+
+    def _run_jpeg_still(self):
+        """JPEG still: decode once with the pure decoder (av/jpeg.py), then
+        emit the frame at a steady 10 fps so video_mixer sees a live
+        source (stills-as-video, the ffmpeg behavior for images)."""
+        from fractions import Fraction
+
+        import jax.numpy as jnp
+
+        from mixlab_tpu.av.jpeg import JpegError, decode_jpeg
+        from mixlab_tpu.io_host.throttle import MediaThrottle
+        from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        self.stream.seek(0)
+        data = bytearray()
+        while True:
+            chunk = self.stream.read(1 << 20)
+            if not chunk:
+                break
+            data += chunk
+        try:
+            y, u, v = decode_jpeg(bytes(data))
+        except JpegError as e:
+            log.warning("media_source: jpeg decode failed: %s", e)
+            return
+        h, w = y.shape
+        pic = Picture(
+            PictureSettings(w, h),
+            {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+        )
+        FPS = 10
+        frame = VideoFrame(picture=pic, duration_hint=MediaDuration.new(1, FPS))
+        throttle = MediaThrottle()
+        n = 0
+        while not self._stop_evt.is_set():
+            t = Fraction(n, FPS)
+            n += 1
+            throttle.wait_until(MediaTime(t))
+            while not self._stop_evt.is_set():
+                if self.feed.push_video(MediaTime(t), frame, block=True,
+                                        timeout=0.25):
+                    break
 
     def _run_shim(self):
         """Any-container playback through the ffmpeg-libs shim
@@ -199,7 +301,7 @@ class MediaPlayer(threading.Thread):
             throttle = MediaThrottle()
             epoch = Fraction(0)  # accumulated loop offset, seconds
             last_pts = Fraction(0)
-            while not self._stop.is_set():
+            while not self._stop_evt.is_set():
                 item = reader.read()
                 if item is None:
                     # loop: seek to start, accumulate epoch
@@ -235,7 +337,7 @@ class MediaPlayer(threading.Thread):
                         )
                     else:
                         out = pcm
-                    while not self._stop.is_set():
+                    while not self._stop_evt.is_set():
                         if self.feed.push_block(out, block=True, timeout=0.25):
                             break
                 else:  # video
@@ -255,7 +357,7 @@ class MediaPlayer(threading.Thread):
                         duration_hint=MediaDuration.new(fps_d, fps_n),
                     )
                     pts_mt = MediaTime(t)
-                    while not self._stop.is_set():
+                    while not self._stop_evt.is_set():
                         if self.feed.push_video(pts_mt, frame, block=True, timeout=0.25):
                             break
         finally:

@@ -174,23 +174,25 @@ class VideoEncoder:
     Profiles mirror the reference's operating points
     (video/encode.rs:253-271)."""
 
-    def __init__(self, width: int, height: int, fps: int, profile: str = "monitor"):
+    def __init__(self, width: int, height: int, fps: int, profile: str = "monitor",
+                 codec: str = "libx264", opts: Optional[str] = None):
         lib = _load()
         if lib is None:
             raise ShimError("avshim unavailable")
-        if profile == "monitor":
-            # CRF 30, veryfast, zerolatency, gop 1 (monitor.rs:21-22)
-            opts = "preset=veryfast,tune=zerolatency,crf=30,g=1,threads=1"
-        else:
-            # CBR 1.5 Mbps, slow, film, gop 60 (stream_output.rs:23-24)
-            # bf=0: no B-frames, so dts==pts and FLV composition time
-            # stays zero (rtmp/packet.rs BE24 field unused by this encoder)
-            opts = ("preset=slow,tune=film,b=1500000,minrate=1500000,"
-                    "maxrate=1500000,bufsize=3000000,g=60,bf=0,threads=2")
-        self._h = lib.avshim_venc_open(b"libx264", width, height, fps, 1,
-                                       opts.encode())
+        if opts is None and codec == "libx264":
+            if profile == "monitor":
+                # CRF 30, veryfast, zerolatency, gop 1 (monitor.rs:21-22)
+                opts = "preset=veryfast,tune=zerolatency,crf=30,g=1,threads=1"
+            else:
+                # CBR 1.5 Mbps, slow, film, gop 60 (stream_output.rs:23-24)
+                # bf=0: no B-frames, so dts==pts and FLV composition time
+                # stays zero (rtmp/packet.rs BE24 field unused by this encoder)
+                opts = ("preset=slow,tune=film,b=1500000,minrate=1500000,"
+                        "maxrate=1500000,bufsize=3000000,g=60,bf=0,threads=2")
+        self._h = lib.avshim_venc_open(codec.encode(), width, height, fps, 1,
+                                       (opts or "").encode())
         if not self._h:
-            raise ShimError("libx264 open failed")
+            raise ShimError(f"{codec} open failed")
         self._lib = lib
         self.width, self.height = width, height
         self._buf = np.zeros(width * height * 2 + 65536, dtype=np.uint8)

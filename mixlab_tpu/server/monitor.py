@@ -104,7 +104,7 @@ class MonitorPipeline(threading.Thread):
         self.pipe = pipe
         self.cfg = cfg
         self.socket_id = str(uuid_mod.uuid4())
-        self._stop = threading.Event()
+        self._stop_evt = threading.Event()
         if mode is None:
             mode = "fmp4" if fmp4_capable() else "pcm+png"
         self.mode = mode
@@ -209,11 +209,11 @@ class MonitorPipeline(threading.Thread):
         return True
 
     def stop(self):
-        self._stop.set()
+        self._stop_evt.set()
         unregister_socket(self.socket_id)
 
     def run(self):
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             try:
                 t0, audio, video = self.pipe.q.get(timeout=0.25)
             except queue.Empty:
