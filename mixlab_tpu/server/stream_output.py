@@ -181,9 +181,12 @@ class StreamOutputController:
             self._set_state(ConnState.OFFLINE)
 
     def _setup_encoders(self):
-        """AAC CBR 160k + x264 CBR 1.5 Mbps at 1120x700 when the codec shim
-        exists (the reference operating point, stream_output.rs:23-24,
-        337-345); PCM-FLV fallback otherwise."""
+        """AAC CBR 160k + x264 CBR 1.5 Mbps 30 fps at 1120x700 when the
+        codec shim exists (the reference operating point,
+        stream_output.rs:23-24, 337-345).  Zero-dep fallback: PCM-FLV audio
+        + pure CAVLC intra H.264 video at a reduced 5 fps (FLV carries
+        H.264 regardless of the encoder; AAC has no pure tier — its
+        Huffman codebooks are normative tables, see av/flacenc.py)."""
         from mixlab_tpu.av.codecs import (
             STREAM_PICTURE,
             avshim_codecs_available,
@@ -192,6 +195,7 @@ class StreamOutputController:
         self._aac = None
         self._h264 = None
         self._last_pic = None
+        self._video_fps = 30
         if avshim_codecs_available():
             from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
 
@@ -205,6 +209,18 @@ class StreamOutputController:
             except Exception as e:
                 log.warning("stream_output: codec init failed: %s", e)
                 self._aac = self._h264 = None
+        if self._h264 is None:
+            from mixlab_tpu.av.h264enc import PureH264Stream
+
+            try:
+                self._video_fps = 5  # all-intra python encoder budget
+                self._h264 = PureH264Stream(
+                    STREAM_PICTURE, fps=self._video_fps,
+                    profile="stream", qp=32,
+                )
+            except Exception as e:
+                log.warning("stream_output: pure video init failed: %s", e)
+                self._h264 = None
 
     def _pipe_get(self, timeout):
         try:
@@ -224,22 +240,22 @@ class StreamOutputController:
             body = flv.pcm_s16le_tag(pcm, min(self.cfg.sample_rate, 44100))
             if not self._client.publish_audio(int(ts_ms), body):
                 log.debug("stream_output: publish queue full, dropping tick")
-            return
-
-        # real AAC path: granule pts is in samples since epoch -> ms
-        self._aac.feed(f32_to_i16(audio.reshape(-1)))
-        for frame in self._aac.poll_frames():
-            # poll_frames wraps ADTS; RTMP wants raw AAC (rtmp/packet.rs)
-            raw = frame[7:]
-            if not self._client.publish_audio(
-                int(ts_ms), flv.AudioPacket(False, raw).to_bytes()
-            ):
-                log.debug("stream_output: audio publish queue full")
+        else:
+            # real AAC path: granule pts is in samples since epoch -> ms
+            self._aac.feed(f32_to_i16(audio.reshape(-1)))
+            for frame in self._aac.poll_frames():
+                # poll_frames wraps ADTS; RTMP wants raw AAC (rtmp/packet.rs)
+                raw = frame[7:]
+                if not self._client.publish_audio(
+                    int(ts_ms), flv.AudioPacket(False, raw).to_bytes()
+                ):
+                    log.debug("stream_output: audio publish queue full")
 
         if self._h264 is not None:
-            # 30 fps: every other tick at 60 t/s (gop 60 = 2 s keyframes)
+            # shim: 30 fps (gop 60 = 2 s keyframes); pure tier: 5 fps
             self._tick_count += 1
-            if self._tick_count % max(self.cfg.ticks_per_second // 30, 1) == 0:
+            divisor = max(self.cfg.ticks_per_second // self._video_fps, 1)
+            if self._tick_count % divisor == 0:
                 from mixlab_tpu.av.codecs import STREAM_PICTURE
                 from mixlab_tpu.video.frame import Picture
                 from mixlab_tpu.video.scale import scale_picture

@@ -325,3 +325,116 @@ def test_media_source_video_playback_y4m(tmp_path):
     upl = np.asarray(got_video.picture.planes["u"])
     assert abs(float(upl.mean()) - 100) < 3
     proj.close()
+
+
+def test_stream_output_pure_tier_video_loopback(monkeypatch):
+    """Zero-dependency broadcast: PCM-FLV audio + pure CAVLC intra H.264
+    video at 5 fps published over RTMP and decoded back by the ingest
+    server (libavcodec decodes OUR encoder's stream — independent
+    validation).  Closes 'stream_output is audio-only without codecs'."""
+    import mixlab_tpu.server.stream_output as so_mod
+    from mixlab_tpu.av import codecs as codecs_mod
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        pytest.skip("avshim unavailable (needed to DECODE on the ingest side)")
+    monkeypatch.setattr(codecs_mod, "avshim_codecs_available", lambda: False)
+
+    recv = source_mod.RTMP_MOUNTPOINTS.listen("pureloop")
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+    port_holder = {}
+
+    def run_server():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            async def on_conn(r, w):
+                try:
+                    await rtmp_server.accept(r, w)
+                except (ConnectionError, asyncio.IncompleteReadError):
+                    pass
+
+            srv = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+            port_holder["port"] = srv.sockets[0].getsockname()[1]
+            started.set()
+            async with srv:
+                await srv.serve_forever()
+
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    started.wait(5)
+
+    pipe = _MonitorPipe()
+    ctl = StreamOutputController(pipe, CFG)
+    ctl.update(p.StreamOutputParams(
+        seq=2, connect_seq=2,
+        rtmp_url=f"rtmp://127.0.0.1:{port_holder['port']}/pureloop",
+        rtmp_stream_key="key"))
+    deadline = time.time() + 10
+    while ctl.state != ConnState.LIVE and time.time() < deadline:
+        time.sleep(0.05)
+    assert ctl.state == ConnState.LIVE
+    # pure tier selected: no AAC, pure H.264
+    from mixlab_tpu.av.h264enc import PureH264Stream
+
+    assert ctl._aac is None
+    assert isinstance(ctl._h264, PureH264Stream)
+
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+    w, h = 320, 200
+    ypl = np.zeros((h, w), np.uint8)
+    ypl[:, : w // 2] = 210
+    video_frame = VideoFrame(picture=Picture(
+        PictureSettings(w, h),
+        {"y": jnp.asarray(ypl),
+         "u": jnp.full((h // 2, w // 2), 128, jnp.uint8),
+         "v": jnp.full((h // 2, w // 2), 128, jnp.uint8)}))
+
+    spt = CFG.samples_per_tick
+    audio_frames, video_frames = [], []
+
+    def drain():
+        while (f := recv.read_audio()) is not None:
+            audio_frames.append(f)
+        while (f := recv.read_video()) is not None:
+            video_frames.append(f)
+
+    k = 0
+    t_base = np.arange(spt) / CFG.sample_rate
+    deadline = time.time() + 40  # the pure encoder needs ~1 s per frame here
+    while time.time() < deadline and (
+        len(audio_frames) < 2 or len(video_frames) < 1
+    ):
+        tone = np.sin(2 * np.pi * 440 * (t_base + k * spt / CFG.sample_rate))
+        pipe.push((k * spt, np.stack([tone, tone], -1).astype(np.float32) * 0.5,
+                   video_frame))
+        k += 1
+        time.sleep(0.01)
+        drain()
+
+    assert len(audio_frames) >= 2, "no audio over pure-tier loopback"
+    got = audio_frames[0].data[:, 0].astype(np.float32) / 32767.0
+    np.testing.assert_allclose(got, np.sin(
+        2 * np.pi * 440 * t_base).astype(np.float32) * 0.5, atol=2e-4)
+
+    assert video_frames, "no pure-CAVLC video over RTMP loopback"
+    ypl2 = np.asarray(video_frames[0].data.picture.planes["y"]).astype(float)
+    hh, ww = ypl2.shape
+    assert (ww, hh) == (1120, 700)
+    mid = ypl2[hh // 2 - 50 : hh // 2 + 50]
+    assert mid[:, : ww // 4].mean() > 120
+    assert mid[:, 3 * ww // 4 :].mean() < 60
+
+    ctl.disconnect()
+    ctl.stop()
+    loop.call_soon_threadsafe(loop.stop)
+    recv.close()
