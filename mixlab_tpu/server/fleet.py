@@ -120,14 +120,17 @@ class HostAgent:
     """Per-machine process manager for workspace servers."""
 
     def __init__(self, host_id: str, data_dir: Path, bind: str = "127.0.0.1",
-                 python: str = sys.executable, spawn_timeout: float = 60.0):
+                 python: str = sys.executable, spawn_timeout: float = 60.0,
+                 respawn_interval: Optional[float] = None):
         self.host_id = host_id
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.bind = bind
         self.python = python
         self.spawn_timeout = spawn_timeout
+        self.respawn_interval = respawn_interval  # None = no watchdog
         self.procs: Dict[str, dict] = {}  # key -> {proc, port, url}
+        self._watchdog_task = None
 
     # -- process management --------------------------------------------------
 
@@ -278,9 +281,30 @@ class HostAgent:
         server = await asyncio.start_server(self.handle, self.bind, port)
         self.url = "http://%s:%d" % (self.bind,
                                      server.sockets[0].getsockname()[1])
+        if self.respawn_interval:
+            self._watchdog_task = asyncio.ensure_future(self._watchdog())
         return server
 
+    async def _watchdog(self):
+        """Respawn-on-crash policy: any assigned workspace whose worker
+        died comes back up without waiting for a route request."""
+        while True:
+            await asyncio.sleep(self.respawn_interval)
+            for key, ent in list(self.procs.items()):
+                if ent["proc"].poll() is None:
+                    continue
+                log.warning("agent %s: worker %s died (rc=%s), respawning",
+                            self.host_id, key, ent["proc"].returncode)
+                try:
+                    await self.spawn(key)
+                except Exception:
+                    log.exception("agent %s: respawn of %s failed",
+                                  self.host_id, key)
+
     async def shutdown(self):
+        if self._watchdog_task:
+            self._watchdog_task.cancel()
+            self._watchdog_task = None
         for key in list(self.procs):
             await self.stop(key)
 
@@ -483,7 +507,7 @@ def main(argv=None):
     async def run_agent():
         host, _, port = args.listen.rpartition(":")
         agent = HostAgent(args.host_id, Path(args.data),
-                          bind=host or "127.0.0.1")
+                          bind=host or "127.0.0.1", respawn_interval=5.0)
         server = await agent.serve(int(port))
         log.info("host agent %s on %s", args.host_id, agent.url)
         await http_call(args.controller + "/register", "POST",

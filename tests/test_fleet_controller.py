@@ -53,6 +53,17 @@ def test_fleet_spawn_route_migrate_recover(tmp_path):
             await http_call(ctl.url + "/register", "POST", json.dumps(
                 {"host_id": host_id, "url": agent.url}).encode())
 
+        # periodic heartbeats, as real agents send (fleet.py run_agent) —
+        # worker spawns can take longer than the liveness TTL
+        async def beat():
+            while True:
+                for a in agents:
+                    await http_call(ctl.url + "/heartbeat", "POST",
+                                    json.dumps({"host_id": a.host_id}).encode())
+                await asyncio.sleep(1.0)
+
+        hb = asyncio.ensure_future(beat())
+
         # ---- placement balances load across live agents ----
         status, body = await http_call(ctl.url + "/workspaces/alpha", "POST",
                                        timeout=90.0)
@@ -150,9 +161,38 @@ def test_fleet_spawn_route_migrate_recover(tmp_path):
         assert status == 200
 
         # ---- teardown ----
+        hb.cancel()
         for agent in agents:
             await agent.shutdown()
         for server in servers:
             server.close()
 
     asyncio.run(asyncio.wait_for(go(), 420))
+
+
+def test_agent_watchdog_respawns_crashed_worker(tmp_path):
+    """With a respawn interval set, a crashed worker comes back without any
+    route request (agent-side failure recovery)."""
+
+    async def go():
+        agent = HostAgent("wd", tmp_path / "wd", respawn_interval=0.3)
+        server = await agent.serve()
+        await agent.spawn("w")
+        proc = agent.procs["w"]["proc"]
+        proc.kill()
+        proc.wait(10)
+        deadline = asyncio.get_event_loop().time() + 90
+        while asyncio.get_event_loop().time() < deadline:
+            h = agent.health()
+            info = h["workspaces"].get("w")
+            if info and info["alive"] and agent.procs["w"]["proc"] is not proc:
+                break
+            await asyncio.sleep(0.25)
+        else:
+            raise AssertionError("watchdog never respawned the worker")
+        status, _ = await http_call(agent.procs["w"]["url"] + "/")
+        assert status == 200
+        await agent.shutdown()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(go(), 180))
