@@ -233,8 +233,12 @@ def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                  if restart_interval else n_mcu)
         while mcu < limit:
             for ci, c in enumerate(comps):
-                dc_lut = huff[(0, c.dc_tab)]
-                ac_lut = huff[(1, c.ac_tab)]
+                try:
+                    dc_lut = huff[(0, c.dc_tab)]
+                    ac_lut = huff[(1, c.ac_tab)]
+                except KeyError as e:
+                    raise JpegError(f"scan references undefined "
+                                    f"Huffman table {e}") from None
                 for b in range(c.h * c.v):
                     block = coeffs[ci][mcu * c.h * c.v + b]
                     pk = br.peek16()
@@ -276,6 +280,8 @@ def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     # ---- batched dequant + IDCT per component ----
     planes = []
     for ci, c in enumerate(comps):
+        if c.tq not in qt:
+            raise JpegError(f"undefined quant table {c.tq}")
         zz = coeffs[ci].astype(np.float64) * qt[c.tq][None, :]
         blocks = np.zeros((len(zz), 64), np.float64)
         blocks[:, ZIGZAG8] = zz

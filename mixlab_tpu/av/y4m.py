@@ -63,11 +63,13 @@ def parse_header(data: bytes) -> Y4mInfo:
             n, _, d = val.partition(":")
             fps = Fraction(int(n), int(d or 1))
         elif tag == b"C":
-            if val.startswith("420"):
+            # exact 8-bit variants only — C420p10/C444alpha etc. have a
+            # different frame layout and must NOT silently alias
+            if val in ("420", "420jpeg", "420mpeg2", "420paldv"):
                 cs = "420"
-            elif val.startswith("422"):
+            elif val == "422":
                 cs = "422"
-            elif val.startswith("444"):
+            elif val == "444":
                 cs = "444"
             else:
                 raise Y4mError(f"unsupported colorspace C{val}")

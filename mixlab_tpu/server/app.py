@@ -81,11 +81,28 @@ class Server:
             if not keep:
                 return
 
+    MAX_DISCARD_BODY = 1 << 20  # drain unread bodies up to 1 MiB, else close
+
     async def _handle_request(self, req, reader, writer) -> bool:
         """Dispatch one request; -> True to keep the connection open."""
         from mixlab_tpu.server.http import wants_keep_alive
 
         keep = wants_keep_alive(req)
+        # routes that read their own body manage connection framing
+        reads_own_body = (
+            (req.path.startswith("/_upload/") and req.method == "POST")
+            or (req.path == "/_restore" and req.method == "POST")
+            or (req.path in ("/session",) and req.method == "GET")
+            or (req.path.startswith("/_monitor/") and req.method == "GET")
+        )
+        if not reads_own_body:
+            length = int(req.header("content-length", "0") or 0)
+            if length > self.MAX_DISCARD_BODY:
+                writer.write(response(413, "Payload Too Large"))
+                return False
+            if length:
+                # drain so the next keep-alive request parses cleanly
+                await reader.readexactly(length)
         if req.path == "/" and req.method == "GET":
             body = INDEX_HTML.read_bytes() if INDEX_HTML.exists() else b"mixlab-tpu"
             writer.write(response(200, "OK", body, "text/html; charset=utf-8",

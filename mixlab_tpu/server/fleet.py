@@ -131,42 +131,61 @@ class HostAgent:
         self.respawn_interval = respawn_interval  # None = no watchdog
         self.procs: Dict[str, dict] = {}  # key -> {proc, port, url}
         self._watchdog_task = None
+        self._spawn_lock = asyncio.Lock()
 
     # -- process management --------------------------------------------------
 
+    @staticmethod
+    def _safe_key(key: str) -> str:
+        """Workspace keys are identifiers, not paths: reject anything that
+        would traverse or alias (two keys must never share files)."""
+        if not key or len(key) > 128 or not all(
+            c.isalnum() or c in "-_." for c in key
+        ) or key.startswith("."):
+            raise ValueError(f"invalid workspace key: {key!r}")
+        return key
+
     def _workspace_path(self, key: str) -> Path:
-        safe = "".join(c for c in key if c.isalnum() or c in "-_.")
-        return self.data_dir / f"{safe}.mixlab"
+        return self.data_dir / f"{self._safe_key(key)}.mixlab"
 
     async def spawn(self, key: str) -> dict:
-        ent = self.procs.get(key)
-        if ent and ent["proc"].poll() is None:
-            return {"url": ent["url"], "already": True}
-        port = free_port(self.bind)
-        logfile = open(self.data_dir / f"{key}.log", "ab")
-        proc = subprocess.Popen(
-            [self.python, "-m", "mixlab_tpu",
-             "--listen", f"{self.bind}:{port}",
-             str(self._workspace_path(key))],
-            stdout=logfile, stderr=subprocess.STDOUT,
-            cwd=str(Path(__file__).resolve().parents[2]),
-        )
-        url = f"http://{self.bind}:{port}"
-        deadline = time.monotonic() + self.spawn_timeout
-        while time.monotonic() < deadline:
-            if proc.poll() is not None:
-                raise RuntimeError(f"worker for {key} died on startup")
+        key = self._safe_key(key)
+        # serialize spawns: the watchdog and a concurrent route respawn
+        # must not both start workers for the same key
+        async with self._spawn_lock:
+            ent = self.procs.get(key)
+            if ent and ent["proc"].poll() is None:
+                return {"url": ent["url"], "already": True}
+            port = free_port(self.bind)
+            logfile = open(self.data_dir / f"{key}.log", "ab")
             try:
-                status, _ = await http_call(url + "/", timeout=2.0)
-                if status == 200:
-                    break
-            except (OSError, asyncio.TimeoutError, asyncio.IncompleteReadError):
+                proc = subprocess.Popen(
+                    [self.python, "-m", "mixlab_tpu",
+                     "--listen", f"{self.bind}:{port}",
+                     str(self._workspace_path(key))],
+                    stdout=logfile, stderr=subprocess.STDOUT,
+                    cwd=str(Path(__file__).resolve().parents[2]),
+                )
+            finally:
+                logfile.close()  # the child owns its inherited fd
+            url = f"http://{self.bind}:{port}"
+            deadline = time.monotonic() + self.spawn_timeout
+            while time.monotonic() < deadline:
+                if proc.poll() is not None:
+                    raise RuntimeError(f"worker for {key} died on startup")
+                try:
+                    status, _ = await http_call(url + "/", timeout=2.0)
+                    if status == 200:
+                        break
+                except (OSError, asyncio.TimeoutError,
+                        asyncio.IncompleteReadError):
+                    pass
                 await asyncio.sleep(0.25)
-        else:
-            proc.terminate()
-            raise RuntimeError(f"worker for {key} never became ready")
-        self.procs[key] = {"proc": proc, "port": port, "url": url}
-        return {"url": url, "already": False}
+            else:
+                proc.terminate()
+                raise RuntimeError(f"worker for {key} never became ready")
+            self.procs[key] = {"proc": proc, "port": port, "url": url}
+            return {"url": url, "already": False}
 
     async def stop(self, key: str) -> bool:
         ent = self.procs.pop(key, None)
@@ -267,6 +286,8 @@ class HostAgent:
                     await self.import_(req.path[8:], body)))
             else:
                 writer.write(response(404, "Not Found"))
+        except ValueError as e:  # bad workspace key etc.
+            writer.write(response(400, "Bad Request", str(e).encode()))
         except Exception as e:  # report, don't kill the agent
             log.exception("agent %s: %s %s failed", self.host_id,
                           req.method, req.path)

@@ -189,6 +189,7 @@ class MonitorPipeline(threading.Thread):
             height=MONITOR_PICTURE.height,
             dcr=self._h264.dcr,
             sample_rate=self.cfg.sample_rate,
+            channels=self.cfg.channels,
             audio_codec="flac" if audio_is_flac else "aac",
             flac_streaminfo_block=(
                 self._aac.streaminfo_block() if audio_is_flac else b""

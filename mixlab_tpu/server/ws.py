@@ -63,7 +63,9 @@ def negotiate_deflate(offer_header: Optional[str]) -> Optional[Tuple[str, int]]:
             elif k == "server_max_window_bits":
                 if v:
                     bits = int(v)
-                    if not 8 <= bits <= 15:
+                    # zlib cannot make a raw-deflate stream with 8 bits
+                    # (window 256); decline such offers like other servers
+                    if not 9 <= bits <= 15:
                         ok = False
                     else:
                         server_bits = bits

@@ -196,3 +196,22 @@ def test_agent_watchdog_respawns_crashed_worker(tmp_path):
         server.close()
 
     asyncio.run(asyncio.wait_for(go(), 180))
+
+
+def test_agent_rejects_path_traversal_keys(tmp_path):
+    async def go():
+        agent = HostAgent("sec", tmp_path / "sec")
+        server = await agent.serve()
+        for bad in ("../../etc/pwn", "a/b", "", ".hidden", "x" * 200):
+            try:
+                status, _ = await http_call(
+                    agent.url + f"/spawn/{bad}", "POST", timeout=10.0)
+            except Exception:
+                continue  # unroutable path forms are fine too
+            assert status in (400, 404), (bad, status)
+        # nothing was spawned, nothing written outside data_dir
+        assert agent.procs == {}
+        await agent.shutdown()
+        server.close()
+
+    asyncio.run(asyncio.wait_for(go(), 60))

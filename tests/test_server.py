@@ -365,3 +365,30 @@ def test_session_ws_permessage_deflate(server_port):
         writer.close()
 
     loop.run_until_complete(go())
+
+
+def test_keep_alive_drains_unread_post_body(server_port):
+    """A kept-alive POST to a route that ignores bodies must not
+    desynchronize the connection (the body is drained server-side)."""
+    loop, port, _ = server_port
+
+    async def go():
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        body = b"x" * 64
+        writer.write(
+            (f"POST /nope HTTP/1.1\r\nHost: x\r\n"
+             f"Content-Length: {len(body)}\r\n\r\n").encode() + body)
+        await writer.drain()
+        head = await reader.readuntil(b"\r\n\r\n")
+        assert b"404" in head
+        n = int([l for l in head.split(b"\r\n")
+                 if l.lower().startswith(b"content-length")][0].split(b":")[1])
+        await reader.readexactly(n)
+        # the SAME connection serves a clean second request
+        writer.write(b"GET / HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        head2 = await reader.readuntil(b"\r\n\r\n")
+        assert b"200 OK" in head2
+        writer.close()
+
+    loop.run_until_complete(go())

@@ -155,6 +155,8 @@ def test_negotiate_deflate_offers():
     assert bits == 15
     # out-of-range window bits decline
     assert nd("permessage-deflate; server_max_window_bits=4") is None
+    # zlib cannot produce a raw stream with 8 window bits: decline too
+    assert nd("permessage-deflate; server_max_window_bits=8") is None
 
 
 def test_deflate_recv_roundtrip():

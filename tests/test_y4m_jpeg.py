@@ -197,3 +197,25 @@ def test_media_player_jpeg_still(tmp_path):
         player.join(timeout=5)
         proj.engine.stop()
         proj.close()
+
+
+def test_y4m_rejects_high_bit_depth_variants():
+    for cs in (b"420p10", b"444p16", b"444alpha", b"mono"):
+        with pytest.raises(Y4mError):
+            parse_header(b"YUV4MPEG2 W16 H8 F30:1 C" + cs + b"\n")
+
+
+def test_jpeg_undefined_tables_raise_jpegerror():
+    # valid-looking SOF+SOS but the scan references Huffman table 3,
+    # which is never defined -> JpegError, not KeyError
+    import struct as _s
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+    dqt = seg(0xDB, b"\x00" + bytes(64))
+    sof = seg(0xC0, b"\x08" + _s.pack(">HH", 8, 8) + b"\x01" + b"\x01\x11\x00")
+    sos = seg(0xDA, b"\x01" + b"\x01\x33" + b"\x00\x3f\x00")
+    blob = b"\xff\xd8" + dqt + sof + sos + b"\x00\x00" + b"\xff\xd9"
+    with pytest.raises(JpegError):
+        decode_jpeg(blob)
