@@ -37,10 +37,23 @@ def main():
     )
 
     async def amain():
+        import signal
+
         tcp, _server = await run_server(project, host or "127.0.0.1", int(port))
         logging.info("mixlab-tpu listening on http://%s", args.listen)
+        stop = asyncio.Event()
+        # graceful SIGTERM: the fleet agent stops workers with terminate()
+        # (server/fleet.py) and the coalescing persist writer must flush —
+        # the default SIGTERM disposition would skip the finally block
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                loop.add_signal_handler(sig, stop.set)
+            except (NotImplementedError, RuntimeError):
+                pass
         async with tcp:
-            await tcp.serve_forever()
+            await stop.wait()
+        logging.info("mixlab-tpu shutting down")
 
     try:
         asyncio.run(amain())

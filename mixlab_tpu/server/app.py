@@ -131,6 +131,10 @@ class Server:
             # upload replies Connection: close (body framing is simplest)
             await self.handle_upload(req, reader, writer)
             return False
+        elif req.path == "/_metrics" and req.method == "GET":
+            writer.write(response(200, "OK", self._metrics_text(),
+                                  "text/plain; version=0.0.4",
+                                  keep_alive=keep))
         elif req.path == "/_checkpoint" and req.method == "GET":
             # live-migration support (server/fleet.py): runtime DSP-state
             # snapshot, taken on the engine thread
@@ -171,6 +175,42 @@ class Server:
             writer.write(response(404, "Not Found", b"not found",
                                   keep_alive=keep))
         return keep
+
+    def _metrics_text(self) -> bytes:
+        """Prometheus-style operational metrics (production-deployment
+        extension; fleet controllers and dashboards scrape this)."""
+        eng = self.engine
+        lines = []
+
+        def metric(name, value, help_=None, kind="gauge"):
+            if help_:
+                lines.append(f"# HELP {name} {help_}")
+                lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+
+        metric("mixlab_engine_tick", eng.tick,
+               "Engine tick counter", "counter")
+        metric("mixlab_engine_modules", len(eng.ws.modules),
+               "Modules in the workspace")
+        metric("mixlab_engine_connections", len(eng.ws.connections),
+               "Connections in the workspace")
+        metric("mixlab_monitor_pipelines", len(eng._monitor_pipelines),
+               "Live monitor codec pipelines")
+        info = eng.performance_info()
+        if info is not None:
+            metric("mixlab_engine_realtime", int(info.realtime),
+                   "1 when the engine meets its tick deadlines")
+            metric("mixlab_engine_tick_rate", info.tick_rate,
+                   "Target ticks per second")
+            metric("mixlab_engine_tick_budget_us", info.tick_budget.us,
+                   "Tick budget in microseconds")
+            for account, m in info.accounts:
+                label = account.kind
+                if account.module_id is not None:
+                    label += f"_{account.module_id.value}"
+                metric(f'mixlab_engine_account_us{{account="{label}"}}',
+                       m.last.us)
+        return ("\n".join(lines) + "\n").encode()
 
     # -- websocket helpers -------------------------------------------------
 

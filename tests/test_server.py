@@ -392,3 +392,102 @@ def test_keep_alive_drains_unread_post_body(server_port):
         writer.close()
 
     loop.run_until_complete(go())
+
+
+def test_sigterm_graceful_shutdown_flushes_persistence(tmp_path):
+    """Fleet agents stop workers with SIGTERM (server/fleet.py); the worker
+    must flush its coalescing persist writer and exit cleanly so the
+    project file carries every acknowledged edit."""
+    import signal
+    import subprocess
+    import sys
+    import time as time_mod
+
+    ws_path = tmp_path / "term.mixlab"
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mixlab_tpu", "--listen",
+         f"127.0.0.1:{port}", str(ws_path)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    try:
+        deadline = time_mod.time() + 60
+        while time_mod.time() < deadline:
+            try:
+                c = socket.create_connection(("127.0.0.1", port), 1)
+                c.close()
+                break
+            except OSError:
+                assert proc.poll() is None, "worker died on startup"
+                time_mod.sleep(0.25)
+
+        async def drive():
+            reader, writer = await ws_connect("127.0.0.1", port, "/session")
+            await asyncio.wait_for(ws_recv(reader), 15)  # WorkspaceState
+            await asyncio.wait_for(ws_recv(reader), 15)  # MediaLibrary
+            msg = p.WorkspaceMessage(1, p.CreateModule(
+                p.ModuleParams("Oscillator",
+                               p.OscillatorParams(440.0, p.Waveform.SINE)),
+                p.WindowGeometry()))
+            env = json.dumps({"v": 1, "kind": "Workspace",
+                              "m": wire.encode(msg)})
+            writer.write(mask_frame(ws_mod.OP_TEXT, env.encode()))
+            await writer.drain()
+            for _ in range(6):
+                _, payload = await asyncio.wait_for(ws_recv(reader), 15)
+                kind, _b = wire.parse_envelope(payload)
+                if kind == "Sync":
+                    break
+            writer.close()
+
+        asyncio.new_event_loop().run_until_complete(drive())
+        # SIGTERM immediately after the acknowledged edit
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(30)
+        assert rc == 0, f"worker exited {rc} on SIGTERM"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # the edit survived in the project file
+    from mixlab_tpu.engine.project import ProjectBase
+
+    base = ProjectBase(ws_path)
+    snap = base.read_workspace()
+    base.close()
+    assert snap is not None
+    blob = json.dumps(snap)
+    assert "Oscillator" in blob
+
+
+def test_metrics_endpoint(server_port):
+    loop, port, project = server_port
+    eng = project.engine
+
+    async def go():
+        # add a module so the workspace metrics are non-trivial
+        sid, _, _ = await asyncio.get_running_loop().run_in_executor(
+            None, eng.connect_session)
+        eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+            p.ModuleParams("Oscillator", p.OscillatorParams(330.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        await asyncio.sleep(0.8)  # let the engine tick + publish perf
+
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"GET /_metrics HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+        await writer.drain()
+        raw = await reader.read(-1)
+        head, _, body = raw.partition(b"\r\n\r\n")
+        assert b"200 OK" in head
+        text = body.decode()
+        assert "mixlab_engine_tick " in text
+        assert "mixlab_engine_modules 1" in text
+        assert "mixlab_engine_realtime" in text
+        assert "mixlab_engine_tick_rate 60" in text
+        writer.close()
+
+    loop.run_until_complete(go())
