@@ -21,6 +21,8 @@ Both operate on u8 arrays of any [..., H, W] shape, so a batch of frames
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -106,8 +108,31 @@ def crossfade(a, b, fade, use_pallas: bool | None = None):
 
 
 def crossfade_picture(a_planes: dict, b_planes: dict, fade: int, use_pallas=None):
-    """Blend all planes of two same-format pictures."""
-    return {
-        k: crossfade(a_planes[k], b_planes[k], fade, use_pallas)
-        for k in a_planes
-    }
+    """Blend all planes of two same-format pictures.
+
+    Eager callers (realtime video tick) get one compiled dispatch for all
+    planes; under an enclosing jit the pure path inlines."""
+    keys = tuple(sorted(a_planes))
+    first = a_planes[keys[0]]
+    if isinstance(first, jax.core.Tracer):
+        return {
+            k: crossfade(a_planes[k], b_planes[k], fade, use_pallas)
+            for k in a_planes
+        }
+    shapes = tuple(a_planes[k].shape for k in keys)
+    f = _crossfade_picture_jit(keys, shapes, use_pallas)
+    outs = f(tuple(a_planes[k] for k in keys),
+             tuple(b_planes[k] for k in keys),
+             jnp.uint8(fade))
+    return dict(zip(keys, outs))
+
+
+@functools.lru_cache(maxsize=64)
+def _crossfade_picture_jit(keys, shapes, use_pallas):
+    def f(a_list, b_list, fade):
+        return tuple(
+            crossfade(a, b, fade, use_pallas)
+            for a, b in zip(a_list, b_list)
+        )
+
+    return jax.jit(f)

@@ -14,6 +14,7 @@ video mixer's max-box chroma-aligned target computation
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 from typing import Dict, Optional
 
@@ -21,6 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
+
+# settings -> concrete blank Picture (see Picture.blank)
+_BLANK_CACHE: Dict["PictureSettings", "Picture"] = {}
 
 YUV420P = "yuv420p"
 RGB24 = "rgb24"
@@ -75,7 +79,14 @@ class Picture:
 
     @staticmethod
     def blank(settings: PictureSettings) -> "Picture":
-        """Black frame; chroma planes at 0x80 (frame.rs:76-138 blank())."""
+        """Black frame; chroma planes at 0x80 (frame.rs:76-138 blank()).
+        Concrete results are cached per settings: the realtime tick asks
+        for one every frame, and re-uploading constant planes costs a
+        dispatch each.  Under a jit trace jnp.zeros/full yield TRACERS,
+        which must never enter the cache (they'd leak across traces)."""
+        cached = _BLANK_CACHE.get(settings)
+        if cached is not None:
+            return cached
         w, h = settings.width, settings.height
         if settings.pixel_format == YUV420P:
             planes = {
@@ -87,7 +98,12 @@ class Picture:
             planes = {"rgb": jnp.zeros((h, w, 3), dtype=jnp.uint8)}
         else:
             raise ValueError(settings.pixel_format)
-        return Picture(settings, planes)
+        import jax
+
+        pic = Picture(settings, planes)
+        if not any(isinstance(p, jax.core.Tracer) for p in planes.values()):
+            _BLANK_CACHE[settings] = pic
+        return pic
 
     def to_numpy(self) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v) for k, v in self.planes.items()}

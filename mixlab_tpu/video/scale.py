@@ -219,19 +219,46 @@ def letterbox_geometry(
     return x, y, scaled_w, scaled_h
 
 
-def scale_picture(pic: Picture, out: PictureSettings) -> Picture:
-    """Scale + letterbox a yuv420p picture into ``out`` settings."""
-    if pic.settings == out:
-        return pic
-    assert pic.settings.pixel_format == YUV420P == out.pixel_format
-    x, y, sw, sh = letterbox_geometry(pic.settings, out)
+def _scale_planes(planes, inp: PictureSettings, out: PictureSettings):
+    """Pure scale+letterbox on a yuv420p plane dict (traceable)."""
+    x, y, sw, sh = letterbox_geometry(inp, out)
     base = Picture.blank(out)
-    planes = {}
+    scaled = {}
     for name, (sub_x, sub_y) in (("y", (0, 0)), ("u", (1, 1)), ("v", (1, 1))):
         ph = sh >> sub_y
         pw = sw >> sub_x
-        scaled = resize_plane(pic.planes[name], ph, pw)
+        plane = resize_plane(planes[name], ph, pw)
         canvas = base.planes[name]
         py, px = y >> sub_y, x >> sub_x
-        planes[name] = canvas.at[py : py + ph, px : px + pw].set(scaled)
-    return Picture(out, planes)
+        scaled[name] = canvas.at[py : py + ph, px : px + pw].set(plane)
+    return scaled
+
+
+@functools.lru_cache(maxsize=128)
+def _scale_picture_jit(inp: PictureSettings, out: PictureSettings):
+    import jax
+
+    def f(y, u, v):
+        s = _scale_planes({"y": y, "u": u, "v": v}, inp, out)
+        return s["y"], s["u"], s["v"]
+
+    return jax.jit(f)
+
+
+def scale_picture(pic: Picture, out: PictureSettings) -> Picture:
+    """Scale + letterbox a yuv420p picture into ``out`` settings.
+
+    Eager callers (the realtime per-tick video pass, engine.py:705) get ONE
+    compiled dispatch per (in, out) shape pair instead of per-op eager
+    dispatches — essential when every dispatch pays host->device latency;
+    under an enclosing jit (offline scan render) the pure path inlines."""
+    if pic.settings == out:
+        return pic
+    assert pic.settings.pixel_format == YUV420P == out.pixel_format
+    import jax
+
+    if isinstance(pic.planes["y"], jax.core.Tracer):
+        return Picture(out, _scale_planes(pic.planes, pic.settings, out))
+    f = _scale_picture_jit(pic.settings, out)
+    yy, uu, vv = f(pic.planes["y"], pic.planes["u"], pic.planes["v"])
+    return Picture(out, {"y": yy, "u": uu, "v": vv})
