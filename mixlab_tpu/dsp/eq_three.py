@@ -164,6 +164,22 @@ class EqThreeDef(ModuleDef):
 
         f_lo = _filter_coeff(FREQ_LO, cfg.sample_rate)
         f_hi = _filter_coeff(FREQ_HI, cfg.sample_rate)
+
+        # 3-sample delay line (eq_three.rs:71-79)
+        xd = jnp.concatenate([state["hist"], x])[:S]
+        new_hist = jnp.concatenate([state["hist"], x])[-3:]
+        g = aux["gains"]
+
+        from mixlab_tpu.dsp.eq_pallas import PALLAS_THRESHOLD, eq_cascade_pallas
+
+        if S >= PALLAS_THRESHOLD:
+            # single-launch fused kernel: both bands, all four stages, the
+            # chunk-carry scans, and the band mix VMEM-resident
+            out, poles_out = eq_cascade_pallas(
+                x, xd, state["poles"], g, f_lo, f_hi, VSA
+            )
+            return {"poles": poles_out, "hist": new_hist}, [out], {}
+
         f = jnp.asarray([f_lo, f_hi], dtype=jnp.float32)
         a_tuple = (1.0 - f_lo, 1.0 - f_hi)
 
@@ -178,17 +194,13 @@ class EqThreeDef(ModuleDef):
 
         lo = y[:, 0]
         hi_lp = y[:, 1]
-
-        # 3-sample delay line (eq_three.rs:71-79)
-        xd = jnp.concatenate([state["hist"], x])[:S]
         hi = xd - hi_lp
         mid = xd - (hi + lo)
 
-        g = aux["gains"]
         out = (lo * g[0] + mid * g[1] + hi * g[2]).astype(jnp.float32)
 
         new_state = {
             "poles": jnp.stack(poles, axis=0),
-            "hist": jnp.concatenate([state["hist"], x])[-3:],
+            "hist": new_hist,
         }
         return new_state, [out], {}
