@@ -79,7 +79,11 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
 
     def kernel(scal_ref, x2_ref, xd2_ref, tlo_ref, thi_ref, pow_ref, row_ref,
                out_ref, poles_ref):
-        # scal layout: [poles0(8) = stage-major (s*2+band), gains(3)]
+        # scal layout (VMEM [1,128] row; SMEM scalars break vmap batching on
+        # TPU): [poles0(8) = stage-major (s*2+band), gains(3)]
+        def scal(i):
+            return scal_ref[0:1, i:i + 1]  # [1,1], broadcasts as a scalar
+
         x2 = x2_ref[...]  # [C, K]
         Bs = [x2 * f_lo + vsa, x2 * f_hi + vsa]
         Ts = [tlo_ref[...], thi_ref[...]]
@@ -87,7 +91,7 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
         Y = [None, None]
         for s in range(4):
             for b in range(2):
-                pole0 = scal_ref[s * 2 + b]
+                pole0 = scal(s * 2 + b)
                 Z = jax.lax.dot_general(
                     Ts[b], Bs[b], (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
@@ -121,9 +125,9 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
                     Bs[b] = Yb * (f_lo if b == 0 else f_hi)
         lo, hi_lp = Y[0], Y[1]
         xd2 = xd2_ref[...]
-        g_lo = scal_ref[8]
-        g_mid = scal_ref[9]
-        g_hi = scal_ref[10]
+        g_lo = scal(8)
+        g_mid = scal(9)
+        g_hi = scal(10)
         out_ref[...] = (lo * g_lo + (hi_lp - lo) * g_mid
                         + (xd2 - hi_lp) * g_hi)
 
@@ -148,10 +152,9 @@ def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
     xd2 = xdp.reshape(K, C).T
     T_lo, _, _ = _toeplitz_tables((a_lo, a_lo), C)
     T_hi, _, _ = _toeplitz_tables((a_hi, a_hi), C)
-    scal = jnp.concatenate([
-        poles0.reshape(-1).astype(jnp.float32),  # stage-major [s*2+b]
-        gains.astype(jnp.float32),
-    ])
+    scal = jnp.zeros((1, 128), jnp.float32)
+    scal = scal.at[0, :8].set(poles0.reshape(-1).astype(jnp.float32))
+    scal = scal.at[0, 8:11].set(gains.astype(jnp.float32))
 
     kernel = _make_kernel(S, C, K, a_lo, a_hi, float(f_lo), float(f_hi),
                           float(vsa))
@@ -160,7 +163,7 @@ def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
         kernel,
         interpret=jax.default_backend() != "tpu",
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
