@@ -115,7 +115,22 @@ def _destuff(data: bytes) -> bytes:
 
 def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """JPEG bytes -> (y, u, v) uint8 planes at 4:2:0 (grayscale: flat
-    chroma).  Raises JpegError for progressive/arithmetic/12-bit files."""
+    chroma).  Raises JpegError for progressive/arithmetic/12-bit files and
+    for ANY malformed input (uploads are untrusted; structural index/struct
+    errors are normalized to JpegError so callers need one except)."""
+    try:
+        return _decode_jpeg(data)
+    except JpegError:
+        raise
+    except (IndexError, ValueError, KeyError, struct.error,
+            ZeroDivisionError) as e:
+        raise JpegError(f"malformed JPEG: {type(e).__name__}: {e}") from None
+
+
+_MAX_PIXELS = 8192 * 8192
+
+
+def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise JpegError("missing SOI")
     pos = 2
@@ -155,7 +170,11 @@ def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             if precision != 8:
                 raise JpegError(f"{precision}-bit JPEG unsupported")
             height, width = struct.unpack_from(">HH", seg, 1)
+            if not height or not width or height * width > _MAX_PIXELS:
+                raise JpegError(f"bad dimensions {width}x{height}")
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                raise JpegError(f"unsupported component count {ncomp}")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]

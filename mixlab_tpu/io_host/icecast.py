@@ -20,6 +20,7 @@ Ogg/Vorbis via lewton and rejects non-44.1 kHz streams with a TODO
 from __future__ import annotations
 
 import asyncio
+import logging
 import threading
 from typing import Optional
 
@@ -32,6 +33,8 @@ from mixlab_tpu.io_host.throttle import AudioThrottle
 from mixlab_tpu.io_host.wav import WavError, WavFormat, decode_frames, parse_header
 from mixlab_tpu.server.http import read_request, response
 from mixlab_tpu.utils.mtime import MediaTime
+
+log = logging.getLogger(__name__)
 
 ENGINE_RATE = DEFAULT_CONFIG.sample_rate
 
@@ -82,9 +85,15 @@ async def accept(reader, writer):
                     else _PcmDecoder(content_type, engine_rate=ENGINE_RATE)
                 )
             # decode + pace on a worker thread so the event loop stays live
-            pcm = await asyncio.get_running_loop().run_in_executor(
-                None, decoder.feed, chunk
-            )
+            try:
+                pcm = await asyncio.get_running_loop().run_in_executor(
+                    None, decoder.feed, chunk
+                )
+            except Exception as e:
+                # malformed/corrupted source data (network input is
+                # untrusted): drop the mount, never the server
+                log.warning("icecast: decode failed, dropping mount: %s", e)
+                break
             if pcm is not None and len(pcm):
                 if not send.write_audio(
                     MediaTime.new(decoder.samples_out - len(pcm), ENGINE_RATE), pcm
