@@ -334,7 +334,9 @@ def bench_stems16(seconds_audio=4.0, reps=2):
         f = jax.jit(whole)
         return lambda: f(x, rs_ctx, eq_state)
 
-    sec_per_block = timed_slope(make, n_blocks, 2 * n_blocks)
+    # the eq kernel + conv resampler pushed per-block cost near the timing
+    # floor: widen the spread so the slope stays above tunnel noise
+    sec_per_block = timed_slope(make, n_blocks, n_blocks + 40)
     return 2.0 / sec_per_block
 
 
@@ -497,6 +499,56 @@ def bench_realtime_engine(block_ticks=4, seconds=8.0):
     return ticks / seconds, bool(perf.realtime if perf else False)
 
 
+def bench_realtime_engine_video(block_ticks=4, seconds=8.0):
+    """Realtime engine WITH live video: the flagship audio graph plus a
+    video_mixer compositing two sources (1280x720 + 960x540) every tick,
+    monitor consuming audio+video.  See REALTIME_TPU_VIDEO_r02.json."""
+    import time as _t
+
+    import jax.numpy as jnp
+
+    from mixlab_tpu import protocol as p
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.engine import Engine
+    from mixlab_tpu.utils.mtime import MediaDuration
+    from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+    rng = np.random.default_rng(0)
+    ws, mon = build_16_module_graph()
+    vm = ws.create_module(
+        p.ModuleParams("VideoMixer", p.VideoMixerParams(a=0, b=1, fader=0.5))
+    )
+    ws.connect(p.InputId(mon, 0), p.OutputId(vm, 0))
+
+    def mkframe(w, h):
+        return VideoFrame(picture=Picture(PictureSettings(w, h), {
+            "y": jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8)),
+            "u": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+            "v": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)),
+        }), duration_hint=MediaDuration.new(1, 30))
+
+    f720, f540 = mkframe(1280, 720), mkframe(960, 540)
+    eng = Engine(workspace=ws, cfg=EngineConfig(sample_rate=44_100),
+                 block_ticks=block_ticks)
+    orig = eng._video_input
+
+    def vin(mid, idx, buffers, _orig=orig):
+        if mid == vm and idx in (0, 1):
+            return f720 if idx == 0 else f540
+        return _orig(mid, idx, buffers)
+
+    eng._video_input = vin
+    for _ in range(3):
+        eng.tick_once()
+    eng.tick = 0
+    eng.start()
+    _t.sleep(seconds)
+    ticks = eng.tick
+    perf = eng.performance_info()
+    eng.stop()
+    return ticks / seconds, bool(perf.realtime if perf else False)
+
+
 def main():
     run_all = "--all" in sys.argv
 
@@ -507,6 +559,15 @@ def main():
         "unit": "ticks_per_s (target 60)",
         "realtime_flag": rt_flag,
     })
+
+    if run_all:
+        vtps, vrt = bench_realtime_engine_video()
+        _emit({
+            "metric": "realtime_engine_with_video_ticks_per_s_block4",
+            "value": round(vtps, 1),
+            "unit": "ticks_per_s (target 60)",
+            "realtime_flag": vrt,
+        })
 
     multiple = bench_graph(build_16_module_graph)
     _emit(
