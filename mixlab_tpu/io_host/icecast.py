@@ -79,11 +79,7 @@ async def accept(reader, writer):
                 break
             if decoder is None:
                 # sniff: SOURCE clients don't always set content-type
-                decoder = (
-                    _OggVorbisDecoder(content_type, engine_rate=ENGINE_RATE)
-                    if chunk[:4] == b"OggS"
-                    else _PcmDecoder(content_type, engine_rate=ENGINE_RATE)
-                )
+                decoder = _pick_decoder(content_type, chunk)
             # decode + pace on a worker thread so the event loop stays live
             try:
                 pcm = await asyncio.get_running_loop().run_in_executor(
@@ -101,6 +97,27 @@ async def accept(reader, writer):
                     break  # receiver gone
     finally:
         send.close()
+
+
+def _pick_decoder(content_type: str, first_chunk: bytes):
+    """Codec selection for a SOURCE body: explicit content-type first,
+    then byte sniffing (Ogg magic, MPEG-audio sync, ADTS sync)."""
+    from mixlab_tpu.av.mp3 import looks_like_mp3
+
+    ct = content_type
+    if first_chunk[:4] == b"OggS" or "ogg" in ct or "vorbis" in ct:
+        return _OggVorbisDecoder(ct, engine_rate=ENGINE_RATE)
+    if "mpeg" in ct or "mp3" in ct or looks_like_mp3(first_chunk[:10]):
+        return _ShimAudioDecoder(ct, ENGINE_RATE, "mp3")
+    if "aac" in ct or _looks_like_adts(first_chunk[:7]):
+        return _ShimAudioDecoder(ct, ENGINE_RATE, "aac")
+    return _PcmDecoder(ct, engine_rate=ENGINE_RATE)
+
+
+def _looks_like_adts(data: bytes) -> bool:
+    if len(data) < 2 or data[0] != 0xFF or (data[1] & 0xF0) != 0xF0:
+        return False
+    return (data[1] & 0x06) == 0  # layer bits 00 distinguish ADTS from MP3
 
 
 class _PcmDecoder:
@@ -209,5 +226,67 @@ class _OggVorbisDecoder(_PcmDecoder):
             out = pcm
         else:
             out = self._resample(pcm)
+        self.samples_out += len(out)
+        return out
+
+
+class _ShimAudioDecoder(_PcmDecoder):
+    """MP3 / ADTS-AAC ingest: our pure frame splitters (av/mp3.py, av/aac.py)
+    segment the raw stream into packets for the in-process libavcodec
+    decoder — real-world Icecast sources mostly send MP3, which the
+    reference rejects outright (icecast/mod.rs)."""
+
+    def __init__(self, content_type: str, engine_rate: int, codec: str):
+        super().__init__(content_type, engine_rate)
+        from mixlab_tpu.native import avshim
+
+        if not avshim.available() or not avshim.have_decoder(codec):
+            raise RuntimeError(f"icecast: no {codec} decoder available")
+        self._dec = avshim.AudioDecoder(codec)
+        self._codec = codec
+        if codec == "mp3":
+            from mixlab_tpu.av.mp3 import Mp3FrameSplitter
+
+            self._split = Mp3FrameSplitter().feed
+        else:
+            self._adts_buf = bytearray()
+            self._split = self._split_adts
+
+    def _split_adts(self, data: bytes):
+        from mixlab_tpu.av.aac import parse_adts_header
+
+        self._adts_buf += data
+        out = []
+        while len(self._adts_buf) >= 7:
+            try:
+                hdr = parse_adts_header(bytes(self._adts_buf[:7]))
+            except Exception:
+                del self._adts_buf[0:1]  # resync
+                continue
+            n = hdr["frame_length"]
+            if len(self._adts_buf) < n:
+                break
+            out.append(bytes(self._adts_buf[:n]))
+            del self._adts_buf[:n]
+        return out
+
+    def feed(self, chunk: bytes) -> Optional[np.ndarray]:
+        pcms = []
+        for frame in self._split(chunk):
+            for _pts, pcm, rate in self._dec.decode(frame):
+                if self.fmt is None:
+                    self.fmt = WavFormat(2, rate, 16, 1)
+                    self.throttle = AudioThrottle(rate)
+                if pcm.shape[1] == 1:
+                    pcm = np.repeat(pcm, 2, axis=1)
+                pcms.append(pcm[:, :2])
+        if not pcms:
+            return None
+        frames_pcm = np.ascontiguousarray(np.concatenate(pcms))
+        self.throttle.send_samples(len(frames_pcm))
+        if self.fmt.sample_rate == self.engine_rate:
+            out = frames_pcm
+        else:
+            out = self._resample(frames_pcm)
         self.samples_out += len(out)
         return out

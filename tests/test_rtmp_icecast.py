@@ -241,3 +241,98 @@ def test_icecast_ogg_vorbis_ingest():
         assert len(all_pcm) > 4000
     finally:
         recv.close()
+
+
+def test_mp3_frame_parsing_and_splitting():
+    """MP3 header math against libmp3lame's real output frames."""
+    from mixlab_tpu.av.mp3 import Mp3FrameSplitter, looks_like_mp3, parse_frame_header
+    from mixlab_tpu.native import avshim
+
+    if not (avshim.available() and avshim.have_encoder("libmp3lame")):
+        import pytest
+        pytest.skip("libmp3lame unavailable")
+    n = 44100
+    t = np.arange(n) / 44100
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1) * 12000).astype(np.int16)
+    enc = avshim.AacEncoder(44100, 2, 128_000, codec="libmp3lame")
+    enc.send(pcm)
+    enc.flush()
+    blob = b"".join(frame for _pts, frame in enc.receive())
+    enc.close()
+    assert looks_like_mp3(blob[:10])
+
+    info = parse_frame_header(blob[:4])
+    assert info.sample_rate == 44100 and info.channels == 2
+    assert info.layer == 3 and info.samples_per_frame == 1152
+
+    # dribble-fed splitting recovers whole frames covering the stream
+    sp = Mp3FrameSplitter()
+    frames = []
+    for i in range(0, len(blob), 777):
+        frames.extend(sp.feed(blob[i : i + 777]))
+    assert len(frames) >= 30
+    assert sum(map(len, frames)) > len(blob) * 0.95
+    for f in frames:
+        assert parse_frame_header(f[:4]).frame_length == len(f)
+    # an ID3v2 tag up front is skipped
+    sp2 = Mp3FrameSplitter()
+    tag = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"x" * 10
+    out = sp2.feed(tag + blob[:2000])
+    assert out and parse_frame_header(out[0][:4]).sample_rate == 44100
+
+
+def test_icecast_mp3_ingest():
+    """SOURCE a real MP3 stream (libmp3lame-encoded tone): split by the
+    pure frame layer, decoded in-process, tone recovered — the codec every
+    real-world Icecast source uses and the reference rejects."""
+    from mixlab_tpu.native import avshim
+
+    if not (avshim.available() and avshim.have_encoder("libmp3lame")
+            and avshim.have_decoder("mp3")):
+        import pytest
+        pytest.skip("mp3 codecs unavailable")
+
+    n = 44100
+    t = np.arange(n) / 44100
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1) * 12000).astype(np.int16)
+    enc = avshim.AacEncoder(44100, 2, 128_000, codec="libmp3lame")
+    enc.send(pcm)
+    enc.flush()
+    mp3_bytes = b"".join(frame for _pts, frame in enc.receive())
+    enc.close()
+
+    recv = source_mod.ICECAST_MOUNTPOINTS.listen("mp3radio")
+
+    async def go():
+        async def on_conn(reader, writer):
+            peek = await reader.readexactly(7)
+            assert listen.classify(peek) == listen.Protocol.ICECAST
+            await icecast.accept(listen.PeekStreamReader(peek, reader), writer)
+            writer.close()
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(b"SOURCE /mp3radio HTTP/1.0\r\nContent-Type: audio/mpeg\r\n\r\n")
+        # ~1 s of source audio; the throttle paces at 44.1k
+        writer.write(mp3_bytes[: len(mp3_bytes) // 2])
+        await writer.drain()
+        writer.write_eof()
+        head = await reader.read(64)
+        assert b"200 OK" in head
+        await asyncio.sleep(1.2)
+        server.close()
+
+    asyncio.run(go())
+    frames = []
+    while (f := recv.read_audio()) is not None:
+        frames.append(f)
+    recv.close()
+    assert frames, "no MP3 audio ingested"
+    pcm_out = np.concatenate([f.data for f in frames]).astype(np.float64)
+    assert pcm_out.shape[1] == 2
+    body = pcm_out[2048:, 0]  # skip encoder priming
+    assert len(body) > 8192
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+    peak_hz = np.argmax(spec) * 44100 / len(body)
+    assert abs(peak_hz - 440.0) < 10.0, peak_hz
