@@ -74,7 +74,7 @@ def _lane_tables(a_lo: float, a_hi: float, C: int, K: int):
 
 def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
                  f_lo: float, f_hi: float, vsa: float):
-    pow_np, row_np, factors = _lane_tables(a_lo, a_hi, C, K)
+    _, _, factors = _lane_tables(a_lo, a_hi, C, K)
     r0, k0 = (S - 1) % C, (S - 1) // C  # static position of sample S-1
 
     def kernel(scal_ref, x2_ref, xd2_ref, tlo_ref, thi_ref, pow_ref, row_ref,
@@ -87,7 +87,6 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
         x2 = x2_ref[...]  # [C, K]
         Bs = [x2 * f_lo + vsa, x2 * f_hi + vsa]
         Ts = [tlo_ref[...], thi_ref[...]]
-        a_bands = (a_lo, a_hi)
         Y = [None, None]
         for s in range(4):
             for b in range(2):
