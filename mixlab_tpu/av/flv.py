@@ -48,9 +48,10 @@ class AudioPacket:
 
 
 def parse_audio_tag(body: bytes):
-    """Parse an AUDIODATA tag body into ("aac_seq"|"aac_raw"|"pcm_s16le",
-    payload).  Extends the reference's AAC-only parser with linear PCM
-    (sound format 3) for codec-less loopback streaming."""
+    """Parse an AUDIODATA tag body into ("aac_seq"|"aac_raw"|"pcm_s16le"|
+    "mp3", payload).  Extends the reference's AAC-only parser with linear
+    PCM (sound format 3) for codec-less loopback streaming and MP3 (sound
+    format 2, what older RTMP encoders send)."""
     if len(body) < 2:
         raise FlvError("audio tag too short")
     sound_format = body[0] >> 4
@@ -59,6 +60,8 @@ def parse_audio_tag(body: bytes):
         return ("aac_seq" if pkt.is_sequence_header else "aac_raw"), pkt.data
     if sound_format == 3:  # linear PCM little-endian
         return "pcm_s16le", bytes(body[1:])
+    if sound_format == 2:  # MP3 (FLV SOUNDFORMAT 2)
+        return "mp3", bytes(body[1:])
     raise FlvError(f"unsupported sound format {sound_format}")
 
 

@@ -243,6 +243,16 @@ class MediaPlayer(threading.Thread):
         try:
             y, u, v = decode_jpeg(bytes(data))
         except JpegError as e:
+            # progressive/arithmetic JPEGs exceed the pure decoder's scope:
+            # fall back to the libavcodec shim when present
+            from mixlab_tpu.native import avshim
+
+            if avshim.available():
+                log.info("media_source: pure jpeg decode failed (%s); "
+                         "using the codec shim", e)
+                self.stream.seek(0)
+                self._run_shim()
+                return
             log.warning("media_source: jpeg decode failed: %s", e)
             return
         h, w = y.shape

@@ -65,6 +65,10 @@ class MediaDecoder:
         """-> i16 [n, 2] PCM or None."""
         return None
 
+    def decode_mp3(self, frame: bytes) -> Optional[np.ndarray]:
+        """-> i16 [n, 2] PCM or None (FLV sound format 2)."""
+        return None
+
     def decode_video(self, packet: flv.VideoPacket):
         """-> mixlab_tpu.video.frame.VideoFrame or None."""
         return None
@@ -99,6 +103,7 @@ class ShimDecoder(MediaDecoder):
     def __init__(self):
         self._adec = None
         self._vdec = None
+        self._mp3dec = None
         self.video_duration_hint = None  # set by _on_video from ts deltas
 
     def set_audio_config(self, asc: AudioSpecificConfiguration):
@@ -117,6 +122,20 @@ class ShimDecoder(MediaDecoder):
         out = []
         for _pts, pcm, _rate in self._adec.decode(raw_aac):
             # force stereo like the reference (rtmp/mod.rs:229-231)
+            if pcm.shape[1] == 1:
+                pcm = np.repeat(pcm, 2, axis=1)
+            out.append(pcm[:, :2])
+        return np.concatenate(out) if out else None
+
+    def decode_mp3(self, frame: bytes):
+        from mixlab_tpu.native import avshim
+
+        if self._mp3dec is None:
+            if not avshim.have_decoder("mp3"):
+                return None
+            self._mp3dec = avshim.AudioDecoder("mp3")
+        out = []
+        for _pts, pcm, _rate in self._mp3dec.decode(frame):
             if pcm.shape[1] == 1:
                 pcm = np.repeat(pcm, 2, axis=1)
             out.append(pcm[:, :2])
@@ -268,6 +287,11 @@ def _on_audio(msg: Message, send, decoder: MediaDecoder):
             decoder.set_audio_config(AudioSpecificConfiguration.parse(data))
         except Exception as e:
             log.warning("rtmp: bad ASC: %s", e)
+        return
+    if kind == "mp3":
+        pcm = decoder.decode_mp3(data)
+        if pcm is not None and len(pcm):
+            send.write_audio(TIME_BASE.scale_timestamp(msg.timestamp), pcm)
         return
     if kind == "pcm_s16le":
         # codec-less linear PCM path (mixlab-tpu extension; see av/flv.py)

@@ -336,3 +336,59 @@ def test_icecast_mp3_ingest():
     spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
     peak_hz = np.argmax(spec) * 44100 / len(body)
     assert abs(peak_hz - 440.0) < 10.0, peak_hz
+
+
+def test_rtmp_mp3_audio_ingest():
+    """RTMP publish with FLV sound format 2 (MP3) — what older RTMP
+    encoders send; decoded server-side to PCM."""
+    from mixlab_tpu.io_host.rtmp import client as rtmp_client
+    from mixlab_tpu.io_host.rtmp import server as rtmp_server
+    from mixlab_tpu.native import avshim
+
+    if not (avshim.available() and avshim.have_encoder("libmp3lame")
+            and avshim.have_decoder("mp3")):
+        import pytest
+        pytest.skip("mp3 codecs unavailable")
+
+    n = 44100
+    t = np.arange(n) / 44100
+    pcm = (np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1) * 12000).astype(np.int16)
+    enc = avshim.AacEncoder(44100, 2, 128_000, codec="libmp3lame")
+    enc.send(pcm)
+    enc.flush()
+    mp3_frames = [frame for _pts, frame in enc.receive()]
+    enc.close()
+
+    recv = source_mod.RTMP_MOUNTPOINTS.listen("mp3cast")
+
+    async def go():
+        async def on_conn(reader, writer):
+            try:
+                await rtmp_server.accept(reader, writer)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        client = await rtmp_client.start("127.0.0.1", port, "mp3cast", "key")
+        # FLV AUDIODATA byte 0: format=2 (MP3), 44.1k, 16-bit, stereo
+        ts = 0
+        for frame in mp3_frames[: len(mp3_frames) // 2]:
+            client.publish_audio(ts, bytes([0x2F]) + frame)
+            ts += 1152 * 1000 // 44100
+        await asyncio.sleep(1.0)
+        await client.close()
+        server.close()
+
+    asyncio.run(go())
+    frames = []
+    while (f := recv.read_audio()) is not None:
+        frames.append(f)
+    recv.close()
+    assert frames, "no MP3 audio over RTMP"
+    out = np.concatenate([f.data for f in frames]).astype(np.float64)
+    body = out[2048:, 0]
+    assert len(body) > 4096
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+    peak_hz = np.argmax(spec) * 44100 / len(body)
+    assert abs(peak_hz - 440.0) < 10.0, peak_hz
