@@ -54,6 +54,9 @@ class MediaPlayer(threading.Thread):
         if header[:4] == b"OggS":
             self._run_ogg()
             return
+        if header[:4] == b"fLaC":
+            self._run_flac()
+            return
         if header[:9] == b"YUV4MPEG2":
             self._run_y4m()
             return
@@ -161,6 +164,79 @@ class MediaPlayer(threading.Thread):
                         info.sample_rate,
                         self.cfg.sample_rate,
                     )
+                else:
+                    out = pcm
+                while not self._stop_evt.is_set():
+                    if self.feed.push_block(out, block=True, timeout=0.25):
+                        break
+            if not got_any:
+                return  # undecodable: don't loop forever
+
+    def _run_flac(self):
+        """FLAC playback via the pure decoder (av/flacdec.py) — frame-at-a-
+        time decode with realtime pacing, looping at EOF."""
+        from mixlab_tpu.av.flacdec import FlacDecoder, FlacError
+
+        self.stream.seek(0)
+        data = bytearray()
+        while True:
+            chunk = self.stream.read(1 << 20)
+            if not chunk:
+                break
+            data += chunk
+        data = bytes(data)
+        # walk metadata blocks to the first frame
+        pos = 4
+        streaminfo = None
+        while pos + 4 <= len(data):
+            head = data[pos]
+            length = int.from_bytes(data[pos + 1 : pos + 4], "big")
+            if (head & 0x7F) == 0:
+                streaminfo = data[pos + 4 : pos + 4 + length]
+            pos += 4 + length
+            if head & 0x80:
+                break
+        try:
+            dec = FlacDecoder(streaminfo or b"")
+        except FlacError as e:
+            log.warning("media_source: bad flac: %s", e)
+            return
+        first_frame = pos
+        scale = float(1 << (dec.bps - 1))
+        throttle = AudioThrottle(dec.sample_rate)
+        resample_ctx = None
+        carry = np.zeros((0, 2), dtype=np.float32)
+        while not self._stop_evt.is_set():
+            at = first_frame
+            got_any = False
+            while at + 4 <= len(data) and not self._stop_evt.is_set():
+                try:
+                    pcm_i, used = dec.decode_frame(data, at)
+                except FlacError as e:
+                    log.warning("media_source: flac decode failed: %s", e)
+                    return
+                at += used
+                got_any = True
+                pcm = pcm_i.astype(np.float32) / scale
+                if pcm.shape[1] == 1:
+                    pcm = np.repeat(pcm, 2, axis=1)
+                pcm = pcm[:, :2]
+                throttle.send_samples(len(pcm))
+                if dec.sample_rate != self.cfg.sample_rate:
+                    _, M, _ = design(dec.sample_rate, self.cfg.sample_rate)
+                    buf = np.concatenate([carry, pcm])
+                    usable = len(buf) - (len(buf) % M)
+                    carry = buf[usable:]
+                    if usable == 0:
+                        continue
+                    if resample_ctx is None:
+                        resample_ctx = np.zeros(
+                            (context_len(dec.sample_rate,
+                                         self.cfg.sample_rate), 2),
+                            dtype=np.float32)
+                    out, resample_ctx = resample_block_np(
+                        buf[:usable], resample_ctx, dec.sample_rate,
+                        self.cfg.sample_rate)
                 else:
                     out = pcm
                 while not self._stop_evt.is_set():

@@ -181,7 +181,22 @@ void* avshim_aenc_open(const char* codec_name, int sample_rate, int channels,
     e->ctx = avcodec_alloc_context3(codec);
     e->ctx->sample_rate = sample_rate;
     av_channel_layout_default(&e->ctx->ch_layout, channels);
+    // pick a sample format the codec supports (AAC/vorbis/mp3lame want
+    // FLTP; flac wants S16/S32)
     e->ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+    if (codec->sample_fmts) {
+        bool has_fltp = false, has_s16 = false, has_s32 = false;
+        for (const enum AVSampleFormat* f = codec->sample_fmts;
+             *f != AV_SAMPLE_FMT_NONE; f++) {
+            if (*f == AV_SAMPLE_FMT_FLTP) has_fltp = true;
+            if (*f == AV_SAMPLE_FMT_S16) has_s16 = true;
+            if (*f == AV_SAMPLE_FMT_S32) has_s32 = true;
+        }
+        if (has_fltp) e->ctx->sample_fmt = AV_SAMPLE_FMT_FLTP;
+        else if (has_s16) e->ctx->sample_fmt = AV_SAMPLE_FMT_S16;
+        else if (has_s32) e->ctx->sample_fmt = AV_SAMPLE_FMT_S32;
+        else e->ctx->sample_fmt = codec->sample_fmts[0];
+    }
     if (bitrate > 0) e->ctx->bit_rate = bitrate;
     e->ctx->time_base = AVRational{1, sample_rate};
     e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // ASC in extradata
@@ -211,13 +226,32 @@ static int aenc_push_granules(AEnc* e) {
     int fs = e->ctx->frame_size;
     int sent = 0;
     while (e->fifo_len >= fs) {
-        e->frame->format = AV_SAMPLE_FMT_FLTP;
+        e->frame->format = e->ctx->sample_fmt;
         e->frame->nb_samples = fs;
         av_channel_layout_copy(&e->frame->ch_layout, &e->ctx->ch_layout);
         av_frame_get_buffer(e->frame, 0);
-        for (int c = 0; c < ch; c++) {
-            float* dst = (float*)e->frame->data[c];
-            for (int i = 0; i < fs; i++) dst[i] = e->fifo[(size_t)i * ch + c];
+        if (e->ctx->sample_fmt == AV_SAMPLE_FMT_S16) {
+            int16_t* dst = (int16_t*)e->frame->data[0];
+            for (int i = 0; i < fs * ch; i++) {
+                float v = e->fifo[i] * 32768.0f;
+                if (v > 32767.0f) v = 32767.0f;
+                if (v < -32768.0f) v = -32768.0f;
+                dst[i] = (int16_t)lrintf(v);
+            }
+        } else if (e->ctx->sample_fmt == AV_SAMPLE_FMT_S32) {
+            int32_t* dst = (int32_t*)e->frame->data[0];
+            for (int i = 0; i < fs * ch; i++) {
+                double v = (double)e->fifo[i] * 2147483648.0;
+                if (v > 2147483647.0) v = 2147483647.0;
+                if (v < -2147483648.0) v = -2147483648.0;
+                dst[i] = (int32_t)llrint(v);
+            }
+        } else {
+            for (int c = 0; c < ch; c++) {
+                float* dst = (float*)e->frame->data[c];
+                for (int i = 0; i < fs; i++)
+                    dst[i] = e->fifo[(size_t)i * ch + c];
+            }
         }
         e->frame->pts = e->next_pts;
         e->next_pts += fs;
