@@ -158,3 +158,33 @@ def test_flac_decoder_oracle_rejects_corrupted_frames():
     except Exception:
         outs = []
     dec.close()
+
+
+def test_flac_decoder_survives_garbage_and_corruption():
+    from mixlab_tpu.av.flacdec import FlacDecoder, FlacError, decode_flac_file
+    from mixlab_tpu.av.flacenc import PureFlacStream
+
+    for blob in _random_blobs(20, 2048):
+        with pytest.raises((FlacError, ValueError)):
+            decode_flac_file(b"fLaC" + blob)
+    # bit-flipped / truncated real streams raise typed errors (CRCs)
+    n = 8192
+    t = np.arange(n) / 44100
+    sig = (np.stack([np.sin(2 * np.pi * 330 * t)] * 2, 1) * 9000).astype(np.int16)
+    st = PureFlacStream(44100, 2, 1024)
+    header = st._enc.stream_header()
+    st.feed(sig)
+    blob = bytearray(header + b"".join(st.poll_frames()))
+    for trial in range(40):
+        bad = bytearray(blob)
+        if trial % 2 == 0:
+            for _ in range(5):
+                i = int(RNG.integers(4, len(bad)))
+                bad[i] ^= int(RNG.integers(1, 256))
+        else:
+            bad = bad[: int(RNG.integers(8, len(bad)))]
+        try:
+            pcm, rate, bps = decode_flac_file(bytes(bad))
+            assert pcm.dtype == np.int32
+        except (FlacError, ValueError, IndexError):
+            pass
