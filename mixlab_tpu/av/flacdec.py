@@ -263,8 +263,6 @@ class FlacDecoder:
             nch = ch_bits + 1
             chans = [_decode_subframe(br, blocksize, bps) for _ in range(nch)]
         elif ch_bits in (0b1000, 0b1001, 0b1010):
-            nch = 2
-            extra = (0 if ch_bits == 0b1001 else 0, 0)
             if ch_bits == 0b1000:  # left/side
                 a = _decode_subframe(br, blocksize, bps)
                 b = _decode_subframe(br, blocksize, bps + 1)
@@ -280,8 +278,7 @@ class FlacDecoder:
                 chans = [(total + side) >> 1, (total - side) >> 1]
         else:
             raise FlacError(f"reserved channel assignment {ch_bits:04b}")
-        if rate != self.sample_rate:
-            pass  # per-frame rate overrides are legal; caller sees ours
+        del rate  # per-frame rate overrides are legal; STREAMINFO's governs
 
         br.align()
         body_end = br.byte_offset()
