@@ -481,9 +481,18 @@ class Engine:
 
     def stop(self):
         self._stop.set()
+        wedged = False
         if self._thread:
             self._thread.join(timeout=5.0)
-        self.flush_inflight()
+            wedged = self._thread.is_alive()
+        if wedged:
+            # the engine thread is stuck in a device dispatch (e.g. a
+            # saturated tunnel): fetching in-flight results would block
+            # shutdown indefinitely — abandon them so persistence still
+            # flushes and the process can exit
+            self._inflight.clear()
+        else:
+            self.flush_inflight()
         # tear down host-side workers (codec threads, RTMP publishers,
         # decoders, audio sinks) so shutdown is clean, not daemon-leaky
         for pipeline in self._monitor_pipelines.values():

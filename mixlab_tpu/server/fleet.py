@@ -191,12 +191,25 @@ class HostAgent:
         ent = self.procs.pop(key, None)
         if not ent:
             return False
-        ent["proc"].terminate()
+        proc = ent["proc"]
+        proc.terminate()
         try:
-            await asyncio.get_running_loop().run_in_executor(
-                None, ent["proc"].wait, 10)
-        except subprocess.TimeoutExpired:
-            ent["proc"].kill()
+            try:
+                await asyncio.get_running_loop().run_in_executor(
+                    None, proc.wait, 10)
+            except subprocess.TimeoutExpired:
+                pass
+        finally:
+            # unconditional: graceful shutdown can stall on a wedged engine
+            # dispatch (or this coroutine can be cancelled mid-wait) — the
+            # worker must never outlive its agent entry
+            if proc.poll() is None:
+                proc.kill()
+                try:
+                    proc.wait(5)
+                except subprocess.TimeoutExpired:
+                    log.error("worker %s (pid %s) survived SIGKILL?!",
+                              key, proc.pid)
         return True
 
     def health(self) -> dict:
