@@ -12,6 +12,11 @@ from __future__ import annotations
 import asyncio
 import json
 import sys
+
+import pathlib
+
+# runnable as a script from anywhere: put the repo root on the path
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import tempfile
 from pathlib import Path
 
