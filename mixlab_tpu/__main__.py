@@ -8,6 +8,7 @@ event loop on the single disambiguated port.
 from __future__ import annotations
 
 import argparse
+import os
 import asyncio
 import logging
 
@@ -62,6 +63,11 @@ def main():
     finally:
         project.engine.stop()
         project.close()
+        # persistence is flushed; daemon threads may still be inside native
+        # code (a device dispatch on a saturated backend) — normal
+        # interpreter teardown races them and can SIGSEGV, so exit hard
+        logging.shutdown()
+        os._exit(0)
 
 
 if __name__ == "__main__":
