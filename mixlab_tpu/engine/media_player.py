@@ -36,6 +36,26 @@ log = logging.getLogger(__name__)
 DECODE_CHUNK_FRAMES = 4096
 
 
+def _upload_planes(y, u, v):
+    """Host->device plane upload from a decode thread, serialized with every
+    other device API call (utils/devlock.py) and re-homed to the device
+    thread when a DeviceHost is serving (utils/devhost.py)."""
+    import jax.numpy as jnp
+
+    from mixlab_tpu.utils.devhost import device_call
+    from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
+    def _up():
+        with DEVICE_LOCK:
+            return {
+                "y": jnp.asarray(y),
+                "u": jnp.asarray(u),
+                "v": jnp.asarray(v),
+            }
+
+    return device_call(_up)
+
+
 class MediaPlayer(threading.Thread):
     """Decode thread feeding a MediaSourceFeed."""
 
@@ -50,6 +70,16 @@ class MediaPlayer(threading.Thread):
         self._stop_evt.set()
 
     def run(self):
+        from mixlab_tpu.engine.project import ProjectClosedError
+
+        try:
+            self._run_dispatch()
+        except ProjectClosedError:
+            # project closed while we were mid-read: clean end-of-stream,
+            # not an error (see ProjectBase._check_open)
+            log.debug("media_source: project closed during decode; exiting")
+
+    def _run_dispatch(self):
         header = self.stream.read(64 * 1024)
         if header[:4] == b"OggS":
             self._run_ogg()
@@ -213,6 +243,13 @@ class MediaPlayer(threading.Thread):
                 try:
                     pcm_i, used = dec.decode_frame(data, at)
                 except FlacError as e:
+                    # Trailing junk (ID3v1 tag, padding) after the last frame
+                    # must not end playback: fall through to the loop/rewind
+                    # once at least one frame decoded (mirrors the Ogg path's
+                    # got_any logic). A failure on the FIRST frame is fatal.
+                    if got_any:
+                        log.debug("media_source: flac tail bytes ignored: %s", e)
+                        break
                     log.warning("media_source: flac decode failed: %s", e)
                     return
                 at += used
@@ -283,7 +320,7 @@ class MediaPlayer(threading.Thread):
             y, u, v = planes
             pic = Picture(
                 PictureSettings(info.width, info.height),
-                {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+                _upload_planes(y, u, v),
             )
             frame = VideoFrame(
                 picture=pic,
@@ -334,7 +371,7 @@ class MediaPlayer(threading.Thread):
         h, w = y.shape
         pic = Picture(
             PictureSettings(w, h),
-            {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+            _upload_planes(y, u, v),
         )
         FPS = 10
         frame = VideoFrame(picture=pic, duration_hint=MediaDuration.new(1, FPS))
@@ -435,7 +472,7 @@ class MediaPlayer(threading.Thread):
                     h, w = y.shape
                     pic = Picture(
                         PictureSettings(w, h),
-                        {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
+                        _upload_planes(y, u, v),
                     )
                     fps_n, fps_d = reader.video["fps"]
                     frame = VideoFrame(

@@ -36,6 +36,16 @@ from mixlab_tpu.engine.graph import Workspace
 
 STREAM_BLOB_SIZE = 1024 * 1024  # stream.rs:11
 
+
+class ProjectClosedError(RuntimeError):
+    """Raised by any ProjectBase query after close().
+
+    The reference cannot hit this state — all SQLite access goes through
+    spawn_blocking closures owned by the project task (src/project.rs:61-66)
+    so nothing can race a closed handle; here decode threads hold ReadStreams
+    directly, so post-close access must fail with a typed error the media
+    threads can treat as end-of-stream."""
+
 MIGRATIONS: List[Tuple[int, str]] = [
     (0, "CREATE TABLE schema_migrations (version INTEGER NOT NULL);"),
     (
@@ -75,7 +85,12 @@ class ProjectBase:
         self.path = Path(path)
         self._conn = sqlite3.connect(str(self.path), check_same_thread=False)
         self._lock = threading.RLock()
+        self._closed = False
         self._migrate()
+
+    def _check_open(self):
+        if self._closed:
+            raise ProjectClosedError(f"project database closed: {self.path}")
 
     def _migrate(self):
         with self._lock, self._conn:
@@ -100,15 +115,19 @@ class ProjectBase:
                 )
 
     def execute(self, sql, params=()):
-        with self._lock, self._conn:
-            return self._conn.execute(sql, params)
+        with self._lock:
+            self._check_open()
+            with self._conn:
+                return self._conn.execute(sql, params)
 
     def query_one(self, sql, params=()):
         with self._lock:
+            self._check_open()
             return self._conn.execute(sql, params).fetchone()
 
     def query_all(self, sql, params=()):
         with self._lock:
+            self._check_open()
             return self._conn.execute(sql, params).fetchall()
 
     # -- workspace ---------------------------------------------------------
@@ -119,21 +138,26 @@ class ProjectBase:
 
     def write_workspace(self, snapshot: dict):
         text = json.dumps(snapshot, separators=(",", ":"))
-        with self._lock, self._conn:
-            cur = self._conn.execute(
-                "UPDATE workspace SET serialized = ? WHERE rowid = 1", (text,)
-            )
-            if cur.rowcount == 0:
-                self._conn.execute(
-                    "INSERT INTO workspace (rowid, serialized) VALUES (1, ?)", (text,)
+        with self._lock:
+            self._check_open()
+            with self._conn:
+                cur = self._conn.execute(
+                    "UPDATE workspace SET serialized = ? WHERE rowid = 1", (text,)
                 )
+                if cur.rowcount == 0:
+                    self._conn.execute(
+                        "INSERT INTO workspace (rowid, serialized) VALUES (1, ?)",
+                        (text,),
+                    )
 
     # -- media streams -----------------------------------------------------
 
     def create_stream(self) -> "WriteStream":
-        with self._lock, self._conn:
-            cur = self._conn.execute("INSERT INTO streams (size) VALUES (0)")
-            return WriteStream(self, cur.lastrowid)
+        with self._lock:
+            self._check_open()
+            with self._conn:
+                cur = self._conn.execute("INSERT INTO streams (size) VALUES (0)")
+                return WriteStream(self, cur.lastrowid)
 
     def open_stream(self, stream_id: int) -> Optional["ReadStream"]:
         row = self.query_one("SELECT size FROM streams WHERE id = ?", (stream_id,))
@@ -156,12 +180,14 @@ class ProjectBase:
         )
 
     def insert_media(self, name: str, kind: str, stream_id: int) -> p.MediaId:
-        with self._lock, self._conn:
-            cur = self._conn.execute(
-                "INSERT INTO media (name, kind, stream_id) VALUES (?, ?, ?)",
-                (name, kind, stream_id),
-            )
-            return p.MediaId(cur.lastrowid)
+        with self._lock:
+            self._check_open()
+            with self._conn:
+                cur = self._conn.execute(
+                    "INSERT INTO media (name, kind, stream_id) VALUES (?, ?, ?)",
+                    (name, kind, stream_id),
+                )
+                return p.MediaId(cur.lastrowid)
 
     def open_media(self, media_id: p.MediaId) -> Optional["ReadStream"]:
         row = self.query_one(
@@ -173,6 +199,7 @@ class ProjectBase:
 
     def close(self):
         with self._lock:
+            self._closed = True
             self._conn.close()
 
 
@@ -200,15 +227,17 @@ class WriteStream:
 
     def _flush(self):
         if self.buff:
-            with self.base._lock, self.base._conn:
-                self.base._conn.execute(
-                    "INSERT INTO blobs (stream_id, offset, data) VALUES (?, ?, ?)",
-                    (self.id, self.offset, bytes(self.buff)),
-                )
-                self.base._conn.execute(
-                    "UPDATE streams SET size = ? WHERE id = ?",
-                    (self.offset + len(self.buff), self.id),
-                )
+            with self.base._lock:
+                self.base._check_open()
+                with self.base._conn:
+                    self.base._conn.execute(
+                        "INSERT INTO blobs (stream_id, offset, data) VALUES (?, ?, ?)",
+                        (self.id, self.offset, bytes(self.buff)),
+                    )
+                    self.base._conn.execute(
+                        "UPDATE streams SET size = ? WHERE id = ?",
+                        (self.offset + len(self.buff), self.id),
+                    )
             self.offset += len(self.buff)
             self.buff = bytearray()
 
@@ -266,7 +295,8 @@ class ReadStream:
 class ProjectHandle:
     """Open project: database + engine + persist writer thread."""
 
-    def __init__(self, path: str | Path, cfg: EngineConfig = EngineConfig()):
+    def __init__(self, path: str | Path, cfg: EngineConfig = EngineConfig(),
+                 block_ticks: int = 1):
         self.base = ProjectBase(path)
         saved = self.base.read_workspace()
         ws = Workspace.from_persist(saved) if saved else Workspace()
@@ -280,6 +310,7 @@ class ProjectHandle:
         self.engine = Engine(
             workspace=ws,
             cfg=cfg,
+            block_ticks=block_ticks,
             persist_cb=self._enqueue_persist,
             media_opener=self.base.open_media,
         )
@@ -322,5 +353,6 @@ class ProjectHandle:
         self.base.close()
 
 
-def open_or_create(path: str | Path, cfg: EngineConfig = EngineConfig()) -> ProjectHandle:
-    return ProjectHandle(path, cfg)
+def open_or_create(path: str | Path, cfg: EngineConfig = EngineConfig(),
+                   block_ticks: int = 1) -> ProjectHandle:
+    return ProjectHandle(path, cfg, block_ticks=block_ticks)

@@ -31,9 +31,11 @@ Everything is exercised with real processes over real sockets in
 from __future__ import annotations
 
 import asyncio
+import hmac
 import io
 import json
 import logging
+import os
 import socket
 import subprocess
 import sys
@@ -48,6 +50,18 @@ from mixlab_tpu.server.http import HttpError, read_request, response
 log = logging.getLogger(__name__)
 
 HEARTBEAT_TTL = 6.0  # an agent is live if it heartbeat within this window
+
+MAX_JSON_BODY = 1 << 20  # control messages (register/heartbeat/migrate)
+MAX_IMPORT_BODY = 1 << 30  # migration blobs carry whole project files
+
+
+def check_token(req, token: Optional[str]) -> bool:
+    """Shared-secret gate on every admin route, constant-time compare.
+    No token configured = open (loopback/dev); production fleets set one."""
+    if not token:
+        return True
+    auth = req.header("authorization", "")
+    return hmac.compare_digest(auth, f"Bearer {token}")
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +92,8 @@ def decode_checkpoint(blob: bytes) -> dict:
 
 
 async def http_call(url: str, method: str = "GET", body: bytes = b"",
-                    timeout: float = 30.0) -> Tuple[int, bytes]:
+                    timeout: float = 30.0,
+                    token: Optional[str] = None) -> Tuple[int, bytes]:
     """Minimal HTTP/1.1 request; returns (status, body)."""
     assert url.startswith("http://")
     hostport, _, path = url[len("http://"):].partition("/")
@@ -86,7 +101,8 @@ async def http_call(url: str, method: str = "GET", body: bytes = b"",
     reader, writer = await asyncio.wait_for(
         asyncio.open_connection(host, int(port or 80)), timeout)
     try:
-        head = (f"{method} /{path} HTTP/1.1\r\nHost: {hostport}\r\n"
+        auth = f"Authorization: Bearer {token}\r\n" if token else ""
+        head = (f"{method} /{path} HTTP/1.1\r\nHost: {hostport}\r\n{auth}"
                 f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n")
         writer.write(head.encode() + body)
         await writer.drain()
@@ -121,7 +137,9 @@ class HostAgent:
 
     def __init__(self, host_id: str, data_dir: Path, bind: str = "127.0.0.1",
                  python: str = sys.executable, spawn_timeout: float = 60.0,
-                 respawn_interval: Optional[float] = None):
+                 respawn_interval: Optional[float] = None,
+                 token: Optional[str] = None):
+        self.token = token
         self.host_id = host_id
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
@@ -158,6 +176,10 @@ class HostAgent:
                 return {"url": ent["url"], "already": True}
             port = free_port(self.bind)
             logfile = open(self.data_dir / f"{key}.log", "ab")
+            env = dict(os.environ)
+            if self.token:
+                # workers gate /_checkpoint and /_restore on the same secret
+                env["MIXLAB_FLEET_TOKEN"] = self.token
             try:
                 proc = subprocess.Popen(
                     [self.python, "-m", "mixlab_tpu",
@@ -165,6 +187,7 @@ class HostAgent:
                      str(self._workspace_path(key))],
                     stdout=logfile, stderr=subprocess.STDOUT,
                     cwd=str(Path(__file__).resolve().parents[2]),
+                    env=env,
                 )
             finally:
                 logfile.close()  # the child owns its inherited fd
@@ -233,7 +256,8 @@ class HostAgent:
         ckpt = b""
         if ent and ent["proc"].poll() is None:
             try:
-                status, ckpt = await http_call(ent["url"] + "/_checkpoint")
+                status, ckpt = await http_call(ent["url"] + "/_checkpoint",
+                                               token=self.token)
                 if status != 200:
                     ckpt = b""
             except (OSError, asyncio.TimeoutError, asyncio.IncompleteReadError):
@@ -259,7 +283,8 @@ class HostAgent:
             for _ in range(20):
                 try:
                     status, _ = await http_call(
-                        result["url"] + "/_restore", "POST", ckpt)
+                        result["url"] + "/_restore", "POST", ckpt,
+                        token=self.token)
                     if status == 200:
                         result["restored"] = True
                         break
@@ -281,6 +306,13 @@ class HostAgent:
             return
         if req is None:
             return
+        if not check_token(req, self.token):
+            writer.write(response(401, "Unauthorized", b"bad token"))
+            try:
+                await writer.drain()
+            except ConnectionError:
+                pass
+            return
         try:
             if req.path == "/health" and req.method == "GET":
                 writer.write(_json_response(self.health()))
@@ -294,11 +326,13 @@ class HostAgent:
                 writer.write(response(200, "OK", blob,
                                       "application/octet-stream"))
             elif req.path.startswith("/import/") and req.method == "POST":
-                body = await _read_body(req, reader)
+                body = await _read_body(req, reader, MAX_IMPORT_BODY)
                 writer.write(_json_response(
                     await self.import_(req.path[8:], body)))
             else:
                 writer.write(response(404, "Not Found"))
+        except BodyTooLarge:
+            writer.write(response(413, "Payload Too Large"))
         except ValueError as e:  # bad workspace key etc.
             writer.write(response(400, "Bad Request", str(e).encode()))
         except Exception as e:  # report, don't kill the agent
@@ -349,10 +383,12 @@ class HostAgent:
 
 
 class FleetController:
-    def __init__(self, bind: str = "127.0.0.1"):
+    def __init__(self, bind: str = "127.0.0.1", token: Optional[str] = None):
         self.bind = bind
+        self.token = token
         self.agents: Dict[str, dict] = {}  # host_id -> {url, last_seen}
         self.assignments: Dict[str, str] = {}  # workspace key -> host_id
+        self._place_lock = asyncio.Lock()  # serialize placement decisions
 
     # -- registry --------------------------------------------------------------
 
@@ -374,7 +410,7 @@ class FleetController:
             return None
         try:
             status, body = await http_call(agent["url"] + "/health",
-                                           timeout=5.0)
+                                           timeout=5.0, token=self.token)
             return json.loads(body) if status == 200 else None
         except (OSError, asyncio.TimeoutError, asyncio.IncompleteReadError):
             return None
@@ -382,24 +418,33 @@ class FleetController:
     # -- placement / routing -----------------------------------------------------
 
     async def place(self, key: str) -> dict:
-        """Assign a workspace to the least-loaded live agent and spawn it."""
+        """Assign a workspace to the least-loaded live agent and spawn it.
+
+        The whole decide-and-spawn is under a lock: two concurrent placements
+        of the same key would otherwise both pass the assignment check during
+        the awaited health/spawn calls and leak a duplicate worker on the
+        losing host."""
         if key in self.assignments:
             return await self.route(key)
-        live = self.live_agents()
-        if not live:
-            raise RuntimeError("no live agents")
-        loads = {}
-        for host_id in live:
-            h = await self._agent_health(host_id)
-            loads[host_id] = h["load"] if h else 1 << 30
-        host_id = min(sorted(loads), key=lambda h: loads[h])
-        result = await self._spawn_on(host_id, key)
-        self.assignments[key] = host_id
+        async with self._place_lock:
+            if key in self.assignments:  # lost the race: already placed
+                return await self.route(key)
+            live = self.live_agents()
+            if not live:
+                raise RuntimeError("no live agents")
+            loads = {}
+            for host_id in live:
+                h = await self._agent_health(host_id)
+                loads[host_id] = h["load"] if h else 1 << 30
+            host_id = min(sorted(loads), key=lambda h: loads[h])
+            result = await self._spawn_on(host_id, key)
+            self.assignments[key] = host_id
         return {"host": host_id, **result}
 
     async def _spawn_on(self, host_id: str, key: str) -> dict:
         status, body = await http_call(
-            self.agents[host_id]["url"] + f"/spawn/{key}", "POST")
+            self.agents[host_id]["url"] + f"/spawn/{key}", "POST",
+            token=self.token)
         if status != 200:
             raise RuntimeError(f"spawn on {host_id} failed: {body!r}")
         return json.loads(body)
@@ -431,11 +476,12 @@ class FleetController:
         if to_host == src:
             return await self.route(key)
         status, blob = await http_call(
-            self.agents[src]["url"] + f"/export/{key}")
+            self.agents[src]["url"] + f"/export/{key}", token=self.token)
         if status != 200:
             raise RuntimeError(f"export from {src} failed")
         status, body = await http_call(
-            self.agents[to_host]["url"] + f"/import/{key}", "POST", blob)
+            self.agents[to_host]["url"] + f"/import/{key}", "POST", blob,
+            token=self.token)
         if status != 200:
             raise RuntimeError(f"import on {to_host} failed: {body!r}")
         self.assignments[key] = to_host
@@ -462,6 +508,13 @@ class FleetController:
             return
         if req is None:
             return
+        if not check_token(req, self.token):
+            writer.write(response(401, "Unauthorized", b"bad token"))
+            try:
+                await writer.drain()
+            except ConnectionError:
+                pass
+            return
         try:
             if req.path == "/register" and req.method == "POST":
                 body = json.loads(await _read_body(req, reader))
@@ -483,6 +536,8 @@ class FleetController:
                     await self.migrate(req.path[9:], body["to"])))
             else:
                 writer.write(response(404, "Not Found"))
+        except BodyTooLarge:
+            writer.write(response(413, "Payload Too Large"))
         except KeyError as e:
             writer.write(response(404, "Not Found", str(e).encode()))
         except Exception as e:
@@ -508,8 +563,14 @@ def _json_response(obj) -> bytes:
     return response(200, "OK", json.dumps(obj).encode(), "application/json")
 
 
-async def _read_body(req, reader) -> bytes:
+class BodyTooLarge(Exception):
+    pass
+
+
+async def _read_body(req, reader, limit: int = MAX_JSON_BODY) -> bytes:
     length = int(req.header("content-length", "0"))
+    if length > limit:
+        raise BodyTooLarge(f"{length} > {limit}")
     return await reader.readexactly(length) if length else b""
 
 
@@ -522,17 +583,19 @@ def main(argv=None):
     sub = parser.add_subparsers(dest="role", required=True)
     c = sub.add_parser("controller")
     c.add_argument("--listen", default="127.0.0.1:8100")
+    c.add_argument("--token", default=os.environ.get("MIXLAB_FLEET_TOKEN"))
     a = sub.add_parser("agent")
     a.add_argument("--controller", required=True)
     a.add_argument("--host-id", required=True)
     a.add_argument("--data", required=True)
     a.add_argument("--listen", default="127.0.0.1:0")
+    a.add_argument("--token", default=os.environ.get("MIXLAB_FLEET_TOKEN"))
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
     async def run_controller():
         host, _, port = args.listen.rpartition(":")
-        ctl = FleetController(bind=host or "127.0.0.1")
+        ctl = FleetController(bind=host or "127.0.0.1", token=args.token)
         server = await ctl.serve(int(port))
         log.info("fleet controller on %s", ctl.url)
         async with server:
@@ -541,18 +604,21 @@ def main(argv=None):
     async def run_agent():
         host, _, port = args.listen.rpartition(":")
         agent = HostAgent(args.host_id, Path(args.data),
-                          bind=host or "127.0.0.1", respawn_interval=5.0)
+                          bind=host or "127.0.0.1", respawn_interval=5.0,
+                          token=args.token)
         server = await agent.serve(int(port))
         log.info("host agent %s on %s", args.host_id, agent.url)
         await http_call(args.controller + "/register", "POST",
                         json.dumps({"host_id": args.host_id,
-                                    "url": agent.url}).encode())
+                                    "url": agent.url}).encode(),
+                        token=args.token)
         async with server:
             while True:
                 await asyncio.sleep(HEARTBEAT_TTL / 3)
                 try:
                     await http_call(args.controller + "/heartbeat", "POST",
-                                    json.dumps({"host_id": args.host_id}).encode())
+                                    json.dumps({"host_id": args.host_id}).encode(),
+                                    token=args.token)
                 except (OSError, asyncio.TimeoutError):
                     log.warning("controller unreachable")
 

@@ -171,6 +171,12 @@ class WebSocket:
             if opcode == OP_PONG:
                 continue
             if opcode in (OP_TEXT, OP_BINARY):
+                if rsv1 and not self.deflate:
+                    # RFC 6455 5.2: RSV bits MUST be 0 unless an extension
+                    # negotiated them — fail the connection, don't deliver
+                    # raw deflate bytes as payload
+                    await self.close(1002)
+                    return None
                 message_op = opcode
                 compressed = rsv1 and self.deflate
                 buffer = bytearray(payload)

@@ -160,9 +160,12 @@ def _resize_plane_int8(plane, out_h: int, out_w: int):
         y = acc.astype(jnp.float32) * dq[:, None] + (off[:, None] - 128.0)
         if in_w == out_w:
             return jnp.clip(jnp.round(y) + 128.0, 0, 255).astype(jnp.uint8)
-        # range-scale the centered intermediate into int8: |y| <= bound
+        # range-scale the centered intermediate into int8: |y| <= bound holds
+        # for the unquantized W; the quantized Wq row abs-sums can slightly
+        # exceed it, and XLA's f32->s8 cast wraps rather than saturates, so
+        # clamp explicitly before the cast
         mid_scale = 127.0 / bound
-        xc = jnp.round(y * mid_scale).astype(jnp.int8)
+        xc = jnp.clip(jnp.round(y * mid_scale), -127, 127).astype(jnp.int8)
     Wq, dq, off, _ = _resize_matrix_i8(in_w, out_w)
     acc = jnp.einsum(
         "hw,ow->ho", xc, jnp.asarray(Wq), preferred_element_type=jnp.int32
@@ -259,6 +262,14 @@ def scale_picture(pic: Picture, out: PictureSettings) -> Picture:
 
     if isinstance(pic.planes["y"], jax.core.Tracer):
         return Picture(out, _scale_planes(pic.planes, pic.settings, out))
+    from mixlab_tpu.utils.devhost import device_call
+    from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
     f = _scale_picture_jit(pic.settings, out)
-    yy, uu, vv = f(pic.planes["y"], pic.planes["u"], pic.planes["v"])
+
+    def _run():
+        with DEVICE_LOCK:  # codec threads scale too — serialize + re-home
+            return f(pic.planes["y"], pic.planes["u"], pic.planes["v"])
+
+    yy, uu, vv = device_call(_run)
     return Picture(out, {"y": yy, "u": uu, "v": vv})

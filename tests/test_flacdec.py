@@ -137,3 +137,46 @@ def test_media_player_flac_playback(tmp_path):
         player.join(timeout=5)
         proj.engine.stop()
         proj.close()
+
+
+def test_media_player_flac_trailing_junk_loops(tmp_path):
+    """A FLAC file with trailing non-frame bytes (appended ID3v1 tag) must
+    keep looping — the junk is skipped after the last decoded frame rather
+    than ending playback (round-2 advisor finding)."""
+    import time
+
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.feeds import MediaSourceFeed
+    from mixlab_tpu.engine.media_player import MediaPlayer
+    from mixlab_tpu.engine.project import open_or_create
+
+    n = 4096  # one frame's worth: loops fast
+    t = np.arange(n) / 44100
+    sig = (np.stack([np.sin(2 * np.pi * 440 * t)] * 2, 1) * 12000
+           ).astype(np.int16)
+    st = PureFlacStream(44100, 2, 4096)
+    st.feed(sig)
+    blob = st._enc.stream_header() + b"".join(st.poll_frames())
+    blob += b"TAG" + b"\x00" * 125  # ID3v1 tail
+
+    cfg = EngineConfig(sample_rate=44_100)
+    proj = open_or_create(tmp_path / "flacjunk.mixlab", cfg)
+    media_id = proj.upload_media("tone.flac", "audio/flac", [blob])
+    feed = MediaSourceFeed(cfg)
+    player = MediaPlayer(proj.base.open_media(media_id), feed, cfg)
+    player.start()
+    try:
+        total = 0
+        deadline = time.time() + 10
+        # > n samples received proves the file looped past the junk tail
+        while time.time() < deadline and total < n + 4096:
+            try:
+                total += len(feed.queue.get(timeout=1.0))
+            except Exception:
+                pass
+        assert total > n, "playback ended at the junk tail instead of looping"
+    finally:
+        player.stop()
+        player.join(timeout=5)
+        proj.engine.stop()
+        proj.close()

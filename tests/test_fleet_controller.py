@@ -215,3 +215,94 @@ def test_agent_rejects_path_traversal_keys(tmp_path):
         server.close()
 
     asyncio.run(asyncio.wait_for(go(), 60))
+
+
+def test_fleet_auth_rejects_unauthenticated(tmp_path):
+    """With a shared secret configured, every agent/controller admin route
+    rejects requests without the bearer token (constant-time compare)."""
+    from mixlab_tpu.server.fleet import check_token
+
+    async def go():
+        ctl = FleetController(token="s3cret")
+        ctl_server = await ctl.serve()
+        agent = HostAgent("host-x", tmp_path / "x", token="s3cret")
+        agent_server = await agent.serve()
+        try:
+            # no token -> 401 everywhere
+            for url, method, body in [
+                (ctl.url + "/fleet", "GET", b""),
+                (ctl.url + "/register", "POST", b"{}"),
+                (ctl.url + "/workspaces/w1", "POST", b""),
+                (agent.url + "/health", "GET", b""),
+                (agent.url + "/spawn/w1", "POST", b""),
+                (agent.url + "/export/w1", "GET", b""),
+            ]:
+                status, _ = await http_call(url, method, body)
+                assert status == 401, url
+            # wrong token -> 401
+            status, _ = await http_call(agent.url + "/health",
+                                        token="wrong")
+            assert status == 401
+            # right token -> 200
+            status, body = await http_call(agent.url + "/health",
+                                           token="s3cret")
+            assert status == 200
+            assert json.loads(body)["host_id"] == "host-x"
+            status, _ = await http_call(
+                ctl.url + "/register", "POST",
+                json.dumps({"host_id": "host-x",
+                            "url": agent.url}).encode(),
+                token="s3cret")
+            assert status == 200
+        finally:
+            ctl_server.close()
+            agent_server.close()
+            await agent.shutdown()
+
+    asyncio.run(go())
+
+
+def test_fleet_body_caps(tmp_path):
+    """Oversized control bodies are rejected with 413, not buffered."""
+
+    async def go():
+        ctl = FleetController()
+        ctl_server = await ctl.serve()
+        try:
+            big = b"x" * (2 << 20)  # 2 MiB > MAX_JSON_BODY
+            status, _ = await http_call(ctl.url + "/register", "POST", big)
+            assert status == 413
+        finally:
+            ctl_server.close()
+
+    asyncio.run(go())
+
+
+def test_concurrent_place_single_assignment(tmp_path, monkeypatch):
+    """Two concurrent placements of the same key must resolve to ONE
+    assignment and ONE spawn (the round-2 advisor race)."""
+
+    async def go():
+        ctl = FleetController()
+        spawns = []
+
+        async def fake_health(host_id):
+            await asyncio.sleep(0.05)  # widen the race window
+            return {"load": 0, "workspaces": {
+                k: {"url": "http://x", "alive": True}
+                for k in ctl.assignments}}
+
+        async def fake_spawn(host_id, key):
+            await asyncio.sleep(0.05)
+            spawns.append((host_id, key))
+            return {"url": "http://x"}
+
+        ctl._agent_health = fake_health
+        ctl._spawn_on = fake_spawn
+        ctl.register("host-a", "http://a")
+        r1, r2 = await asyncio.gather(ctl.place("w1"), ctl.place("w1"))
+        assert spawns == [("host-a", "w1")]
+        assert ctl.assignments == {"w1": "host-a"}
+        assert r1["host"] == r2["host"] == "host-a"
+
+    asyncio.run(go())

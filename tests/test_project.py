@@ -196,3 +196,66 @@ def test_empty_file_bootstraps_full_schema(tmp_path):
     assert {"schema_migrations", "media", "streams", "blobs",
             "workspace"} <= names
     base.close()
+
+
+def test_closed_base_raises_typed_error(tmp_path):
+    """Post-close DB access fails with ProjectClosedError, not sqlite3
+    ProgrammingError — media decode threads treat it as end-of-stream."""
+    import pytest
+
+    from mixlab_tpu.engine.project import ProjectBase, ProjectClosedError
+
+    base = ProjectBase(tmp_path / "t.mixlab")
+    ws = base.create_stream()
+    ws.write(b"x" * 100)
+    sid = ws.finalize()
+    rs = base.open_stream(sid)
+    base.close()
+    with pytest.raises(ProjectClosedError):
+        base.query_one("SELECT 1")
+    with pytest.raises(ProjectClosedError):
+        base.read_workspace()
+    with pytest.raises(ProjectClosedError):
+        rs.read(10)  # the exact race from a decode thread
+    with pytest.raises(ProjectClosedError):
+        base.write_workspace({})
+
+
+def test_media_decode_thread_survives_project_close(tmp_path):
+    """Closing the project while a MediaPlayer decode thread is live must not
+    raise in the thread (the round-2 PytestUnhandledThreadExceptionWarning)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from mixlab_tpu.engine.media_player import MediaPlayer
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.feeds import MediaSourceFeed
+    from mixlab_tpu.engine.project import ProjectBase
+    from mixlab_tpu.io_host.wav import write_wav
+
+    cfg = EngineConfig()
+    base = ProjectBase(tmp_path / "t.mixlab")
+    pcm = (np.sin(np.linspace(0, 100, 44100 * 2)).reshape(-1, 2) * 0.2)
+    wav_path = tmp_path / "t.wav"
+    write_wav(wav_path, 44100, pcm)
+    wstream = base.create_stream()
+    wstream.write(wav_path.read_bytes())
+    sid = wstream.finalize()
+
+    feed = MediaSourceFeed(cfg)
+    player = MediaPlayer(base.open_stream(sid), feed, cfg)
+    player.start()
+    # let the decode loop get going, then close the DB out from under it
+    deadline = time.monotonic() + 5.0
+    while feed.queue.empty() and time.monotonic() < deadline:
+        time.sleep(0.01)
+    base.close()
+    # drain so a blocked push can't hide the read path
+    for _ in range(50):
+        feed.fill_tick(cfg.samples_per_tick)
+        time.sleep(0.005)
+    player.stop()
+    player.join(timeout=5.0)
+    assert not player.is_alive()

@@ -161,8 +161,14 @@ def test_monitor_ws_streams_audio(server_port):
             p.ModuleParams("Monitor", None), p.WindowGeometry())))
         eng.update(sid, p.WorkspaceMessage(3, p.CreateConnection(
             p.InputId(p.ModuleId(2), 1), p.OutputId(p.ModuleId(1), 1))))
-        await asyncio.sleep(0.3)  # engine thread ticks
-        ind = eng.ws.indications[p.ModuleId(2)]
+        # poll: the indication appears once the engine thread has ticked and
+        # the monitor pipeline (codec init) is up — fixed sleeps are flaky
+        deadline0 = asyncio.get_event_loop().time() + 15.0
+        while asyncio.get_event_loop().time() < deadline0:
+            ind = eng.ws.indications.get(p.ModuleId(2))
+            if ind is not None and ind.value is not None:
+                break
+            await asyncio.sleep(0.05)
         socket_id = ind.value.socket_id
 
         reader, writer = await ws_connect("127.0.0.1", port, f"/_monitor/{socket_id}")

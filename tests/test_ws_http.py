@@ -223,3 +223,18 @@ def test_handshake_response_includes_extensions():
     assert b"Sec-WebSocket-Extensions: permessage-deflate\r\n" in resp
     resp = ws_mod.handshake_response("dGhlIHNhbXBsZSBub25jZQ==")
     assert b"Extensions" not in resp
+
+
+def test_rsv1_without_negotiated_deflate_fails_connection():
+    # RFC 6455 5.2: RSV bits MUST be 0 unless an extension negotiated them.
+    # Without permessage-deflate, an RSV1 frame must fail the connection
+    # (close 1002), not deliver raw deflate bytes as payload.
+    data = client_frame_rsv1(ws_mod.OP_TEXT, client_deflate(b"sneaky"))
+    w = PipeWriter()
+    sock = ws_mod.WebSocket(PipeReader(data), w)
+    assert sock.deflate is None or sock.deflate is False or not sock.deflate
+    assert asyncio.run(sock.recv()) is None
+    assert sock.closed
+    # close frame carries status 1002 (protocol error)
+    assert bytes(w.sent[:2]) == bytes([0x80 | ws_mod.OP_CLOSE, 2])
+    assert w.sent[2:4] == struct.pack(">H", 1002)
