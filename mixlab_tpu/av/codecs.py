@@ -212,11 +212,8 @@ class FfmpegH264Stream:
         self._param_units = {}
 
     def feed(self, pic: Picture):
-        raw = (
-            np.asarray(pic.planes["y"]).tobytes()
-            + np.asarray(pic.planes["u"]).tobytes()
-            + np.asarray(pic.planes["v"]).tobytes()
-        )
+        pl = pic.to_numpy()  # device fetch under DEVICE_LOCK
+        raw = pl["y"].tobytes() + pl["u"].tobytes() + pl["v"].tobytes()
         self.proc.stdin.write(raw)
         self.proc.stdin.flush()
 
@@ -310,7 +307,14 @@ class PngVideoEncoder:
         return self._blank
 
     def encode(self, picture: Picture, pts: int) -> List[VideoPacket]:
-        rgb = np.asarray(picture_yuv420_to_rgb(picture).planes["rgb"])
+        from mixlab_tpu.utils.devhost import device_call
+        from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
+        def _convert():
+            with DEVICE_LOCK:  # dispatch + fetch from a codec thread
+                return np.asarray(picture_yuv420_to_rgb(picture).planes["rgb"])
+
+        rgb = device_call(_convert)
         return [VideoPacket(dts=pts, pts=pts, is_key=True, data=encode_png_rgb(rgb))]
 
 
@@ -394,12 +398,8 @@ class ShimH264Stream:
         self._pts = 0
 
     def feed(self, pic: Picture):
-        self._enc.send(
-            np.asarray(pic.planes["y"]),
-            np.asarray(pic.planes["u"]),
-            np.asarray(pic.planes["v"]),
-            self._pts,
-        )
+        pl = pic.to_numpy()  # device fetch under DEVICE_LOCK
+        self._enc.send(pl["y"], pl["u"], pl["v"], self._pts)
         self._pts += 1
 
     def poll_access_units(self) -> List[tuple]:

@@ -100,6 +100,17 @@ class CompiledPatch:
     def run(self, aux, host_aux, state):
         return self._fn(aux, host_aux, state)
 
+    def aot_compile(self, aux, host_aux, state):
+        """Trace + lower + XLA-compile without executing (jax AOT path);
+        afterwards ``run`` invokes the compiled executable directly.  Lets
+        the engine's compile worker prepare a program while the realtime
+        thread keeps dispatching the old one, with the first execution
+        deferred to a controlled point (Engine._warm_and_stage)."""
+        if hasattr(self._fn, "lower"):
+            object.__setattr__(
+                self, "_fn", self._fn.lower(aux, host_aux, state).compile()
+            )
+
 
 def compile_patch(
     ws: Workspace, cfg: EngineConfig, block: BlockSpec, jit: bool = True

@@ -29,6 +29,7 @@ here the explicit state pytree makes runtime state snapshottable too.
 
 from __future__ import annotations
 
+import logging
 import queue
 from collections import deque
 import threading
@@ -37,6 +38,80 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+_LOST = object()
+
+
+class _DeviceWorker(threading.Thread):
+    """Runs device interactions (dispatch, device->host transfer) with a
+    per-job timeout.
+
+    The tunneled PJRT client can lose an operation outright: a dispatched
+    block's transfer (or, rarely, the dispatch call itself) never returns,
+    while the rest of the client keeps working.  A blocking native call
+    cannot be cancelled, so jobs run on this dedicated thread; a caller
+    that times out marks the worker unusable and abandons it (the thread
+    stays blocked in the lost call — daemonic, holds no locks), and the
+    engine spawns a fresh worker for the next block."""
+
+    def __init__(self):
+        super().__init__(daemon=True, name="device-worker")
+        self._jobs: "queue.Queue" = queue.Queue()
+        self.usable = True
+
+    def submit(self, fn, timeout: float):
+        """-> fn() result, or the _LOST sentinel on timeout."""
+        done = threading.Event()
+        box: dict = {}
+        self._jobs.put((fn, done, box))
+        if not done.wait(timeout):
+            self.usable = False  # stuck in a lost native call
+            return _LOST
+        if "e" in box:
+            raise box["e"]
+        return box["r"]
+
+    def run(self):
+        while True:
+            fn, done, box = self._jobs.get()
+            try:
+                box["r"] = fn()
+            except BaseException as e:
+                box["e"] = e
+            finally:
+                done.set()
+
+
+def _make_probed_worker() -> _DeviceWorker:
+    """Spawn a _DeviceWorker and make it pass an initiation probe.
+
+    A freshly spawned thread's FIRST interaction with the tunneled client
+    is disproportionately likely to be lost (observed live: three warm
+    fetches in a row timed out, each on a brand-new worker, while
+    long-established threads ran thousands of blocks without a loss).  So
+    burn the fragility on a sacrificial op: a worker is only handed real
+    jobs once a tiny dispatch+fetch has completed on it."""
+    import jax.numpy as jnp
+
+    def _probe_op():
+        return float(jnp.zeros((8,), dtype=jnp.float32).sum() + 1.0)
+
+    # every device touch happens on a worker with a timeout — a wedged
+    # backend/tunnel must never hang the constructing (main/server) thread.
+    # The first probe's budget covers backend init + the probe-op compile.
+    worker = None
+    for attempt in range(10):
+        worker = _DeviceWorker()
+        worker.start()
+        timeout = 60.0 if attempt == 0 else 5.0
+        if worker.submit(_probe_op, timeout) is not _LOST:
+            return worker
+        log.warning("device worker failed initiation probe; replacing")
+    log.error("10 device workers failed initiation; proceeding degraded")
+    return worker
 
 from mixlab_tpu import protocol as p
 from mixlab_tpu.dsp.registry import get_def
@@ -199,6 +274,22 @@ class Engine:
         self._pending_patch = None  # (patch, compile generation)
         self._pending_lock = threading.Lock()
         self._compile_gen = 0
+        # Serializes every device API call (dispatch, fetch, warm run)
+        # across ALL threads — engine, compile worker, codec threads,
+        # media decoders (see utils/devlock.py for the failure class).
+        from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
+        self._device_lock = DEVICE_LOCK
+        # One compile worker, latest-wins: an edit storm must not fan out
+        # into concurrent compiles (each is itself a tunnel client call).
+        self._compile_q: queue.Queue = queue.Queue()
+        self._compile_worker: Optional[threading.Thread] = None
+        # The device worker is created EAGERLY: threads spawned late in a
+        # process's life (after server/asyncio/codec threads exist) fail
+        # their initiation probes against the tunneled client essentially
+        # always (observed: 10/10 consecutive losses), while threads
+        # established at boot stay good for the process lifetime.
+        self._devworker = _make_probed_worker()
         self._rebuild(full=True)
 
     # -- compiled program management --------------------------------------
@@ -220,26 +311,73 @@ class Engine:
                 self._compile_gen += 1
                 gen = self._compile_gen
                 self._pending_patch = None  # superseded by this edit
-            threading.Thread(
-                target=self._warm_and_stage, args=(patch, gen), daemon=True
-            ).start()
+            self._compile_q.put((patch, gen))
+            if self._compile_worker is None or not self._compile_worker.is_alive():
+                self._compile_worker = threading.Thread(
+                    target=self._compile_loop, daemon=True, name="compile"
+                )
+                self._compile_worker.start()
         else:
             self._adopt_patch(patch)
         self._sync_host_modules()
 
+    def _compile_loop(self):
+        while not self._stop.is_set():
+            try:
+                job = self._compile_q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+            # latest-wins: under an edit storm only the newest graph matters
+            while True:
+                try:
+                    job = self._compile_q.get_nowait()
+                except queue.Empty:
+                    break
+            patch, gen = job
+            with self._pending_lock:
+                if gen != self._compile_gen:
+                    continue  # superseded while queued
+            # compile-class work belongs on the jax home thread when a
+            # DeviceHost is serving (the live server); inline otherwise
+            from mixlab_tpu.utils.devhost import device_call
+
+            device_call(lambda: self._warm_and_stage(patch, gen))
+
     def _warm_and_stage(self, patch: CompiledPatch, gen: int):
         try:
-            aux = patch.prepare_aux(self.ws)
-            state = patch.init_state(self.ws)
-            host_aux = patch.host_aux(0)
-            out = patch.run(aux, host_aux, state)  # compiles
             import jax
 
-            jax.block_until_ready(out)
+            # small host->device transfers: serialize vs the engine thread
+            with self._device_lock:
+                aux = patch.prepare_aux(self.ws)
+                state = patch.init_state(self.ws)
+                host_aux = patch.host_aux(0)
+            # compile + first execution under the lock.  Deliberately the
+            # plain jit call, NOT jax AOT (.lower().compile()): executables
+            # produced by the AOT path never fulfil their output futures on
+            # the tunneled axon plugin — the engine's first tap fetch after
+            # swap blocks forever (bisected live; the jit fast path against
+            # the same program is stable for minutes).
+            with self._device_lock:
+                out = patch.run(aux, host_aux, state)
+            # a lost warm transfer must not hang the compile worker (and,
+            # in the live server, the whole DeviceHost) — bounded fetch,
+            # retry, and abandon the swap if the device keeps eating it.
+            # The warm timeout is generous: this fetch also absorbs the
+            # first-execution latency of the freshly compiled program.
+            for attempt in range(1 + self.DISPATCH_RETRIES):
+                if self._fetch_with_timeout(out, 30.0) is not None:
+                    break
+                log.error("warm transfer lost (attempt %d); retrying",
+                          attempt + 1)
+                with self._device_lock:
+                    out = patch.run(aux, host_aux, state)
+            else:
+                log.error("warm run lost repeatedly; abandoning this swap")
+                return
+            patch._warmed = True
         except Exception:
-            import logging
-
-            logging.getLogger(__name__).exception("async compile failed")
+            log.exception("async compile failed")
             return
         with self._pending_lock:
             if gen == self._compile_gen:
@@ -443,11 +581,19 @@ class Engine:
     def checkpoint(self) -> dict:
         import jax
 
+        from mixlab_tpu.utils.devhost import device_call
+
         flat, treedef = jax.tree.flatten(self._state)
+
+        def _fetch():
+            with self._device_lock:
+                return [np.asarray(x) for x in flat]
+
+        dsp = device_call(_fetch)
         return {
             "workspace": self.ws.to_persist(),
             "tick": self.tick,
-            "dsp_state": [np.asarray(x) for x in flat],
+            "dsp_state": dsp,
         }
 
     def restore_dsp_state(self, ckpt: dict) -> bool:
@@ -501,6 +647,12 @@ class Engine:
             ctl.stop()
         for player in self._media_players.values():
             player.stop()
+        # join decode threads so a subsequent ProjectBase.close() cannot race
+        # an in-flight blob read (the reference serializes this by handle
+        # ownership, src/project.rs:61-66)
+        for player in self._media_players.values():
+            if player.is_alive():
+                player.join(timeout=2.0)
         for feed in self._stream_feeds.values():
             feed.set_recv(None)
         for stream in self._audio_streams.values():
@@ -514,6 +666,16 @@ class Engine:
         while not self._stop.is_set():
             this_tick = self.tick
             scheduled_end = start + (this_tick + n) / tps
+            behind = time.monotonic() - scheduled_end
+            if behind > 1.0:
+                # More than a second behind the absolute schedule (a long
+                # edit compile stalled dispatch, or the backend hiccuped):
+                # re-anchor instead of bursting to catch up — a live DAW
+                # wants a dropped second, not a rushed one.  Deviation from
+                # the reference (engine.rs:175 keeps the original anchor),
+                # which can never fall this far behind.
+                start += behind
+                scheduled_end += behind
             self._stat.record_tick(scheduled_end, lambda ts: self.tick_once(ts))
             if this_tick % (tps // 2) < n:
                 with self._perf_lock:
@@ -707,9 +869,32 @@ class Engine:
                 ext[str(mid.value)] = {"pcm": feed.fill_tick(S)}
                 stream_videos[mid] = feed.take_video(S)
 
-        # 2. device program
-        host_aux = self._patch.host_aux(t0, ext)
-        self._state, taps = self._patch.run(self._aux, host_aux, self._state)
+        # 2. device program (dispatch serialized vs the compile worker's
+        # warm run — see _device_lock).  An empty patch is skipped outright:
+        # dispatching a zero-input/zero-output executable has nothing to
+        # compute, and a 60 Hz stream of null executions destabilizes the
+        # tunneled PJRT client (observed: post-edit fetches wedge only in
+        # sessions that began on the empty boot program).
+        if self._patch.order:
+            host_aux = self._patch.host_aux(t0, ext)
+            if self.pipeline_depth > 0:
+                # issue-ahead mode must not wait for readiness here (the
+                # whole point is overlapping fetch N with compute N+1);
+                # it is used by offline/bench drivers on the home thread,
+                # where lost executions have never been observed
+                from mixlab_tpu.utils.devhost import device_call
+
+                def _dispatch():
+                    with self._device_lock:
+                        return self._patch.run(
+                            self._aux, host_aux, self._state
+                        )
+
+                self._state, taps = device_call(_dispatch)
+            else:
+                self._state, taps = self._run_block_resilient(host_aux)
+        else:
+            taps = {}
 
         # 3. host video pass (same topo order)
         video_buffers: Dict[OutputId, object] = {}
@@ -751,6 +936,75 @@ class Engine:
         self.tick += self.block.n_ticks
         return indications
 
+    # How long a block's device->host tap transfer may take before it is
+    # declared lost.  Normal transfers complete within one tunnel RTT
+    # (~50 ms).  The tunneled client rarely but reproducibly loses a
+    # transfer outright — the fetch simply never returns, Array.is_ready
+    # notwithstanding — and a blocked np.asarray would wedge the engine
+    # forever (no cancellation API), so fetches run on a replaceable
+    # worker thread with a timeout, and a lost block is re-dispatched
+    # from the retained pre-block state.
+    DISPATCH_TIMEOUT = 3.0
+    DISPATCH_RETRIES = 2
+
+    def _device_job(self, fn, timeout: float):
+        """Run a device interaction on the replaceable worker; _LOST on
+        timeout (the blocked worker is abandoned and replaced)."""
+        worker = getattr(self, "_devworker", None)
+        if worker is None or not worker.usable:
+            worker = self._devworker = _make_probed_worker()
+        return worker.submit(fn, timeout)
+
+    def _fetch_with_timeout(self, tree, timeout: float):
+        """tree_map(np.asarray) with loss detection; None on a lost
+        transfer."""
+        import jax
+
+        out = self._device_job(
+            lambda: jax.tree_util.tree_map(np.asarray, tree), timeout
+        )
+        return None if out is _LOST else out
+
+    def _run_block_resilient(self, host_aux):
+        """One device dispatch + tap fetch with lost-operation recovery.
+        Keeps the pre-block state so a retry replays identical math; on
+        total failure the block's output is dropped and the engine stays
+        alive (drop-on-lag posture, monitor.rs:164-176 — applied to the
+        device instead of the codec).  The device lock is held by the
+        ENGINE thread around each attempt so an in-flight warm/compile on
+        the DeviceHost never interleaves; acquisition is bounded so a
+        wedged lock-holder cannot take the engine down with it."""
+        import jax
+
+        prev_state = self._state
+
+        def _attempt():
+            new_state, taps = self._patch.run(self._aux, host_aux, prev_state)
+            return new_state, jax.tree_util.tree_map(np.asarray, taps)
+
+        # a cold program compiles inside its first run — give it time
+        warmed = getattr(self._patch, "_warmed", False)
+        timeout = self.DISPATCH_TIMEOUT if warmed else 180.0
+        if not self._device_lock.acquire(timeout=60.0):
+            log.error("device lock unavailable for 60 s; skipping block")
+            return prev_state, {}
+        try:
+            for attempt in range(1 + self.DISPATCH_RETRIES):
+                out = self._device_job(_attempt, timeout)
+                if out is not _LOST:
+                    self._patch._warmed = True
+                    return out
+                log.error(
+                    "device block lost (attempt %d/%d); re-dispatching",
+                    attempt + 1,
+                    1 + self.DISPATCH_RETRIES,
+                )
+        finally:
+            self._device_lock.release()
+        log.error("device block lost %d times; dropping block output",
+                  1 + self.DISPATCH_RETRIES)
+        return prev_state, {}
+
     def flush_inflight(self) -> Dict[ModuleId, Indication]:
         """Route any deferred blocks (pipelined mode) — call before
         checkpoint/stop so no audio is lost."""
@@ -762,6 +1016,24 @@ class Engine:
     def _route_taps(self, t0, S, taps, video_buffers) -> Dict[ModuleId, Indication]:
         indications: Dict[ModuleId, Indication] = {}
         now = time.monotonic()
+        # fetch any tap arrays still on device in one serialized section;
+        # the per-sink logic below then works on plain numpy.  (In the
+        # synchronous path taps arrive already fetched by
+        # _run_block_resilient — skip the hop.)
+        import jax
+
+        from mixlab_tpu.utils.devhost import device_call
+
+        if any(
+            hasattr(leaf, "is_ready")
+            for leaf in jax.tree_util.tree_leaves(taps)
+        ):
+
+            def _fetch():
+                with self._device_lock:
+                    return jax.tree_util.tree_map(np.asarray, taps)
+
+            taps = device_call(_fetch)
         for k, tp in taps.items():
             mid = ModuleId(int(k))
             entry = self.ws.modules.get(mid)

@@ -144,8 +144,7 @@ class ShimDecoder(MediaDecoder):
     def decode_video(self, packet: flv.VideoPacket):
         if self._vdec is None:
             return None
-        import jax.numpy as jnp
-
+        from mixlab_tpu.engine.media_player import _upload_planes
         from mixlab_tpu.utils.mtime import MediaDuration
         from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
 
@@ -154,10 +153,7 @@ class ShimDecoder(MediaDecoder):
             return None
         _pts, y, u, v = frames[-1]
         h, w = y.shape
-        pic = Picture(
-            PictureSettings(w, h),
-            {"y": jnp.asarray(y), "u": jnp.asarray(u), "v": jnp.asarray(v)},
-        )
+        pic = Picture(PictureSettings(w, h), _upload_planes(y, u, v))
         hint = self.video_duration_hint or MediaDuration.new(1, 30)
         return VideoFrame(picture=pic, duration_hint=hint)
 

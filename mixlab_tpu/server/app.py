@@ -82,6 +82,20 @@ class Server:
                 return
 
     MAX_DISCARD_BODY = 1 << 20  # drain unread bodies up to 1 MiB, else close
+    MAX_RESTORE_BODY = 64 << 20  # checkpoint blobs (DSP state) cap
+
+    def _fleet_authorized(self, req) -> bool:
+        """Fleet admin routes (/_checkpoint, /_restore) honour the shared
+        fleet secret when one is configured (MIXLAB_FLEET_TOKEN, propagated
+        to workers by the host agent); constant-time compare."""
+        import hmac
+        import os
+
+        token = os.environ.get("MIXLAB_FLEET_TOKEN", "")
+        if not token:
+            return True
+        auth = req.header("authorization", "")
+        return hmac.compare_digest(auth, f"Bearer {token}")
 
     async def _handle_request(self, req, reader, writer) -> bool:
         """Dispatch one request; -> True to keep the connection open."""
@@ -140,6 +154,10 @@ class Server:
             # snapshot, taken on the engine thread
             from mixlab_tpu.server.fleet import encode_checkpoint
 
+            if not self._fleet_authorized(req):
+                writer.write(response(401, "Unauthorized", b"bad token",
+                                      keep_alive=keep))
+                return keep
             loop = asyncio.get_running_loop()
             try:
                 ckpt = await loop.run_in_executor(
@@ -154,7 +172,15 @@ class Server:
         elif req.path == "/_restore" and req.method == "POST":
             from mixlab_tpu.server.fleet import decode_checkpoint
 
+            if not self._fleet_authorized(req):
+                writer.write(response(401, "Unauthorized", b"bad token"))
+                return False
             length = int(req.header("content-length", "0"))
+            if length > self.MAX_RESTORE_BODY:
+                # checkpoints are small (DSP state arrays); an unbounded
+                # readexactly would let a client exhaust memory
+                writer.write(response(413, "Payload Too Large"))
+                return False
             body = await reader.readexactly(length) if length else b""
             loop = asyncio.get_running_loop()
             try:
@@ -324,20 +350,41 @@ class Server:
             return
         loop = asyncio.get_running_loop()
         sub = bc.subscribe()
+        # watch for client close/EOF: without this a viewer that navigates
+        # away during a segment stall would keep this handler alive forever
+        # (sends don't fail until buffers fill)
+        gone = asyncio.ensure_future(self._drain_client(sock))
         try:
+            # codec construction is deferred to the pipeline thread
+            # (server/monitor.py); wait for the REAL init packet so the
+            # first frame a subscriber sees is never the provisional one
+            ready = getattr(bc, "ready", None)
+            if ready is not None:
+                await loop.run_in_executor(None, ready.wait, 15)
             await sock.send_binary(bc.init_packet)
             while True:
                 pkt = await loop.run_in_executor(None, _queue_get, sub, 0.25)
                 if pkt is _TIMEOUT:
-                    if sock.closed:
+                    if sock.closed or gone.done():
                         break
                     continue
                 await sock.send_binary(pkt)
         except ConnectionError:
             pass
         finally:
+            gone.cancel()
             bc.unsubscribe(sub)
             await sock.close()
+
+    @staticmethod
+    async def _drain_client(sock):
+        """Consume (and discard) client frames until close/EOF; the recv
+        loop also answers pings. Monitor clients send nothing meaningful."""
+        try:
+            while await sock.recv() is not None:
+                pass
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
 
     # -- /_upload/<filename> -----------------------------------------------
 

@@ -120,11 +120,33 @@ class MonitorPipeline(threading.Thread):
             }
         )
         self.broadcast = PacketBroadcast(init)
-        self.video_enc = PngVideoEncoder(MONITOR_PICTURE)
         self._tick_count = 0
-        if mode == "fmp4":
-            self._init_fmp4(encoders)
+        # Codec construction is DEFERRED to the pipeline thread: building
+        # the in-process libavcodec/libx264 encoders on the ENGINE thread
+        # (module created by a live edit) corrupts that thread's subsequent
+        # PJRT tunnel calls — the engine's next device fetch never returns.
+        # Bisected live on the chip: audio-only edits are stable for
+        # minutes; the identical session creating a Monitor wedges within
+        # seconds of this constructor running on the engine thread.
+        self.video_enc = None
+        self._encoders_arg = encoders
+        self._codecs_ready = threading.Event()
+        self.broadcast.ready = self._codecs_ready
         register_socket(self.socket_id, self.broadcast)
+
+    def _ensure_codecs(self):
+        """Idempotent codec setup, on the pipeline thread (not the engine
+        thread — a live edit creating a Monitor must not pay shim/x264
+        init inside the realtime tick)."""
+        if self._codecs_ready.is_set():
+            return
+        if self.mode == "fmp4":
+            self._init_fmp4(self._encoders_arg)
+        else:
+            # pcm+png only: PngVideoEncoder pre-builds a blank frame (a
+            # device call) — don't pay that on the fmp4 tiers
+            self.video_enc = PngVideoEncoder(MONITOR_PICTURE)
+        self._codecs_ready.set()
 
     def _init_fmp4(self, encoders=None):
         """Real audio+AVC into the fragmented-MP4 mux for MSE playback —
@@ -214,6 +236,7 @@ class MonitorPipeline(threading.Thread):
         unregister_socket(self.socket_id)
 
     def run(self):
+        self._ensure_codecs()
         while not self._stop_evt.is_set():
             try:
                 t0, audio, video = self.pipe.q.get(timeout=0.25)
@@ -225,6 +248,7 @@ class MonitorPipeline(threading.Thread):
                 self._encode_tick(t0, audio, video)
 
     def _encode_tick_fmp4(self, t0: int, audio: np.ndarray, video):
+        self._ensure_codecs()
         from mixlab_tpu.av import mp4
         from mixlab_tpu.utils.mtime import MediaDuration
 
@@ -259,6 +283,7 @@ class MonitorPipeline(threading.Thread):
             self.broadcast.send(frame_packet({"t": "segment"}, seg))
 
     def _encode_tick(self, t0: int, audio: np.ndarray, video):
+        self._ensure_codecs()
         sr = self.cfg.sample_rate
         pcm = f32_to_i16(audio.reshape(-1)).astype("<i2").tobytes()
         self.broadcast.send(

@@ -87,17 +87,29 @@ class Picture:
         cached = _BLANK_CACHE.get(settings)
         if cached is not None:
             return cached
+        from mixlab_tpu.utils.devhost import device_call
+        from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
         w, h = settings.width, settings.height
         if settings.pixel_format == YUV420P:
-            planes = {
-                "y": jnp.zeros((h, w), dtype=jnp.uint8),
-                "u": jnp.full((h >> 1, w >> 1), 0x80, dtype=jnp.uint8),
-                "v": jnp.full((h >> 1, w >> 1), 0x80, dtype=jnp.uint8),
-            }
+
+            def _make():
+                with DEVICE_LOCK:
+                    return {
+                        "y": jnp.zeros((h, w), dtype=jnp.uint8),
+                        "u": jnp.full((h >> 1, w >> 1), 0x80, dtype=jnp.uint8),
+                        "v": jnp.full((h >> 1, w >> 1), 0x80, dtype=jnp.uint8),
+                    }
+
         elif settings.pixel_format == RGB24:
-            planes = {"rgb": jnp.zeros((h, w, 3), dtype=jnp.uint8)}
+
+            def _make():
+                with DEVICE_LOCK:
+                    return {"rgb": jnp.zeros((h, w, 3), dtype=jnp.uint8)}
+
         else:
             raise ValueError(settings.pixel_format)
+        planes = device_call(_make)
         import jax
 
         pic = Picture(settings, planes)
@@ -106,7 +118,14 @@ class Picture:
         return pic
 
     def to_numpy(self) -> Dict[str, np.ndarray]:
-        return {k: np.asarray(v) for k, v in self.planes.items()}
+        from mixlab_tpu.utils.devhost import device_call
+        from mixlab_tpu.utils.devlock import DEVICE_LOCK
+
+        def _fetch():
+            with DEVICE_LOCK:
+                return {k: np.asarray(v) for k, v in self.planes.items()}
+
+        return device_call(_fetch)
 
 
 @dataclass

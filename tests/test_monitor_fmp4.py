@@ -185,6 +185,7 @@ def test_fmp4_monitor_pure_tier_zero_dependency(tmp_path, monkeypatch):
 
     pipe = _MonitorPipe()
     pipeline = MonitorPipeline(pipe, CFG, mode="fmp4")
+    pipeline._ensure_codecs()  # codec setup is deferred off the engine thread
     from mixlab_tpu.av.flacenc import PureFlacStream
     from mixlab_tpu.av.h264enc import PureH264Stream
 
