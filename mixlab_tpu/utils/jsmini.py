@@ -587,6 +587,10 @@ class Parser:
         if self.at("keyword", "finally"):
             self.next()
             finalizer = self.block()
+        if handler is None and finalizer is None:
+            raise JsSyntaxError(
+                "try statement requires catch or finally"
+            )
         return ("try", block, handler, finalizer)
 
     # -- expressions ---------------------------------------------------------
@@ -734,6 +738,12 @@ class Parser:
             if self.at_punct("."):
                 self.next()
                 prop = self.next()
+                # property names are identifiers/keywords, never numbers:
+                # `1..2` must be a syntax error like in real engines
+                if prop.kind not in ("id", "keyword"):
+                    raise JsSyntaxError(
+                        f"invalid property name {prop.value!r}"
+                    )
                 e = ("member", e, prop.value)
             elif self.at_punct("?."):
                 self.next()
@@ -864,7 +874,13 @@ class Parser:
                         elif self.at_punct(":"):
                             self.next()
                             props.append(("prop", key, self.assignment(), computed))
-                        else:  # shorthand
+                        else:  # shorthand — only identifiers may elide the
+                            # value (`{ const }` is a real-engine error)
+                            if kt.kind != "id":
+                                raise JsSyntaxError(
+                                    f"bad shorthand property {key!r} at "
+                                    f"line {kt.line}"
+                                )
                             props.append(("prop", key, ("name", key), computed))
                     if self.at_punct(","):
                         self.next()
@@ -1052,6 +1068,18 @@ class JSObject:
 
     def __repr__(self):
         return "JSObject(" + repr(self.props) + ")"
+
+
+class _CallableJSObject(JSObject):
+    """A JSObject that is also invocable — `Number` is both a namespace
+    (Number.isInteger) and a conversion function (arr.map(Number))."""
+
+    def __init__(self, fn, props=None):
+        super().__init__(props)
+        self._fn = fn
+
+    def __call__(self, *args):
+        return self._fn(args[0]) if args else self._fn(UNDEFINED)
 
 
 class JSArray(list):
@@ -1309,8 +1337,20 @@ class Interpreter:
         })
         g.declare("Math", mathobj)
 
+        def _js_jsonable(v):
+            # JS number formatting: integral doubles print without a
+            # fractional part, and stringify is compact by default
+            if isinstance(v, float) and v.is_integer() and abs(v) < 1e15:
+                return int(v)
+            if isinstance(v, list):
+                return [_js_jsonable(x) for x in v]
+            if isinstance(v, dict):
+                return {k: _js_jsonable(x) for k, x in v.items()}
+            return v
+
         def _json_stringify(v, *_a):
-            return json.dumps(_to_python(v))
+            return json.dumps(_js_jsonable(_to_python(v)),
+                              separators=(",", ":"))
 
         def _json_parse(s):
             return _from_python(json.loads(s))
@@ -1363,7 +1403,7 @@ class Interpreter:
 
         g.declare("Array", JSObject({"isArray": _array_isarray, "from": _array_from,
                                      "of": lambda *a: JSArray(a)}))
-        g.declare("Number", JSObject({
+        g.declare("Number", _CallableJSObject(js_num, {
             "isInteger": lambda v=UNDEFINED: isinstance(v, float) and v.is_integer(),
             "isFinite": lambda v=UNDEFINED: isinstance(v, float) and math.isfinite(v),
             "isNaN": lambda v=UNDEFINED: isinstance(v, float) and math.isnan(v),
@@ -1446,6 +1486,13 @@ class Interpreter:
             loop_env = Environment(env)
             if init is not None:
                 self.exec_stmt(init, loop_env)
+            # per-iteration binding for let/const loop variables (ES6
+            # 13.7.4.7 CreatePerIterationEnvironment): each iteration gets
+            # its OWN copy of the loop bindings so closures created in the
+            # body capture that iteration's value, not the final one
+            fresh_binding = init is not None and init[0] == "var" and init[1] in (
+                "let", "const"
+            )
             while cond is None or truthy(self.eval(cond, loop_env)):
                 try:
                     self.exec_stmt(body, Environment(loop_env))
@@ -1453,6 +1500,10 @@ class Interpreter:
                     break
                 except _Continue:
                     pass
+                if fresh_binding:
+                    nxt = Environment(env)
+                    nxt.vars = dict(loop_env.vars)
+                    loop_env = nxt
                 if step is not None:
                     self.eval(step, loop_env)
             return UNDEFINED
@@ -1701,7 +1752,11 @@ class Interpreter:
                 return ctor(*args)
             if isinstance(ctor, JSFunction):
                 obj = JSObject()
-                self.call_function(ctor, args, obj)
+                ret = self.call_function(ctor, args, obj)
+                # real-JS semantics: a constructor returning an object
+                # overrides the freshly created one (`new Option(...)`)
+                if isinstance(ret, (JSObject, JSArray, JSMap, JSSet)):
+                    return ret
                 return obj
             if callable(ctor):
                 return ctor(*args)
@@ -1943,6 +1998,15 @@ class Interpreter:
 
     def set_member(self, base, name, value):
         if isinstance(base, JSObject):
+            # accessor support for host environments (the browser-DOM stub
+            # needs `el.innerHTML = x` to mutate the element tree): an
+            # object may carry a `__setters__` JSObject mapping property
+            # name -> fn(value); real JS would use defineProperty getters/
+            # setters, which are outside the jsmini subset.
+            setters = base.props.get("__setters__")
+            if isinstance(setters, JSObject) and name in setters.props:
+                self.call_any(setters.props[name], [value], this=base)
+                return
             base.props[name] = value
             return
         if isinstance(base, JSArray) and name == "length":
