@@ -549,6 +549,23 @@ def bench_realtime_engine_video(block_ticks=4, seconds=8.0):
     return ticks / seconds, bool(perf.realtime if perf else False)
 
 
+def measured_range(fn, reps=3, **kw):
+    """Run a whole benchmark ``reps`` times and report the spread — the
+    honest-range discipline BENCH_NOTES.md documents in prose (2x swings
+    under chip contention), carried into the machine-readable artifact:
+    {value (median), min, max, reps}."""
+    vals = sorted(float(fn(**kw)) for _ in range(reps))
+    mid = vals[len(vals) // 2] if reps % 2 else (
+        (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+    )
+    return {
+        "value": round(mid, 2),
+        "min": round(vals[0], 2),
+        "max": round(vals[-1], 2),
+        "reps": reps,
+    }
+
+
 def main():
     run_all = "--all" in sys.argv
 
@@ -569,13 +586,13 @@ def main():
             "realtime_flag": vrt,
         })
 
-    multiple = bench_graph(build_16_module_graph)
+    rng = measured_range(lambda: bench_graph(build_16_module_graph), reps=3)
     _emit(
         {
             "metric": "realtime_multiple_16module_48k_graph",
-            "value": round(multiple, 1),
+            **rng,
             "unit": "x_realtime",
-            "vs_baseline": round(multiple, 1),
+            "vs_baseline": rng["value"],
             **getattr(bench_graph, "last_utilization", {}),
         },
         primary=True,
@@ -592,7 +609,7 @@ def main():
         _emit({"metric": "video_blend_1080p", "value": round(bench_blend_1080p(), 1), "unit": "fps"})
         _emit({"metric": "config4_composite_720p_to_1080p", "value": round(bench_config4_composite(), 1), "unit": "fps"})
         _emit({"metric": "config5_full_session_1080p30",
-               "value": round(bench_config5_full_session(), 2),
+               **measured_range(bench_config5_full_session, reps=3),
                "unit": "x_realtime",
                **getattr(bench_config5_full_session, "last_utilization", {})})
 

@@ -390,9 +390,13 @@ class MediaPlayer(threading.Thread):
         """Any-container playback through the ffmpeg-libs shim
         (native/avshim.py): the reference's ffmpeg decode loop
         (media_source.rs:185-292) — audio AND video, realtime-paced,
-        looping with epoch accumulation (media_source.rs:246-292)."""
-        import tempfile
+        looping with epoch accumulation (media_source.rs:246-292).
 
+        Demuxes STRAIGHT from the project blob stream via callback IO
+        (avshim_media_open_io; the reference's IoReader->AVIO bridge,
+        codec/src/ffmpeg/ioctx.rs:15-100 + src/project/stream.rs:113-190)
+        — no temp-file spool, so unbounded inputs stream and media open
+        has no full-copy latency."""
         from fractions import Fraction
 
         from mixlab_tpu.io_host.throttle import MediaThrottle
@@ -400,22 +404,11 @@ class MediaPlayer(threading.Thread):
         from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
         from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
 
-        import jax.numpy as jnp
-
-        # spool the project blob stream to a file for avformat
         self.stream.seek(0)
-        with tempfile.NamedTemporaryFile(suffix=".media", delete=False) as tf:
-            while True:
-                chunk = self.stream.read(1 << 20)
-                if not chunk:
-                    break
-                tf.write(chunk)
-            path = tf.name
         try:
-            reader = avshim.MediaReader(path)
+            reader = avshim.MediaReader.from_reader(self.stream)
         except avshim.ShimError as e:
             log.warning("media_source: cannot open media: %s", e)
-            pathlib_unlink(path)
             return
         try:
             a_rate = reader.audio["rate"] if reader.audio else None
@@ -485,13 +478,3 @@ class MediaPlayer(threading.Thread):
                             break
         finally:
             reader.close()
-            pathlib_unlink(path)
-
-
-def pathlib_unlink(path):
-    import pathlib as _pl
-
-    try:
-        _pl.Path(path).unlink()
-    except OSError:
-        pass

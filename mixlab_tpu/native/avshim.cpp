@@ -60,6 +60,7 @@ struct VDec {
 
 struct Media {
     AVFormatContext* fmt = nullptr;
+    AVIOContext* avio = nullptr;  // set for callback-IO opens (owned)
     int a_idx = -1, v_idx = -1;
     AVCodecContext* adec = nullptr;
     AVCodecContext* vdec = nullptr;
@@ -474,14 +475,71 @@ void avshim_vdec_close(void* h) {
 // ffmpeg::format InputContainer)
 // ---------------------------------------------------------------------------
 
+static void media_free_avio(Media* m) {
+    if (m->avio) {
+        av_freep(&m->avio->buffer);
+        avio_context_free(&m->avio);
+    }
+}
+
+// forward: shared setup after avformat_open_input succeeded
+static void* media_finish_open(Media* m);
+
 void* avshim_media_open(const char* path) {
     Media* m = new Media();
     if (avformat_open_input(&m->fmt, path, nullptr, nullptr) < 0) {
         delete m;
         return nullptr;
     }
+    return media_finish_open(m);
+}
+
+// ---------------------------------------------------------------------------
+// callback-IO open: demux straight from a host reader (the reference's
+// Rust IoReader -> AVIO bridge, codec/src/ffmpeg/ioctx.rs:15-100), so
+// project blob streams play without spooling to a temp file
+// ---------------------------------------------------------------------------
+
+typedef int (*avshim_read_cb)(void* opaque, uint8_t* buf, int n);
+typedef int64_t (*avshim_seek_cb)(void* opaque, int64_t off, int whence);
+
+void* avshim_media_open_io(void* opaque, avshim_read_cb read_cb,
+                           avshim_seek_cb seek_cb) {
+    const int IOBUF = 1 << 16;
+    Media* m = new Media();
+    unsigned char* buf = (unsigned char*)av_malloc(IOBUF);
+    if (!buf) {
+        delete m;
+        return nullptr;
+    }
+    m->avio = avio_alloc_context(buf, IOBUF, 0, opaque, read_cb, nullptr,
+                                 seek_cb);
+    if (!m->avio) {
+        av_free(buf);
+        delete m;
+        return nullptr;
+    }
+    m->fmt = avformat_alloc_context();
+    if (!m->fmt) {
+        media_free_avio(m);
+        delete m;
+        return nullptr;
+    }
+    m->fmt->pb = m->avio;
+    if (avformat_open_input(&m->fmt, nullptr, nullptr, nullptr) < 0) {
+        // on failure avformat_open_input frees the format context but not
+        // the custom pb
+        media_free_avio(m);
+        delete m;
+        return nullptr;
+    }
+    return media_finish_open(m);
+}
+
+static void* media_finish_open(Media* m) {
     if (avformat_find_stream_info(m->fmt, nullptr) < 0) {
         avformat_close_input(&m->fmt);
+        media_free_avio(m);
         delete m;
         return nullptr;
     }
@@ -513,6 +571,7 @@ void* avshim_media_open(const char* path) {
     }
     if (m->a_idx < 0 && m->v_idx < 0) {
         avformat_close_input(&m->fmt);
+        media_free_avio(m);
         delete m;
         return nullptr;
     }
@@ -636,6 +695,7 @@ void avshim_media_close(void* h) {
     if (m->swr) swr_free(&m->swr);
     if (m->sws) sws_freeContext(m->sws);
     avformat_close_input(&m->fmt);
+    media_free_avio(m);
     delete m;
 }
 
