@@ -158,6 +158,51 @@ class ShimDecoder(MediaDecoder):
         return VideoFrame(picture=pic, duration_hint=hint)
 
 
+class PureTierDecoder(MediaDecoder):
+    """Zero-dependency ingest tier: H.264 video through the pure CAVLC
+    intra decoder (av/h264dec.py) — no codec libraries at all.  Audio has
+    no pure tier (AAC decode needs the licensed filterbank tables the
+    same way encode does); it is parsed but dropped with a warning, which
+    still beats the reference on a codec-less image (it simply fails to
+    build without ffmpeg/fdk, rtmp/mod.rs:277-287)."""
+
+    def __init__(self):
+        self._vdec = None
+        self._warned_audio = False
+        self.video_duration_hint = None
+
+    def set_video_config(self, dcr: DecoderConfigurationRecord):
+        from mixlab_tpu.av.h264dec import PureH264Decoder
+
+        self._vdec = PureH264Decoder(dcr.to_bytes())
+
+    def decode_audio(self, raw_aac: bytes):
+        if not self._warned_audio:
+            self._warned_audio = True
+            log.warning("rtmp: pure tier has no AAC decoder; audio dropped")
+        return None
+
+    def decode_video(self, packet: flv.VideoPacket):
+        if self._vdec is None:
+            return None
+        from mixlab_tpu.engine.media_player import _upload_planes
+        from mixlab_tpu.utils.mtime import MediaDuration
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        try:
+            frames = self._vdec.decode(packet.data)
+        except Exception as e:
+            log.warning("rtmp: pure h264 decode failed: %s", e)
+            return None
+        if not frames:
+            return None
+        _pts, y, u, v = frames[-1]
+        h, w = y.shape
+        pic = Picture(PictureSettings(w, h), _upload_planes(y, u, v))
+        hint = self.video_duration_hint or MediaDuration.new(1, 30)
+        return VideoFrame(picture=pic, duration_hint=hint)
+
+
 def default_decoder_factory() -> MediaDecoder:
     from mixlab_tpu.av.codecs import ffmpeg_available
     from mixlab_tpu.native import avshim
@@ -175,7 +220,7 @@ def default_decoder_factory() -> MediaDecoder:
             return FfmpegDecoder()
         except Exception:
             pass
-    return NullDecoder()
+    return PureTierDecoder()
 
 
 # test/instrumentation hook

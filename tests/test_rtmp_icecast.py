@@ -392,3 +392,68 @@ def test_rtmp_mp3_audio_ingest():
     spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
     peak_hz = np.argmax(spec) * 44100 / len(body)
     assert abs(peak_hz - 440.0) < 10.0, peak_hz
+
+
+def test_rtmp_pure_tier_video_loopback_no_shim():
+    """Zero-dependency round trip over REAL RTMP sockets: pure CAVLC H.264
+    published by our client, ingested by our server with the ingest decode
+    forced to the pure tier (av/h264dec.py) — no libavcodec anywhere on
+    the path.  Closes the round-2 gap 'RTMP video ingest on a codec-less
+    image drops payloads' (reference needs ffmpeg FFI here,
+    rtmp/mod.rs:277-287)."""
+    from mixlab_tpu.av.h264enc import PureH264Stream
+    from mixlab_tpu.video.frame import Picture, PictureSettings
+
+    recv = source_mod.RTMP_MOUNTPOINTS.listen("pureonly")
+    rtmp_server.DECODER_FACTORY = rtmp_server.PureTierDecoder
+
+    w, h = 96, 64
+    ypl = np.zeros((h, w), np.uint8)
+    ypl[:, : w // 2] = 220
+    pic = Picture(PictureSettings(w, h), {
+        "y": ypl,
+        "u": np.full((h // 2, w // 2), 96, np.uint8),
+        "v": np.full((h // 2, w // 2), 160, np.uint8),
+    })
+    enc = PureH264Stream(PictureSettings(w, h), mode="cavlc", qp=24)
+    enc.feed(pic)
+    units = enc.poll_access_units()
+    assert units and units[0][0]
+
+    async def go():
+        async def on_conn(reader, writer):
+            try:
+                await rtmp_server.accept(reader, writer)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        client = await rtmp_client.start("127.0.0.1", port, "pureonly", "key")
+        client.publish_video(0, flv.VideoPacket(
+            flv.VideoFrameType.KEY_FRAME, flv.VideoPacketType.SEQUENCE_HEADER,
+            0, enc.dcr).to_bytes())
+        client.publish_video(40, flv.VideoPacket(
+            flv.VideoFrameType.KEY_FRAME, flv.VideoPacketType.NALU,
+            0, units[0][1]).to_bytes())
+        await asyncio.sleep(0.8)
+        await client.close()
+        server.close()
+
+    try:
+        asyncio.run(go())
+        frame = recv.read_video()
+        assert frame is not None, "no video through the pure-tier ingest"
+        vy = np.asarray(frame.data.picture.planes["y"])
+        assert vy.shape == (h, w)
+        # independent oracle: the encoder's decoder-exact reconstruction
+        from mixlab_tpu.av.h264cavlc import CavlcIntraEncoder
+
+        oracle = CavlcIntraEncoder(qp=24)
+        oracle.encode_frame(pic)
+        assert np.array_equal(vy, oracle.last_recon[0][:h, :w])
+        vu = np.asarray(frame.data.picture.planes["u"])
+        assert np.array_equal(vu, oracle.last_recon[1][: h // 2, : w // 2])
+    finally:
+        rtmp_server.DECODER_FACTORY = rtmp_server.default_decoder_factory
+        recv.close()
