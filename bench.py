@@ -439,14 +439,23 @@ def bench_config5_full_session(seconds=4, reps=3):
     host_aux = stacked_host_aux(patch, 0, seconds)
 
     FRAMES = 30  # 1080p30
+    # the folded resize+roll+crossfade single-pass operator (video/fused.py)
+    # is the shipped composite path; MIXLAB_BENCH_FUSED=0 runs the separate
+    # stages for matched A/B comparison
+    fused = os.environ.get("MIXLAB_BENCH_FUSED", "1") != "0"
 
     def video_frame(i):
+        from mixlab_tpu.video.fused import resize_crossfade_roll
+
         rgb = gradient_rgb(960, 540, t=i)
         y, u, v = rgb_to_yuv420(rgb)
-        y = resize_plane(y, 1080, 1920)
+        if fused:
+            y2 = resize_crossfade_roll(y, 1080, 1920, 128)
+        else:
+            y1 = resize_plane(y, 1080, 1920)
+            y2 = crossfade_xla(y1, jnp.roll(y1, 1, axis=0), 128)
         u = resize_plane(u, 540, 960)
         v = resize_plane(v, 540, 960)
-        y2 = crossfade_xla(y, jnp.roll(y, 1, axis=0), 128)
         return (
             jnp.sum(y2.astype(jnp.uint32))
             + jnp.sum(u.astype(jnp.uint32))

@@ -126,7 +126,14 @@ def _resize_matrix_i8(n_in: int, n_out: int):
     folded into offset).  Per-row scale keeps every row at full 8-bit
     resolution; the offset term corrects the quantized rows not summing to
     exactly the dequantized 1.0."""
-    W = resize_matrix(n_in, n_out).astype(np.float64)
+    return _resize_matrix_i8_from(resize_matrix(n_in, n_out))
+
+
+def _resize_matrix_i8_from(W: np.ndarray):
+    """Quantize an arbitrary resample-style matrix (rows summing ~1) for the
+    s8 MXU path — also used for algebraically folded matrices
+    (video/fused.py)."""
+    W = np.asarray(W, dtype=np.float64)
     s = 127.0 / np.maximum(np.abs(W).max(axis=1, keepdims=True), 1e-12)
     Wq = np.clip(np.round(W * s), -127, 127).astype(np.int8)
     dequant = (1.0 / s[:, 0]).astype(np.float32)

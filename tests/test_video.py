@@ -254,3 +254,81 @@ def test_resize_int8_accuracy():
     same = rng.integers(0, 256, (64, 64), dtype=np.uint8)
     out = np.asarray(resize_plane(jnp.asarray(same), 64, 64, method="int8"))
     assert np.array_equal(out, same)
+
+
+def test_fused_resize_crossfade_roll_matches_sequential():
+    """The algebraically folded resize+roll+crossfade (video/fused.py)
+    matches the exact sequential pipeline within the documented envelope
+    (deferred rounding: <=1 LSB on top of the resize tier's own)."""
+    import numpy as np
+
+    from mixlab_tpu.video.blend import crossfade_xla
+    from mixlab_tpu.video.fused import resize_crossfade_roll
+    from mixlab_tpu.video.scale import resize_plane
+
+    from mixlab_tpu.video.scale import resize_matrix
+
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 256, (54, 96), dtype=np.uint8)
+    # f64 unclipped reference: pixels where either blended row-phase
+    # overshoots [0,255] hit the documented clip-fold deviation; bound the
+    # rest tightly
+    Wh = resize_matrix(54, 108).astype(np.float64)
+    Ww = resize_matrix(96, 192).astype(np.float64)
+    ref = Wh @ plane.astype(np.float64) @ Ww.T
+    overshoot = (ref < 0.5) | (ref > 254.5)
+    overshoot = overshoot | np.roll(overshoot, 1, axis=0)
+    for fade in (0, 67, 128, 255):
+        seq_y = resize_plane(plane, 108, 192, method="f32")
+        seq = np.asarray(crossfade_xla(
+            seq_y, jnp.roll(seq_y, 1, axis=0), fade))
+        fused = np.asarray(resize_crossfade_roll(
+            plane, 108, 192, fade, method="f32"))
+        err = np.abs(seq.astype(int) - fused.astype(int))
+        assert err[~overshoot].max() <= 2, (fade, err[~overshoot].max())
+        # overshoot pixels are bounded by the bicubic overshoot envelope
+        assert err.max() <= 48, (fade, err.max())
+        # and the int8 MXU tier stays within its own documented envelope
+        fused8 = np.asarray(resize_crossfade_roll(
+            plane, 108, 192, fade, method="int8"))
+        err8 = np.abs(seq.astype(int) - fused8.astype(int))
+        assert err8[~overshoot].max() <= 6, (fade, err8[~overshoot].max())
+
+
+def test_fused_tight_on_smooth_content():
+    """On smooth (non-overshooting) content — the compositing norm — the
+    fused op matches the sequential pipeline to <=2 LSB everywhere."""
+    import numpy as np
+
+    from mixlab_tpu.video.blend import crossfade_xla
+    from mixlab_tpu.video.fused import resize_crossfade_roll
+    from mixlab_tpu.video.pattern import gradient_rgb
+    from mixlab_tpu.video.colorspace import rgb_to_yuv420
+    from mixlab_tpu.video.scale import resize_plane
+
+    rgb = gradient_rgb(96, 54, t=3)
+    y, _, _ = rgb_to_yuv420(rgb)
+    for fade in (40, 128, 220):
+        seq_y = resize_plane(y, 108, 192, method="f32")
+        seq = np.asarray(crossfade_xla(
+            seq_y, jnp.roll(seq_y, 1, axis=0), fade))
+        fused = np.asarray(resize_crossfade_roll(y, 108, 192, fade,
+                                                 method="f32"))
+        err = np.abs(seq.astype(int) - fused.astype(int))
+        assert err.max() <= 2, (fade, err.max())
+
+
+def test_fused_fade_endpoints_are_pure_resizes():
+    """fade=255 must equal the plain resize; fade=0 must equal its roll."""
+    import numpy as np
+
+    from mixlab_tpu.video.fused import resize_crossfade_roll
+    from mixlab_tpu.video.scale import resize_plane
+
+    rng = np.random.default_rng(6)
+    plane = rng.integers(0, 256, (32, 64), dtype=np.uint8)
+    y = np.asarray(resize_plane(plane, 64, 128, method="f32"))
+    full = np.asarray(resize_crossfade_roll(plane, 64, 128, 255, method="f32"))
+    assert np.array_equal(full, y)
+    zero = np.asarray(resize_crossfade_roll(plane, 64, 128, 0, method="f32"))
+    assert np.array_equal(zero, np.roll(y, 1, axis=0))
