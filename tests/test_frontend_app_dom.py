@@ -520,3 +520,71 @@ def test_trigger_gate_button(app):
     app.roundtrip()
     assert app.eng.ws.modules[p.ModuleId(mid)].params.params == p.GateState.OPEN
     assert app.text(btn) == "ON"
+
+
+def test_stream_output_ui_go_live_and_badge(app):
+    mid = app.create_module("StreamOutput")
+    win = app.window_el(mid)
+    inputs = app.qa(f'.module[data-mid="{mid}"] input')
+    url_in, key_in = inputs[0], inputs[1]
+    app.interp.set_member(url_in, "value", "rtmp://example/live")
+    app.interp.set_member(key_in, "value", "s3cret")
+    go = next(el for el in app.qa(f'.module[data-mid="{mid}"] button')
+              if app.text(el) == "go live")
+    app.fire(go, "click")
+    app.flush_client()
+    params = app.eng.ws.modules[p.ModuleId(mid)].params.params
+    # the impulse-encoded connect fired (stream_output.rs:62-80 semantics)
+    assert params.connect_seq == params.seq == 2
+    assert params.rtmp_url == "rtmp://example/live"
+    assert params.rtmp_stream_key == "s3cret"
+    # a live-status indication drives the badge
+    app.deliver("Update", p.SUUpdateModuleIndication(
+        p.ModuleId(mid),
+        p.Indication("StreamOutput", p.StreamOutputIndication(
+            live=p.StreamOutputLiveStatus.LIVE, error=False))))
+    badge = app.q(f'.module[data-mid="{mid}"] span.badge')
+    assert "live" in app.text(badge)
+
+
+def test_video_mixer_ui_select_and_fade(app):
+    mid = app.create_module("VideoMixer")
+    sels = app.qa(f'.module[data-mid="{mid}"] select')
+    assert len(sels) == 2
+    app.interp.set_member(sels[0], "value", "1")
+    app.fire(sels[0], "change")
+    app.roundtrip()
+    assert app.eng.ws.modules[p.ModuleId(mid)].params.params.a == 1
+    slider = app.q(f'.module[data-mid="{mid}"] input[type="range"]')
+    app.interp.set_member(slider, "value", 0.25)
+    app.fire(slider, "input")
+    app.roundtrip()
+    params = app.eng.ws.modules[p.ModuleId(mid)].params.params
+    assert params.fader == 0.25 and params.a == 1
+
+
+def test_media_source_ui_dropdown(app):
+    app.deliver("MediaLibrary", p.MediaLibrary(items=[
+        p.MediaItem(p.MediaId(7), "beat.wav", "audio/wav", 99),
+    ]))
+    mid = app.create_module("MediaSource")
+    sel = app.q(f'.module[data-mid="{mid}"] select')
+    # options: (none) + the library item
+    opts = [c for c in app.get(sel, "children") if not isinstance(c, str)]
+    assert len(opts) == 2
+    app.interp.set_member(sel, "value", "7")
+    app.fire(sel, "change")
+    app.roundtrip()
+    params = app.eng.ws.modules[p.ModuleId(mid)].params.params
+    assert params.media_id == p.MediaId(7)
+
+
+def test_oscillator_waveform_select(app):
+    mid = app.create_module("Oscillator")
+    sel = app.q(f'.module[data-mid="{mid}"] select')
+    app.interp.set_member(sel, "value", "square")
+    app.fire(sel, "change")
+    app.roundtrip()
+    params = app.eng.ws.modules[p.ModuleId(mid)].params.params
+    assert params.waveform == p.Waveform.SQUARE
+    assert params.freq == 220.0  # other fields preserved through the spread
