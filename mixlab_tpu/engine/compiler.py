@@ -102,10 +102,15 @@ class CompiledPatch:
 
     def aot_compile(self, aux, host_aux, state):
         """Trace + lower + XLA-compile without executing (jax AOT path);
-        afterwards ``run`` invokes the compiled executable directly.  Lets
-        the engine's compile worker prepare a program while the realtime
-        thread keeps dispatching the old one, with the first execution
-        deferred to a controlled point (Engine._warm_and_stage)."""
+        afterwards ``run`` invokes the compiled executable directly.
+
+        RETAINED NEGATIVE RESULT (round 3): on the tunneled axon PJRT
+        plugin, executables produced this way never resolve their output
+        futures — the first post-swap fetch blocks forever (bisected live;
+        the jit fast path against the same program is stable for minutes).
+        The engine therefore warms via the plain jit call
+        (Engine._warm_and_stage); this method stays for backends with a
+        working AOT path and as documentation of the failure mode."""
         if hasattr(self._fn, "lower"):
             object.__setattr__(
                 self, "_fn", self._fn.lower(aux, host_aux, state).compile()

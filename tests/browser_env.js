@@ -293,8 +293,8 @@ function applyAttr(el, name, val) {
 /* ------------------------------------------------------ selector engine */
 
 function parseSelectorPart(part) {
-  // tag? (.class | [attr="v"])*  — the subset app.js uses
-  const out = { tag: null, classes: [], attrs: [] };
+  // tag? (#id | .class | [attr="v"])*  — the subset the tests + app.js use
+  const out = { tag: null, id: null, classes: [], attrs: [] };
   let i = 0;
   let tag = "";
   while (i < part.length && isNameChar(part.charAt(i))) {
@@ -304,7 +304,15 @@ function parseSelectorPart(part) {
   if (tag !== "") out.tag = tag.toLowerCase();
   while (i < part.length) {
     const ch = part.charAt(i);
-    if (ch === ".") {
+    if (ch === "#") {
+      i += 1;
+      let idv = "";
+      while (i < part.length && isNameChar(part.charAt(i))) {
+        idv += part.charAt(i);
+        i += 1;
+      }
+      out.id = idv;
+    } else if (ch === ".") {
       i += 1;
       let cls = "";
       while (i < part.length && isNameChar(part.charAt(i))) {
@@ -344,6 +352,7 @@ function parseSelectorPart(part) {
 function matchPart(el, p) {
   if (typeof el === "string") return false;
   if (p.tag && el.tagName !== p.tag) return false;
+  if (p.id !== null && el.id !== p.id) return false;
   for (const c of p.classes) if (!hasClass(el, c)) return false;
   for (const [name, val] of p.attrs) {
     let actual;
