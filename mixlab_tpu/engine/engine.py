@@ -338,10 +338,17 @@ class Engine:
                 if gen != self._compile_gen:
                     continue  # superseded while queued
             # compile-class work belongs on the jax home thread when a
-            # DeviceHost is serving (the live server); inline otherwise
+            # DeviceHost is serving (the live server); inline otherwise.
+            # Bounded: a wedged device host must not absorb the compile
+            # worker forever (a late completion still stages; gen-guarded)
             from mixlab_tpu.utils.devhost import device_call
 
-            device_call(lambda: self._warm_and_stage(patch, gen))
+            try:
+                device_call(lambda: self._warm_and_stage(patch, gen),
+                            timeout=300.0)
+            except TimeoutError:
+                log.error("compile job stalled >300 s; device host "
+                          "unresponsive — edit not adopted")
 
     def _warm_and_stage(self, patch: CompiledPatch, gen: int):
         try:
@@ -581,15 +588,18 @@ class Engine:
     def checkpoint(self) -> dict:
         import jax
 
-        from mixlab_tpu.utils.devhost import device_call
-
         flat, treedef = jax.tree.flatten(self._state)
 
         def _fetch():
             with self._device_lock:
                 return [np.asarray(x) for x in flat]
 
-        dsp = device_call(_fetch)
+        # via the replaceable timed worker: a lost transfer yields an empty
+        # (restore-incompatible) checkpoint instead of a wedged engine
+        dsp = self._device_job(_fetch, self.DISPATCH_TIMEOUT * 4)
+        if dsp is _LOST:
+            log.error("checkpoint state fetch lost; returning empty state")
+            dsp = []
         return {
             "workspace": self.ws.to_persist(),
             "tick": self.tick,
