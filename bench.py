@@ -578,6 +578,31 @@ def measured_range(fn, reps=3, **kw):
 def main():
     run_all = "--all" in sys.argv
 
+    # The tunneled backend can die process-wide (BENCH_NOTES round 3):
+    # backend init then hangs forever.  Emit a machine-readable abort
+    # instead of a silent driver timeout.
+    import os as _os
+    import threading as _threading
+
+    first_op_done = _threading.Event()
+
+    def _watchdog():
+        if not first_op_done.wait(600.0):
+            print(json.dumps({
+                "metric": "bench_aborted_backend_unavailable",
+                "value": 0,
+                "unit": "none",
+                "note": "device backend did not complete a first op within "
+                        "600 s (tunnel outage; see BENCH_NOTES round 3)",
+            }), flush=True)
+            _os._exit(3)
+
+    _threading.Thread(target=_watchdog, daemon=True).start()
+    import jax.numpy as _jnp
+
+    float(_jnp.zeros((8,)).sum())  # backend init + first op
+    first_op_done.set()
+
     tps, rt_flag = bench_realtime_engine()
     _emit({
         "metric": "realtime_engine_ticks_per_s_block4",
