@@ -439,10 +439,12 @@ def bench_config5_full_session(seconds=4, reps=3):
     host_aux = stacked_host_aux(patch, 0, seconds)
 
     FRAMES = 30  # 1080p30
-    # the folded resize+roll+crossfade single-pass operator (video/fused.py)
-    # is the shipped composite path; MIXLAB_BENCH_FUSED=0 runs the separate
-    # stages for matched A/B comparison
-    fused = os.environ.get("MIXLAB_BENCH_FUSED", "1") != "0"
+    # MIXLAB_BENCH_FUSED=1 routes the luma through the algebraically folded
+    # resize+roll+crossfade operator (video/fused.py).  Measured A/B on the
+    # chip (round 3, 5 interleaved pairs): performance-NEUTRAL — XLA already
+    # fuses the separate elementwise stages into the resize consumers — so
+    # the default is the separate path with exact u8 blend semantics.
+    fused = os.environ.get("MIXLAB_BENCH_FUSED", "0") == "1"
 
     def video_frame(i):
         from mixlab_tpu.video.fused import resize_crossfade_roll

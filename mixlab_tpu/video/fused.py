@@ -32,6 +32,16 @@ needs near-saturated high-frequency content) but numerically real, which
 is why the engine's exact-u8 blend (video/blend.py) remains the module
 path and this operator serves the throughput composite pipelines.
 
+MEASURED RESULT (round 3, retained negative/neutral finding): five
+interleaved A/B pairs on the tunneled v5e showed the fold is
+performance-NEUTRAL for the config5 composite (sep mean 829x vs fused
+mean 818x, within the documented 2x contention noise) — XLA already
+fuses the separate roll/crossfade/sum stages into the resize consumers,
+so the extra HBM passes the fold removes were not actually being paid.
+The operator is retained for its algebraic value (single-matrix form of
+the composite, useful for backends/compilers that do not fuse) with the
+exact-semantics separate path remaining the default.
+
 Reference: the SIMD crossfade inner loop it supersedes is
 ``src/module/video_mixer.rs:210-235``; the compositing pipeline shape is
 ``src/video/encode.rs:310-398``.
