@@ -48,7 +48,7 @@ async def main():
 
     for key in ("drums", "vocals", "master"):
         _, body = await http_call(ctl.url + f"/workspaces/{key}", "POST",
-                                  timeout=120.0)
+                                  timeout=360.0)
         placed = json.loads(body)
         print(f"placed {key!r} on {placed['host']} -> {placed['url']}")
 
@@ -60,7 +60,7 @@ async def main():
     dst = "host-b" if src["host"] == "host-a" else "host-a"
     print(f"migrating 'drums' {src['host']} -> {dst} ...")
     _, body = await http_call(ctl.url + "/migrate/drums", "POST",
-                              json.dumps({"to": dst}).encode(), timeout=120.0)
+                              json.dumps({"to": dst}).encode(), timeout=360.0)
     moved = json.loads(body)
     print(f"migrated: now on {moved['host']} at {moved['url']} "
           f"(runtime state restored: {moved.get('restored')})")

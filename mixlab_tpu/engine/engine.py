@@ -85,7 +85,7 @@ class _DeviceWorker(threading.Thread):
                 done.set()
 
 
-def _make_probed_worker() -> _DeviceWorker:
+def _make_probed_worker(attempts: int = 5) -> _DeviceWorker:
     """Spawn a _DeviceWorker and make it pass an initiation probe.
 
     A freshly spawned thread's FIRST interaction with the tunneled client
@@ -103,14 +103,15 @@ def _make_probed_worker() -> _DeviceWorker:
     # backend/tunnel must never hang the constructing (main/server) thread.
     # The first probe's budget covers backend init + the probe-op compile.
     worker = None
-    for attempt in range(10):
+    for attempt in range(attempts):
         worker = _DeviceWorker()
         worker.start()
         timeout = 60.0 if attempt == 0 else 5.0
         if worker.submit(_probe_op, timeout) is not _LOST:
             return worker
         log.warning("device worker failed initiation probe; replacing")
-    log.error("10 device workers failed initiation; proceeding degraded")
+    log.error("%d device workers failed initiation; proceeding degraded",
+              attempts)
     return worker
 
 from mixlab_tpu import protocol as p
@@ -959,10 +960,19 @@ class Engine:
 
     def _device_job(self, fn, timeout: float):
         """Run a device interaction on the replaceable worker; _LOST on
-        timeout (the blocked worker is abandoned and replaced)."""
+        timeout (the blocked worker is abandoned and replaced).
+
+        Replacement is THROTTLED: under sustained degradation (tunnel
+        outage, multi-process boot contention) re-probing every block
+        would itself hammer the transport — at most one probed
+        replacement per 10 s; in between, jobs go to the existing worker
+        and simply time out (degraded-but-alive)."""
         worker = getattr(self, "_devworker", None)
         if worker is None or not worker.usable:
-            worker = self._devworker = _make_probed_worker()
+            now = time.monotonic()
+            if worker is None or now - getattr(self, "_last_probe", 0.0) > 10.0:
+                self._last_probe = now
+                worker = self._devworker = _make_probed_worker(attempts=2)
         return worker.submit(fn, timeout)
 
     def _fetch_with_timeout(self, tree, timeout: float):

@@ -136,7 +136,7 @@ class HostAgent:
     """Per-machine process manager for workspace servers."""
 
     def __init__(self, host_id: str, data_dir: Path, bind: str = "127.0.0.1",
-                 python: str = sys.executable, spawn_timeout: float = 60.0,
+                 python: str = sys.executable, spawn_timeout: float = 300.0,
                  respawn_interval: Optional[float] = None,
                  token: Optional[str] = None):
         self.token = token
@@ -442,9 +442,11 @@ class FleetController:
         return {"host": host_id, **result}
 
     async def _spawn_on(self, host_id: str, key: str) -> dict:
+        # worker boot includes backend init (up to minutes on a degraded
+        # tunnel) — the spawn call must outlive the agent's spawn_timeout
         status, body = await http_call(
             self.agents[host_id]["url"] + f"/spawn/{key}", "POST",
-            token=self.token)
+            timeout=330.0, token=self.token)
         if status != 200:
             raise RuntimeError(f"spawn on {host_id} failed: {body!r}")
         return json.loads(body)
@@ -476,12 +478,13 @@ class FleetController:
         if to_host == src:
             return await self.route(key)
         status, blob = await http_call(
-            self.agents[src]["url"] + f"/export/{key}", token=self.token)
+            self.agents[src]["url"] + f"/export/{key}", timeout=330.0,
+            token=self.token)
         if status != 200:
             raise RuntimeError(f"export from {src} failed")
         status, body = await http_call(
             self.agents[to_host]["url"] + f"/import/{key}", "POST", blob,
-            token=self.token)
+            timeout=330.0, token=self.token)
         if status != 200:
             raise RuntimeError(f"import on {to_host} failed: {body!r}")
         self.assignments[key] = to_host
