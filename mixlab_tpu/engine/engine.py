@@ -595,12 +595,15 @@ class Engine:
             with self._device_lock:
                 return [np.asarray(x) for x in flat]
 
-        # via the replaceable timed worker: a lost transfer yields an empty
-        # (restore-incompatible) checkpoint instead of a wedged engine
-        dsp = self._device_job(_fetch, self.DISPATCH_TIMEOUT * 4)
-        if dsp is _LOST:
-            log.error("checkpoint state fetch lost; returning empty state")
-            dsp = []
+        if not flat:
+            dsp = []  # empty graph: nothing on device to fetch
+        else:
+            # via the replaceable timed worker: a lost transfer yields an
+            # empty (restore-incompatible) checkpoint, not a wedged engine
+            dsp = self._device_job(_fetch, self.DISPATCH_TIMEOUT * 2)
+            if dsp is _LOST:
+                log.error("checkpoint state fetch lost; returning empty state")
+                dsp = []
         return {
             "workspace": self.ws.to_persist(),
             "tick": self.tick,
@@ -617,7 +620,7 @@ class Engine:
             return True
         return False
 
-    def checkpoint_sync(self, timeout: float = 10.0) -> dict:
+    def checkpoint_sync(self, timeout: float = 30.0) -> dict:
         """Checkpoint taken ON the engine thread via the command queue
         (self._state is engine-thread-owned) — used for live migration
         (server/fleet.py)."""
