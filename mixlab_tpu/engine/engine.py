@@ -345,11 +345,22 @@ class Engine:
             from mixlab_tpu.utils.devhost import device_call
 
             try:
-                device_call(lambda: self._warm_and_stage(patch, gen),
-                            timeout=300.0)
+                ok = device_call(lambda: self._warm_and_stage(patch, gen),
+                                 timeout=300.0)
             except TimeoutError:
                 log.error("compile job stalled >300 s; device host "
                           "unresponsive — edit not adopted")
+                ok = False
+            if not ok:
+                # transient device degradation (lossy-transport window):
+                # RETRY the swap until it lands or a newer edit supersedes
+                # it — an edit must never silently stay un-adopted forever
+                with self._pending_lock:
+                    superseded = gen != self._compile_gen
+                if not superseded and not self._stop.is_set():
+                    log.warning("swap for gen %d will retry in 15 s", gen)
+                    self._stop.wait(15.0)
+                    self._compile_q.put((patch, gen))
 
     def _warm_and_stage(self, patch: CompiledPatch, gen: int):
         try:
@@ -382,14 +393,15 @@ class Engine:
                     out = patch.run(aux, host_aux, state)
             else:
                 log.error("warm run lost repeatedly; abandoning this swap")
-                return
+                return False
             patch._warmed = True
         except Exception:
             log.exception("async compile failed")
-            return
+            return False
         with self._pending_lock:
             if gen == self._compile_gen:
                 self._pending_patch = (patch, gen)  # picked up by engine thread
+        return True
 
     def _maybe_swap_patch(self):
         with self._pending_lock:

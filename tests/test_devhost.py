@@ -107,3 +107,47 @@ def test_engine_drops_block_after_repeated_losses(monkeypatch):
     assert elapsed < 10, "lost dispatch wedged the engine"
     assert eng._state is state_before  # block dropped, state retained
     hang.set()
+
+
+def test_abandoned_swap_retries_until_adopted(monkeypatch):
+    """A swap abandoned during a lossy-transport window must retry and
+    eventually land — an edit never silently stays un-adopted forever."""
+    from mixlab_tpu import protocol as p
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.engine import Engine
+    from mixlab_tpu.engine.graph import Workspace
+
+    eng = Engine(workspace=Workspace(), cfg=EngineConfig(sample_rate=44_100))
+    fails = {"n": 2}
+    real_fetch = Engine._fetch_with_timeout
+
+    def flaky_fetch(self, tree, timeout):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            return None  # simulated lost transfer
+        return real_fetch(self, tree, timeout)
+
+    monkeypatch.setattr(Engine, "_fetch_with_timeout", flaky_fetch)
+    monkeypatch.setattr(Engine, "DISPATCH_RETRIES", 0)  # 1 warm try per job
+
+    # make retry fast for the test
+    real_wait = eng._stop.wait
+    monkeypatch.setattr(eng._stop, "wait",
+                        lambda t=None: real_wait(0.05 if t else None))
+
+    eng.start()
+    try:
+        sid, _, _ = eng.connect_session()
+        eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+            p.ModuleParams("Oscillator",
+                           p.OscillatorParams(440.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if [str(m.value) for m in eng._patch.order]:
+                break
+            time.sleep(0.1)
+        assert eng._patch.order, "swap never landed despite retries"
+        assert fails["n"] == 0  # both simulated losses were consumed
+    finally:
+        eng.stop()
