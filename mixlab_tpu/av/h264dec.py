@@ -67,20 +67,25 @@ class BitReader(_BitReader):
     def byte_align(self):
         self.pos = (self.pos + 7) & ~7
 
-    def more_rbsp_data(self) -> bool:
-        """True while bits other than the rbsp_stop_one_bit + padding
-        remain (spec 7.2)."""
-        total = len(self.data) * 8
-        if self.pos >= total:
-            return False
-        # find the last set bit in the stream: it is the stop bit
-        last = total - 1
+    def _stop_bit(self) -> int:
+        """Position of the rbsp_stop_one_bit (the last set bit), cached —
+        a per-macroblock rescan would be O(stream^2)."""
+        cached = getattr(self, "_stop_bit_pos", None)
+        if cached is not None:
+            return cached
+        last = len(self.data) * 8 - 1
         while last >= 0:
             byte = self.data[last >> 3]
             if (byte >> (7 - (last & 7))) & 1:
                 break
             last -= 1
-        return self.pos < last
+        self._stop_bit_pos = last
+        return last
+
+    def more_rbsp_data(self) -> bool:
+        """True while bits other than the rbsp_stop_one_bit + padding
+        remain (spec 7.2)."""
+        return self.pos < self._stop_bit()
 
 
 # ---------------------------------------------------------------------------
