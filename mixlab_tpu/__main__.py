@@ -49,6 +49,17 @@ def main():
     from mixlab_tpu.server.app import run_server
     from mixlab_tpu.utils.devhost import DeviceHost
 
+    # Backend init MUST happen on the main thread: in the tunnel's
+    # fragile-but-alive state a worker thread's first device op (which
+    # would otherwise trigger init) never completes, while main-thread
+    # init merely takes minutes (BENCH_NOTES round 3).
+    import jax.numpy as _jnp
+
+    logging.info("initializing device backend (may take minutes on a "
+                 "degraded transport)...")
+    float(_jnp.zeros((8,), _jnp.float32).sum())
+    logging.info("device backend ready")
+
     host, _, port = args.listen.rpartition(":")
     project = open_or_create(
         args.workspace_path,

@@ -85,7 +85,8 @@ class _DeviceWorker(threading.Thread):
                 done.set()
 
 
-def _make_probed_worker(attempts: int = 5) -> _DeviceWorker:
+def _make_probed_worker(attempts: int = 5,
+                        first_budget: float = 300.0) -> _DeviceWorker:
     """Spawn a _DeviceWorker and make it pass an initiation probe.
 
     A freshly spawned thread's FIRST interaction with the tunneled client
@@ -101,12 +102,16 @@ def _make_probed_worker(attempts: int = 5) -> _DeviceWorker:
 
     # every device touch happens on a worker with a timeout — a wedged
     # backend/tunnel must never hang the constructing (main/server) thread.
-    # The first probe's budget covers backend init + the probe-op compile.
+    # The first probe's budget covers backend init + the probe-op compile:
+    # in the tunnel's fragile-but-alive state init alone takes ~2 minutes,
+    # and abandoning the probe mid-init poisons every later attempt (they
+    # queue behind the init lock), so the boot-time budget must outlast it
+    # (runtime re-probes pass a short budget — the backend is already up).
     worker = None
     for attempt in range(attempts):
         worker = _DeviceWorker()
         worker.start()
-        timeout = 60.0 if attempt == 0 else 5.0
+        timeout = first_budget if attempt == 0 else 5.0
         if worker.submit(_probe_op, timeout) is not _LOST:
             return worker
         log.warning("device worker failed initiation probe; replacing")
@@ -987,7 +992,8 @@ class Engine:
             now = time.monotonic()
             if worker is None or now - getattr(self, "_last_probe", 0.0) > 10.0:
                 self._last_probe = now
-                worker = self._devworker = _make_probed_worker(attempts=2)
+                worker = self._devworker = _make_probed_worker(
+                    attempts=2, first_budget=30.0)
         return worker.submit(fn, timeout)
 
     def _fetch_with_timeout(self, tree, timeout: float):

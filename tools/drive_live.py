@@ -182,7 +182,7 @@ async def main():
             except TimeoutError:
                 print("no segment 10s; engine tick =", await tick_metric(), flush=True)
                 stalls += 1
-                if stalls >= 9:
+                if stalls >= 30:
                     proc.send_signal(signal.SIGABRT)
                     proc.wait(10)
                     raise SystemExit("SEGMENT STALL: dump in server log")
