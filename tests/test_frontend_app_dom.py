@@ -588,3 +588,54 @@ def test_oscillator_waveform_select(app):
     params = app.eng.ws.modules[p.ModuleId(mid)].params.params
     assert params.waveform == p.Waveform.SQUARE
     assert params.freq == 220.0  # other fields preserved through the spread
+
+
+def test_connect_live_wire_follows_cursor_and_cancels(app):
+    """While a connect is pending, pointermove draws the live dashed wire
+    to the cursor and pressing empty workspace cancels it
+    (workspace.rs:173-178 + cancel semantics)."""
+    osc = app.create_module("Oscillator", x=60, y=60)
+    out_dot = app.q(f'.module[data-mid="{osc}"] .term.out[data-idx="1"]')
+    app.fire(out_dot, "pointerdown", buttons=1)
+    ws_el = app.by_id("workspace")
+    app.fire(ws_el, "pointermove", clientX=400, clientY=300)
+    svg = app.by_id("wires")
+    live = [c for c in app.get(svg, "children")
+            if not isinstance(c, str)
+            and "live" in str(_to_python(app.get(c, "attrs").props.get("class", "")))]
+    assert live, "no live wire drawn while connecting"
+    # pressing empty workspace cancels the pending connect
+    app.fire(ws_el, "pointerdown")
+    app.fire(ws_el, "pointermove", clientX=500, clientY=300)
+    live2 = [c for c in app.get(svg, "children")
+             if not isinstance(c, str)
+             and "live" in str(_to_python(app.get(c, "attrs").props.get("class", "")))]
+    assert not live2, "live wire survived cancellation"
+    app.flush_client()
+    assert len(app.eng.ws.connections) == 0
+
+
+def test_context_menu_hides_on_workspace_click(app):
+    ws_el = app.by_id("workspace")
+    app.fire(ws_el, "contextmenu", clientX=100, clientY=100)
+    menu = app.by_id("ctxmenu")
+    assert _to_python(app.get(app.get(menu, "style"), "display")) == "block"
+    app.fire(ws_el, "click")
+    assert _to_python(app.get(app.get(menu, "style"), "display")) == "none"
+
+
+def test_delete_connection_by_clicking_wire(app):
+    osc = app.create_module("Oscillator", x=60, y=60)
+    amp = app.create_module("Amplifier", x=420, y=60)
+    out_dot = app.q(f'.module[data-mid="{osc}"] .term.out[data-idx="1"]')
+    in_dot = app.q(f'.module[data-mid="{amp}"] .term.in[data-idx="0"]')
+    app.fire(out_dot, "pointerdown", buttons=1)
+    app.fire(in_dot, "pointerdown", buttons=1)
+    app.roundtrip()
+    assert len(app.eng.ws.connections) == 1
+    svg = app.by_id("wires")
+    wirepath = next(c for c in app.get(svg, "children")
+                    if not isinstance(c, str))
+    app.fire(wirepath, "click")
+    app.roundtrip()
+    assert len(app.eng.ws.connections) == 0
