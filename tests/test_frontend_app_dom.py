@@ -639,3 +639,48 @@ def test_delete_connection_by_clicking_wire(app):
     app.fire(wirepath, "click")
     app.roundtrip()
     assert len(app.eng.ws.connections) == 0
+
+
+def test_right_press_clears_connections(app):
+    """Right-pressing a terminal clears its connections (workspace.rs
+    right-click semantics via connectFlow.clear)."""
+    osc = app.create_module("Oscillator", x=60, y=60)
+    amp = app.create_module("Amplifier", x=420, y=60)
+    out_dot = app.q(f'.module[data-mid="{osc}"] .term.out[data-idx="1"]')
+    in_dot = app.q(f'.module[data-mid="{amp}"] .term.in[data-idx="0"]')
+    app.fire(out_dot, "pointerdown", buttons=1)
+    app.fire(in_dot, "pointerdown", buttons=1)
+    app.roundtrip()
+    assert len(app.eng.ws.connections) == 1
+    # right-press (buttons bit 2) the input terminal clears it
+    app.fire(in_dot, "pointerdown", buttons=2)
+    app.roundtrip()
+    assert len(app.eng.ws.connections) == 0
+
+
+def test_fader_wheel_adjusts_value(app):
+    mid = app.create_module("Mixer (4ch)")
+    fader = app.qa(f'.module[data-mid="{mid}"] canvas.fader')[0]
+    # wheel down decreases by range/50 from the initial 1.0
+    app.fire(fader, "wheel", deltaY=120)
+    app.roundtrip()
+    ch0 = app.eng.ws.modules[p.ModuleId(mid)].params.params.channels[0]
+    assert ch0.fader == pytest.approx(1.0 - 1.0 / 50)
+    app.fire(fader, "wheel", deltaY=-120)
+    app.roundtrip()
+    ch0 = app.eng.ws.modules[p.ModuleId(mid)].params.params.channels[0]
+    assert ch0.fader == pytest.approx(1.0)
+
+
+def test_rotary_drag_adjusts_gain(app):
+    mid = app.create_module("Mixer (4ch)")
+    rot = app.qa(f'.module[data-mid="{mid}"] canvas.rotary')[0]
+    # drag up 50 px: gain += 50/100 * (12 - -24) = +18 from 0 -> clamps 12
+    app.fire(rot, "pointerdown", clientY=200)
+    app.fire(rot, "pointermove", clientY=150)
+    app.fire(rot, "pointerup")
+    app.roundtrip()
+    ch0 = app.eng.ws.modules[p.ModuleId(mid)].params.params.channels[0]
+    assert ch0.gain.db == pytest.approx(12.0)
+    ops = [op[0] for op in _to_python(app.get(rot, "_ops"))]
+    assert "arc" in ops and "stroke" in ops  # rotary redrew itself
