@@ -108,8 +108,9 @@ class OscillatorDef(ModuleDef):
         else:  # OFF
             s = jnp.zeros_like(n)
         s = s.astype(jnp.float32)
-        stereo = jnp.stack([s, s], axis=-1)
-        return state, [s, stereo], {}
+        # stereo = the SAME traced value on both channels: zero device ops,
+        # and downstream consumers of only one channel pay for one
+        return state, [s, (s, s)], {}
 
 
 class FmSineDef(ModuleDef):
@@ -159,8 +160,7 @@ class FmSineDef(ModuleDef):
         )
         n = carrier + aux["freq_amp"] * x * tsec
         s = jnp.sin(n * (2.0 * np.pi)).astype(jnp.float32).reshape(-1)
-        stereo = jnp.stack([s, s], axis=-1)
-        return state, [stereo], {}
+        return state, [(s, s)], {}
 
 
 class AmplifierDef(ModuleDef):
@@ -180,17 +180,18 @@ class AmplifierDef(ModuleDef):
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        x = expect_stereo(inputs[0], S)
+        l, r = expect_stereo(inputs[0], S)
         if inputs[1] is None:
             # unconnected control -> mod_value 1.0 -> depth() == 1 exactly
             # (amplifier.rs:43-47,56)
-            depth = jnp.float32(1.0)
-            out = x * (depth * aux["amplitude"])
+            scale = aux["amplitude"]
         else:
             mod = inputs[1]  # [S] mono, one value per frame (amplifier.rs:55)
-            depth = 1.0 - aux["mod_depth"] + aux["mod_depth"] * mod
-            out = x * (depth * aux["amplitude"])[:, None]
-        return state, [out.astype(jnp.float32)], {}
+            scale = (1.0 - aux["mod_depth"] + aux["mod_depth"] * mod) * aux[
+                "amplitude"
+            ]
+        return state, [((l * scale).astype(jnp.float32),
+                        (r * scale).astype(jnp.float32))], {}
 
 
 class MixerDef(ModuleDef):
@@ -217,12 +218,18 @@ class MixerDef(ModuleDef):
         S = block.n_samples(cfg)
         C = len(inputs)
         if C == 0:
-            z = jnp.zeros((S, 2), dtype=jnp.float32)
-            return state, [z, z], {}
-        x = jnp.stack([expect_stereo(i, S) for i in inputs], axis=0)  # [C,S,2]
-        master = jnp.tensordot(aux["gains"], x, axes=1).astype(jnp.float32)
-        cue = jnp.tensordot(aux["cues"], x, axes=1).astype(jnp.float32)
-        return state, [master, cue], {}
+            z = jnp.zeros((S,), dtype=jnp.float32)
+            return state, [(z, z), (z, z)], {}
+        chans = [expect_stereo(i, S) for i in inputs]
+        g, c = aux["gains"], aux["cues"]
+
+        # weighted per-lane sums as fused fma chains; no [C,S,2] stack
+        def mix(w):
+            lo = sum(w[k] * ch[0] for k, ch in enumerate(chans))
+            ro = sum(w[k] * ch[1] for k, ch in enumerate(chans))
+            return (lo.astype(jnp.float32), ro.astype(jnp.float32))
+
+        return state, [mix(g), mix(c)], {}
 
 
 class StereoPannerDef(ModuleDef):
@@ -238,7 +245,7 @@ class StereoPannerDef(ModuleDef):
         S = block.n_samples(cfg)
         left = expect_mono(inputs[0], S)
         right = expect_mono(inputs[1], S)
-        return state, [jnp.stack([left, right], axis=-1)], {}
+        return state, [(left, right)], {}  # channel routing = pytree plumbing
 
 
 class StereoSplitterDef(ModuleDef):
@@ -252,8 +259,8 @@ class StereoSplitterDef(ModuleDef):
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        x = expect_stereo(inputs[0], S)
-        return state, [x[:, 0], x[:, 1]], {}
+        l, r = expect_stereo(inputs[0], S)
+        return state, [l, r], {}  # zero device ops
 
 
 class TriggerDef(ModuleDef):

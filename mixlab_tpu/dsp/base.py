@@ -16,8 +16,24 @@ saves declarative params, ``src/persist.rs:9-21``).
 
 Data conventions (device):
   * mono buffer:   f32 ``[S]``        (S = block samples)
-  * stereo buffer: f32 ``[S, 2]``     (channel-last, non-interleaved)
+  * stereo buffer: TUPLE ``(L, R)`` of two f32 ``[S]`` mono arrays
   * video:         handled by the host video engine, not through run_block
+
+Stereo-as-a-pair is the channel-major layout taken to its end point, and it
+is the load-bearing performance decision of the audio path (round 3): an
+``[S, 2]`` array leaves 126 of the VPU's 128 lanes idle per elementwise op
+and forces a materialized stack/unstack at every panner/splitter/oscillator
+boundary, which XLA's fusion did not see through — measured at ~34 us per
+content-second across the flagship's 13 elementwise modules
+(BENCH_NOTES.md "flagship residual profile").  As a pair of perfectly-tiled
+``[S]`` arrays, channel routing (panner, splitter, mono->stereo fanout) is
+pure pytree plumbing with ZERO device ops, duplicated channels (an
+oscillator's L==R) are a single traced value XLA computes once, and every
+elementwise module body is a full-lane ``[S]`` kernel.  Measured A/B at
+module granularity on the same flagship graph: 1.8x (tools/ab_channel_major
+.py, 22k -> 39k x realtime).  Stereo crosses to the host (taps, ext feeds)
+as channel-major ``[2, ...]`` arrays; hosts convert with one numpy
+transpose.
 
 ``aux`` is a pytree of *traced* device values derived from params at edit
 time — continuous params (gains, frequencies) live here so that slider drags
@@ -120,9 +136,23 @@ def expect_mono(x: Optional[Array], S: int, dtype=np.float32) -> Array:
     return x
 
 
-def expect_stereo(x: Optional[Array], S: int, dtype=np.float32) -> Array:
+def interleave_tap(pair) -> np.ndarray:
+    """Host-side: convert a channel-major stereo tap — an ``(L, R)`` pair of
+    ``[..., spt]`` arrays — to interleaved ``[..., 2]`` numpy."""
+    l, r = pair
+    return np.stack([np.asarray(l), np.asarray(r)], axis=-1)
+
+
+def expect_stereo(
+    x: Optional[Tuple[Array, Array]], S: int, dtype=np.float32
+) -> Tuple[Array, Array]:
+    """Stereo input with zero-fill semantics.  Returns the ``(L, R)`` pair;
+    an unconnected input reads ONE zeros array aliased to both channels
+    (XLA materializes it once, as the reference's shared static zero buffer
+    is, io.rs:8-9)."""
     import jax.numpy as jnp
 
     if x is None:
-        return jnp.zeros((S, 2), dtype=dtype)
+        z = jnp.zeros((S,), dtype=dtype)
+        return (z, z)
     return x

@@ -45,8 +45,11 @@ class PlotterDef(ModuleDef):
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         taps = {}
         if inputs[0] is not None:
-            # host slices every-6th-tick frames out of this (plotter.rs:40-42)
-            taps["audio"] = inputs[0].reshape(block.n_ticks, cfg.samples_per_tick, 2)
+            # host slices every-6th-tick frames out of this (plotter.rs:40-42);
+            # stereo taps cross to the host channel-major as the (L, R) pair
+            l, r = inputs[0]
+            shape = (block.n_ticks, cfg.samples_per_tick)
+            taps["audio"] = (l.reshape(shape), r.reshape(shape))
         return state, [], taps
 
 
@@ -62,8 +65,9 @@ class MonitorDef(ModuleDef):
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        audio = expect_stereo(inputs[1], S)  # monitor sends zeros if unpatched
-        taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
+        l, r = expect_stereo(inputs[1], S)  # monitor sends zeros if unpatched
+        shape = (block.n_ticks, cfg.samples_per_tick)
+        taps = {"audio": (l.reshape(shape), r.reshape(shape))}
         return state, [], taps
 
 
@@ -75,13 +79,14 @@ class OutputDeviceDef(ModuleDef):
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        audio = expect_stereo(inputs[0], S)
+        l, r = expect_stereo(inputs[0], S)
         # clip detection: any |sample| > 1.0 in the block
         # (output_device.rs:213-224 does this per engine tick on host; here it
         # is a device-side reduction, one bool per block)
-        clip = jnp.any(jnp.abs(audio) > 1.0)
+        clip = jnp.any(jnp.abs(l) > 1.0) | jnp.any(jnp.abs(r) > 1.0)
+        shape = (block.n_ticks, cfg.samples_per_tick)
         taps = {
-            "audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2),
+            "audio": (l.reshape(shape), r.reshape(shape)),
             "clip": clip,
         }
         return state, [], taps
@@ -109,12 +114,14 @@ class StreamInputDef(_ExternalFeed):
         ]
 
     def ext_spec(self, params, cfg, block):
-        return {"pcm": ((block.n_samples(cfg), 2), np.int16)}
+        # channel-major [2, S] so each channel lands as one full-lane row
+        return {"pcm": ((2, block.n_samples(cfg)), np.int16)}
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
-        pcm = host_aux["pcm"]  # i16 [S,2] filled by host ingest path
+        pcm = host_aux["pcm"]  # i16 [2,S] filled by host ingest path
         # convert_sample (stream_input.rs:167-173): i16 / 32768.0
-        audio = pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        k = jnp.float32(1.0 / 32768.0)
+        audio = (pcm[0].astype(jnp.float32) * k, pcm[1].astype(jnp.float32) * k)
         return state, [None, audio], {}
 
 
@@ -130,10 +137,11 @@ class MediaSourceDef(_ExternalFeed):
         ]
 
     def ext_spec(self, params, cfg, block):
-        return {"pcm": ((block.n_samples(cfg), 2), np.float32)}
+        return {"pcm": ((2, block.n_samples(cfg)), np.float32)}
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
-        return state, [None, host_aux["pcm"]], {}
+        pcm = host_aux["pcm"]
+        return state, [None, (pcm[0], pcm[1])], {}
 
 
 class StreamOutputDef(ModuleDef):
@@ -148,6 +156,7 @@ class StreamOutputDef(ModuleDef):
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
         S = block.n_samples(cfg)
-        audio = expect_stereo(inputs[1], S)
-        taps = {"audio": audio.reshape(block.n_ticks, cfg.samples_per_tick, 2)}
+        l, r = expect_stereo(inputs[1], S)
+        shape = (block.n_ticks, cfg.samples_per_tick)
+        taps = {"audio": (l.reshape(shape), r.reshape(shape))}
         return state, [], taps

@@ -14,6 +14,7 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
+from mixlab_tpu.dsp.base import interleave_tap
 from mixlab_tpu.engine.compiler import CompiledPatch, compile_patch
 from mixlab_tpu.engine.config import BlockSpec, EngineConfig
 from mixlab_tpu.engine.graph import Workspace
@@ -73,6 +74,8 @@ def render(
             for k, tp in taps.items():
                 dest = collected.setdefault(k, {})
                 for name, arr in tp.items():
+                    if isinstance(arr, tuple):  # channel-major stereo pair
+                        arr = interleave_tap(arr)
                     dest.setdefault(name, []).append(np.asarray(arr))
         done += todo
         t += todo * cfg.samples_per_tick

@@ -71,9 +71,13 @@ def stem_parallel_step(
     def per_device(aux, host_aux, state):
         # each device holds a [local_stems, ...] shard; vmap over local stems
         st, taps = jax.vmap(program)(aux, host_aux, state)
-        local_master = taps[monitor_key]["audio"].sum(axis=0)  # sum local stems
-        master = jax.lax.psum(local_master, axis)  # cross-chip mixdown (ICI)
-        return st, master
+        # stereo taps are channel-major (L, R) pairs; mix each channel down
+        # across local stems, psum across chips, then interleave once for
+        # the host-facing [T, spt, 2] master
+        l, r = taps[monitor_key]["audio"]
+        master_l = jax.lax.psum(l.sum(axis=0), axis)  # cross-chip mixdown (ICI)
+        master_r = jax.lax.psum(r.sum(axis=0), axis)
+        return st, jnp.stack([master_l, master_r], axis=-1)
 
     stem_specs = P(axis)
 

@@ -59,7 +59,9 @@ def main():
     patch, (state, taps) = render_scanned(
         ws, n_ticks, cfg, block_ticks=args.block_ticks
     )
-    audio = np.asarray(taps[str(mon.value)]["audio"]).reshape(-1, 2)
+    from mixlab_tpu.dsp.base import interleave_tap
+
+    audio = interleave_tap(taps[str(mon.value)]["audio"]).reshape(-1, 2)
     write_wav(args.output, cfg.sample_rate, audio)
     peak = float(np.abs(audio).max())
     print(f"wrote {args.output}: {audio.shape[0]} frames, peak {peak:.3f}")

@@ -1,6 +1,8 @@
 """Fleet serving tests: N sessions in one dispatch, per-instance params."""
 
 import numpy as np
+
+from mixlab_tpu.dsp.base import interleave_tap
 import pytest
 
 import oracle
@@ -31,7 +33,7 @@ def test_fleet_renders_per_instance_params():
     fleet = Fleet.build(base, n=4, cfg=CFG, block=BlockSpec(2), per_instance_params=instances)
 
     taps = fleet.run_block(0)
-    audio = np.asarray(taps[str(mon.value)]["audio"])
+    audio = interleave_tap(taps[str(mon.value)]["audio"])
     assert audio.shape[0] == 4
 
     spt = CFG.samples_per_tick
@@ -49,7 +51,7 @@ def test_fleet_instance_aux_update_no_structure_change():
     quiet, _ = patch_ws(440.0, 0.0)
     fleet.update_instance_aux(1, quiet)
     taps = fleet.run_block(0)
-    audio = np.asarray(taps[str(mon.value)]["audio"])
+    audio = interleave_tap(taps[str(mon.value)]["audio"])
     assert np.abs(audio[0]).max() > 0.4
     assert np.abs(audio[1]).max() == 0.0  # muted instance
     assert np.abs(audio[2]).max() > 0.4
@@ -68,6 +70,6 @@ def test_fleet_sharded_over_mesh():
     mesh = make_mesh(4, axis="fleet")
     fleet = Fleet.build(base, n=8, cfg=CFG, block=BlockSpec(1), mesh=mesh, axis="fleet")
     taps = fleet.run_block(0)
-    audio = np.asarray(taps[str(mon.value)]["audio"])
+    audio = interleave_tap(taps[str(mon.value)]["audio"])
     assert audio.shape[0] == 8
     assert np.abs(audio).max() > 0.4

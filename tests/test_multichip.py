@@ -2,6 +2,8 @@
 
 import numpy as np
 
+from mixlab_tpu.dsp.base import interleave_tap
+
 import jax
 
 
@@ -43,5 +45,5 @@ def test_stem_parallel_mixdown_matches_serial():
     h1 = p1.host_aux(0)
     s1 = p1.init_state(ws)
     _, taps = p1.run(a1, h1, s1)
-    want = 4.0 * np.asarray(taps[str(mon.value)]["audio"])
+    want = 4.0 * interleave_tap(taps[str(mon.value)]["audio"])
     np.testing.assert_allclose(np.asarray(master), want, atol=2e-4)

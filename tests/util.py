@@ -44,5 +44,22 @@ def run_module(
         state = d.init_state(params, cfg)
     mask = tuple(x is not None for x in inputs)
     fn = _jitted(kind, params, cfg, block, len(inputs), mask)
-    state, outs, taps = fn(aux, host_aux, state, [x for x in inputs if x is not None])
-    return state, [np.asarray(o) if o is not None else None for o in outs], taps
+    # tests are written in the reference's interleaved [S,2] stereo
+    # convention; the device convention is a channel-major (L, R) pair
+    # (dsp/base.py) — convert at this boundary in both directions
+    dev_inputs = [
+        (x[:, 0], x[:, 1]) if getattr(x, "ndim", 0) == 2 and x.shape[1] == 2 else x
+        for x in inputs
+        if x is not None
+    ]
+    state, outs, taps = fn(aux, host_aux, state, dev_inputs)
+
+    def host(o):
+        if o is None:
+            return None
+        if isinstance(o, tuple):
+            l, r = o
+            return np.stack([np.asarray(l), np.asarray(r)], axis=-1)
+        return np.asarray(o)
+
+    return state, [host(o) for o in outs], taps
