@@ -592,7 +592,16 @@ class PureH264Decoder:
         if nal_type in (1, 5):
             if self.sps is None or self.pps is None:
                 raise H264DecodeError("slice before SPS/PPS")
-            dec = _SliceDecoder(self.sps, self.pps)
+            import os
+
+            if os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
+                dec = _SliceDecoder(self.sps, self.pps)
+            else:
+                # vectorized two-pass decoder (bit-exact vs this scalar
+                # oracle; tests/test_h264dec_fast.py)
+                from mixlab_tpu.av.h264dec_fast import FastSliceDecoder
+
+                dec = FastSliceDecoder(self.sps, self.pps)
             dec.decode_slice(BitReader(rbsp), nal_type)
             w, h = self.sps.info.width, self.sps.info.height
             y = np.clip(dec.ry, 0, 255).astype(np.uint8)[:h, :w]
