@@ -59,6 +59,35 @@ def rgb_to_yuv420(rgb):
     return q(y), q(u), q(v)
 
 
+def rgb_planes_to_yuv420(r, g, b):
+    """Channel-major RGB -> YUV420: three u8 planes in, planes out.
+
+    Same math as :func:`rgb_to_yuv420` (identical results,
+    tests/test_video.py), minus the interleaved [H, W, 3] layout in the
+    dataflow.  Pattern sources generate planes natively, so sources that
+    have planes should pass them here rather than stacking.  Measured
+    caveat (tools/ab_video_kernels.py, on-chip round 3): unlike the
+    audio [S, 2] case, the planar formulation was NOT faster than the
+    interleaved one at 960x540 — XLA already fuses the channel slices
+    into the converter — so this entry point is a layout convenience,
+    not a perf claim; see BENCH_NOTES "config5 stage profile"."""
+    H, W = r.shape
+    rf = r.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    M = _RGB2YUV
+    y = M[0, 0] * rf + M[0, 1] * gf + M[0, 2] * bf + _OFFSET[0]
+    u = M[1, 0] * rf + M[1, 1] * gf + M[1, 2] * bf + _OFFSET[1]
+    v = M[2, 0] * rf + M[2, 1] * gf + M[2, 2] * bf + _OFFSET[2]
+    u = u.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+    v = v.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+
+    def q(p):
+        return jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+
+    return q(y), q(u), q(v)
+
+
 def yuv420_to_rgb(y, u, v):
     """(y, u, v) u8 planes -> [H, W, 3] u8; chroma nearest-upsampled 2x."""
     H, W = y.shape

@@ -38,16 +38,34 @@ def smpte_bars_rgb(width: int, height: int, phase: int = 0):
     return jnp.broadcast_to(rgb[None, :, :], (height, width, 3))
 
 
-def gradient_rgb(width: int, height: int, t: int = 0):
-    """Moving diagonal gradient; ``t`` animates it."""
+def gradient_planes(width: int, height: int, t: int = 0):
+    """Moving diagonal gradient as channel-major (r, g, b) u8 planes —
+    the native layout (see colorspace.rgb_planes_to_yuv420)."""
     xx = jnp.arange(width, dtype=jnp.int32)[None, :]
     yy = jnp.arange(height, dtype=jnp.int32)[:, None]
     r = ((xx + t) % 256).astype(jnp.uint8)
     g = ((yy + 2 * t) % 256).astype(jnp.uint8)
     b = ((xx + yy + 3 * t) % 256).astype(jnp.uint8)
-    return jnp.stack(
-        [jnp.broadcast_to(r, (height, width)), jnp.broadcast_to(g, (height, width)), b],
-        axis=-1,
+    return (
+        jnp.broadcast_to(r, (height, width)),
+        jnp.broadcast_to(g, (height, width)),
+        b,
+    )
+
+
+def gradient_rgb(width: int, height: int, t: int = 0):
+    """Moving diagonal gradient; ``t`` animates it."""
+    r, g, b = gradient_planes(width, height, t)
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def smpte_bars_planes(width: int, height: int, phase: int = 0):
+    """SMPTE bars as channel-major (r, g, b) u8 planes."""
+    col = (jnp.arange(width) + phase) % width
+    bar = (col * 7) // width
+    rgb = jnp.asarray(_BARS)[bar]  # [W, 3]
+    return tuple(
+        jnp.broadcast_to(rgb[:, c][None, :], (height, width)) for c in range(3)
     )
 
 

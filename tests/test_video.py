@@ -332,3 +332,30 @@ def test_fused_fade_endpoints_are_pure_resizes():
     assert np.array_equal(full, y)
     zero = np.asarray(resize_crossfade_roll(plane, 64, 128, 0, method="f32"))
     assert np.array_equal(zero, np.roll(y, 1, axis=0))
+
+
+def test_planar_colorspace_and_patterns_match_interleaved():
+    """Channel-major (r, g, b) plane API: identical results to the
+    interleaved [H, W, 3] path for both pattern sources and the
+    YUV420 converter (video/colorspace.rgb_planes_to_yuv420)."""
+    from mixlab_tpu.video.colorspace import rgb_planes_to_yuv420
+    from mixlab_tpu.video.pattern import (
+        gradient_planes,
+        gradient_rgb,
+        smpte_bars_planes,
+        smpte_bars_rgb,
+    )
+
+    for w, h, t in [(64, 48, 0), (96, 54, 7)]:
+        rgb = np.asarray(gradient_rgb(w, h, t=t))
+        planes = [np.asarray(p) for p in gradient_planes(w, h, t=t)]
+        for c in range(3):
+            assert np.array_equal(rgb[:, :, c], planes[c])
+        bars = np.asarray(smpte_bars_rgb(w, h, phase=t))
+        bplanes = [np.asarray(p) for p in smpte_bars_planes(w, h, phase=t)]
+        for c in range(3):
+            assert np.array_equal(bars[:, :, c], bplanes[c])
+        a = rgb_to_yuv420(rgb)
+        b = rgb_planes_to_yuv420(*[np.asarray(p) for p in gradient_planes(w, h, t=t)])
+        for pa, pb in zip(a, b):
+            assert np.array_equal(np.asarray(pa), np.asarray(pb))
