@@ -88,6 +88,52 @@ def rgb_planes_to_yuv420(r, g, b):
     return q(y), q(u), q(v)
 
 
+def _box2_u8(p):
+    """Exact 2x2 box SUM of a u8 plane -> u16 [H/2, W/2], no strided slices.
+
+    The obvious formulations are all lane-hostile on this TPU: a
+    ``[H//2, 2, W//2, 2]`` reshape (or any ``[:, 0::2]`` slice) needs a
+    stride-2 gather on the minor/lane dimension — the documented ~200x
+    pathology on this box (BENCH_NOTES "stride-2 slicing").  Instead,
+    reinterpret each adjacent byte PAIR as one u16 lane (a pure bitcast:
+    TPU/x86 are little-endian, so lo byte = even column), split with
+    ``& 255`` / ``>> 8`` — full-lane VPU ops — and pair rows on the
+    sublane dimension where reshape-sum is cheap."""
+    import jax.lax as lax
+
+    H, W = p.shape
+    x16 = lax.bitcast_convert_type(p.reshape(H, W // 2, 2), jnp.uint16)
+    cols = (x16 & jnp.uint16(255)) + (x16 >> jnp.uint16(8))  # <= 510
+    return cols.reshape(H // 2, 2, W // 2).sum(axis=1, dtype=jnp.uint16)
+
+
+def rgb_planes_to_yuv420_downfirst(r, g, b):
+    """Channel-major RGB -> YUV420 with the chroma matrix applied AFTER an
+    exact integer 2x2 downsample (linear maps commute; the f32 evaluation
+    order differs from :func:`rgb_to_yuv420` by at most 1 u8 LSB on
+    round-to-nearest ties — bound asserted in tests/test_video.py).
+
+    Why: the default path evaluates the chroma matrix at FULL resolution
+    and then box-means in f32 with a lane-strided reshape; this one does
+    3x fewer chroma-matrix FLOPs and replaces the strided mean with the
+    bitcast pairing of :func:`_box2_u8`."""
+    rf = r.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    bf = b.astype(jnp.float32)
+    M = _RGB2YUV
+    y = M[0, 0] * rf + M[0, 1] * gf + M[0, 2] * bf + _OFFSET[0]
+    rd = _box2_u8(r).astype(jnp.float32) * 0.25
+    gd = _box2_u8(g).astype(jnp.float32) * 0.25
+    bd = _box2_u8(b).astype(jnp.float32) * 0.25
+    u = M[1, 0] * rd + M[1, 1] * gd + M[1, 2] * bd + _OFFSET[1]
+    v = M[2, 0] * rd + M[2, 1] * gd + M[2, 2] * bd + _OFFSET[2]
+
+    def q(p):
+        return jnp.clip(jnp.round(p), 0, 255).astype(jnp.uint8)
+
+    return q(y), q(u), q(v)
+
+
 def yuv420_to_rgb(y, u, v):
     """(y, u, v) u8 planes -> [H, W, 3] u8; chroma nearest-upsampled 2x."""
     H, W = y.shape

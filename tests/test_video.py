@@ -359,3 +359,37 @@ def test_planar_colorspace_and_patterns_match_interleaved():
         b = rgb_planes_to_yuv420(*[np.asarray(p) for p in gradient_planes(w, h, t=t)])
         for pa, pb in zip(a, b):
             assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_downfirst_colorspace_bound():
+    """rgb_planes_to_yuv420_downfirst: the integer box sum is EXACT vs a
+    numpy reference (endianness-sensitive bitcast verified here), and the
+    commuted chroma matrix lands within 1 u8 LSB of the default path on
+    a tiny fraction of pixels."""
+    import jax.numpy as jnp
+
+    from mixlab_tpu.video.colorspace import (
+        _box2_u8,
+        rgb_planes_to_yuv420_downfirst,
+    )
+
+    rng = np.random.default_rng(3)
+    H, W = 64, 96
+    plane = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    got = np.asarray(_box2_u8(jnp.asarray(plane)))
+    want = plane.astype(np.uint16).reshape(H // 2, 2, W // 2, 2).sum((1, 3))
+    assert np.array_equal(got, want)
+
+    rgb = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    a = [np.asarray(p).astype(int) for p in rgb_to_yuv420(jnp.asarray(rgb))]
+    b = [
+        np.asarray(p).astype(int)
+        for p in rgb_planes_to_yuv420_downfirst(
+            jnp.asarray(rgb[..., 0]), jnp.asarray(rgb[..., 1]), jnp.asarray(rgb[..., 2])
+        )
+    ]
+    assert np.array_equal(a[0], b[0])  # luma path is identical math
+    for pa, pb in zip(a[1:], b[1:]):
+        d = np.abs(pa - pb)
+        assert d.max() <= 1
+        assert (d != 0).mean() < 0.02

@@ -90,6 +90,14 @@ def main():
         v = M[2, 0] * rd + M[2, 1] * gd + M[2, 2] * bd + _OFFSET[2]
         return q(y), q(u), q(v)
 
+    def v_down_bitcast(i):
+        # the shipped candidate: exact integer 2x2 sums via the u16
+        # bitcast pairing (no lane-strided ops at all)
+        from mixlab_tpu.video.colorspace import rgb_planes_to_yuv420_downfirst
+
+        r, g, b = planes(i)
+        return rgb_planes_to_yuv420_downfirst(r, g, b)
+
     def bench(stage, reps):
         def make(n):
             def whole(_):
@@ -116,6 +124,7 @@ def main():
         ("current (boxmean)", v_current),
         ("rows-then-cols", v_boxmean_rows_then_cols),
         ("downsample-first", v_down_first),
+        ("down-bitcast", v_down_bitcast),
     ]:
         s = bench(fn, reps)
         print(f"{name:20s} {1e6 * s / FRAMES:8.2f} us/frame", flush=True)
