@@ -22,6 +22,7 @@ from mixlab_tpu.server.app import run_server
 from mixlab_tpu.utils.jsmini import Interpreter, JSObject, UNDEFINED, _from_python, _to_python
 
 from test_server import mask_frame, ws_connect, ws_recv
+from tests.loophelp import drain_and_close
 
 STATIC = pathlib.Path(__file__).parent.parent / "mixlab_tpu" / "server" / "static"
 HERE = pathlib.Path(__file__).parent
@@ -95,9 +96,12 @@ class WireApp:
                     await writer.drain()
                     moved += 1
                 self._sent_seen[key] = len(sent)
-                # server -> client
+                # server -> client.  Bounded by the relay deadline: a
+                # monitor socket can produce segments faster than the
+                # interpreted MSE handler consumes them, so an unbounded
+                # drain-until-gap loop would never see a 0.10 s gap.
                 try:
-                    while True:
+                    while time.time() < deadline:
                         op, payload = await asyncio.wait_for(
                             ws_recv(reader), 0.10)
                         onmessage = self.interp.get_member(ws_js, "onmessage")
@@ -156,8 +160,7 @@ def wire_server(tmp_path):
     yield loop, port, project
     project.engine.stop()
     tcp.close()
-    loop.run_until_complete(asyncio.sleep(0.05))
-    loop.close()
+    drain_and_close(loop)
     project.close()
 
 

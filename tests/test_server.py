@@ -16,6 +16,7 @@ from mixlab_tpu.io_host import listen
 from mixlab_tpu.protocol import wire
 from mixlab_tpu.server import ws as ws_mod
 from mixlab_tpu.server.app import Server, run_server
+from tests.loophelp import drain_and_close
 
 CFG = EngineConfig(sample_rate=44_100)
 
@@ -81,8 +82,7 @@ def server_port(tmp_path):
     yield loop, port, project
     project.engine.stop()
     tcp.close()
-    loop.run_until_complete(asyncio.sleep(0.05))
-    loop.close()
+    drain_and_close(loop)
     project.close()
 
 

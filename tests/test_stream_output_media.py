@@ -16,6 +16,7 @@ from mixlab_tpu.io_host.rtmp import server as rtmp_server
 from mixlab_tpu.io_host.wav import write_wav
 from mixlab_tpu.protocol import InputId, OutputId
 from mixlab_tpu.server.stream_output import ConnState, StreamOutputController, parse_rtmp_url
+from tests.loophelp import run_loop_thread, stop_loop_thread
 
 CFG = EngineConfig(sample_rate=44_100)
 
@@ -69,29 +70,20 @@ def test_stream_output_end_to_end_loopback():
     started = threading.Event()
     port_holder = {}
 
-    def run_server():
-        asyncio.set_event_loop(loop)
+    async def main():
+        async def on_conn(r, w):
+            try:
+                await rtmp_server.accept(r, w)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
 
-        async def main():
-            async def on_conn(r, w):
-                try:
-                    await rtmp_server.accept(r, w)
-                except (ConnectionError, asyncio.IncompleteReadError):
-                    pass
+        srv = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port_holder["port"] = srv.sockets[0].getsockname()[1]
+        started.set()
+        async with srv:
+            await srv.serve_forever()
 
-            srv = await asyncio.start_server(on_conn, "127.0.0.1", 0)
-            port_holder["port"] = srv.sockets[0].getsockname()[1]
-            started.set()
-            async with srv:
-                await srv.serve_forever()
-
-        try:
-            loop.run_until_complete(main())
-        except Exception:
-            pass
-
-    t = threading.Thread(target=run_server, daemon=True)
-    t.start()
+    loop, t = run_loop_thread(main, loop)
     started.wait(5)
     port = port_holder["port"]
 
@@ -184,7 +176,7 @@ def test_stream_output_end_to_end_loopback():
 
     ctl.disconnect()
     ctl.stop()
-    loop.call_soon_threadsafe(loop.stop)
+    stop_loop_thread(loop, t)
     recv.close()
 
 
@@ -345,29 +337,20 @@ def test_stream_output_pure_tier_video_loopback(monkeypatch):
     started = threading.Event()
     port_holder = {}
 
-    def run_server():
-        asyncio.set_event_loop(loop)
+    async def main():
+        async def on_conn(r, w):
+            try:
+                await rtmp_server.accept(r, w)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
 
-        async def main():
-            async def on_conn(r, w):
-                try:
-                    await rtmp_server.accept(r, w)
-                except (ConnectionError, asyncio.IncompleteReadError):
-                    pass
+        srv = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port_holder["port"] = srv.sockets[0].getsockname()[1]
+        started.set()
+        async with srv:
+            await srv.serve_forever()
 
-            srv = await asyncio.start_server(on_conn, "127.0.0.1", 0)
-            port_holder["port"] = srv.sockets[0].getsockname()[1]
-            started.set()
-            async with srv:
-                await srv.serve_forever()
-
-        try:
-            loop.run_until_complete(main())
-        except Exception:
-            pass
-
-    t = threading.Thread(target=run_server, daemon=True)
-    t.start()
+    loop, t = run_loop_thread(main, loop)
     started.wait(5)
 
     pipe = _MonitorPipe()
@@ -436,5 +419,5 @@ def test_stream_output_pure_tier_video_loopback(monkeypatch):
 
     ctl.disconnect()
     ctl.stop()
-    loop.call_soon_threadsafe(loop.stop)
+    stop_loop_thread(loop, t)
     recv.close()
