@@ -207,6 +207,10 @@ class _Broadcast:
             if q in self._subs:
                 self._subs.remove(q)
 
+    def subscriber_count(self) -> int:
+        with self._lock:
+            return len(self._subs)
+
     def send(self, ev):
         with self._lock:
             dead = []
@@ -609,6 +613,11 @@ class Engine:
                 except queue.Empty:
                     break
                 self._process_cmd(pending)
+
+    def session_count(self) -> int:
+        """Connected live sessions (op-log subscribers); fleet placement
+        weighs this ahead of raw workspace count."""
+        return self._log.subscriber_count()
 
     def performance_info(self) -> Optional[p.PerformanceInfo]:
         with self._perf_lock:

@@ -216,6 +216,8 @@ class Server:
 
         metric("mixlab_engine_tick", eng.tick,
                "Engine tick counter", "counter")
+        metric("mixlab_sessions_connected", eng.session_count(),
+               "Connected live sessions (op-log subscribers)")
         metric("mixlab_engine_modules", len(eng.ws.modules),
                "Modules in the workspace")
         metric("mixlab_engine_connections", len(eng.ws.connections),

@@ -247,6 +247,38 @@ class HostAgent:
                         if e["proc"].poll() is None),
         }
 
+    async def _worker_sessions(self, url: str) -> int:
+        """Connected-session count scraped from a worker's /_metrics;
+        0 when the worker is unreachable or mid-boot (placement then
+        falls back to workspace count alone)."""
+        try:
+            status, body = await http_call(url + "/_metrics", timeout=3.0)
+        except (OSError, asyncio.TimeoutError, asyncio.IncompleteReadError):
+            return 0
+        if status != 200:
+            return 0
+        for line in body.decode("utf-8", "replace").splitlines():
+            if line.startswith("mixlab_sessions_connected"):
+                try:
+                    return int(float(line.split()[1]))
+                except (IndexError, ValueError):
+                    return 0
+        return 0
+
+    async def health_full(self) -> dict:
+        """health() plus live-session counts: placement weighs connected
+        sessions ahead of raw workspace count (ROADMAP "Scale-out")."""
+        h = self.health()
+        live = [(key, ent) for key, ent in h["workspaces"].items()
+                if ent["alive"]]
+        counts = await asyncio.gather(
+            *[self._worker_sessions(ent["url"]) for _, ent in live]
+        )
+        for (key, ent), n in zip(live, counts):
+            ent["sessions"] = n
+        h["sessions"] = int(sum(counts))
+        return h
+
     # -- migration ------------------------------------------------------------
 
     async def export(self, key: str) -> bytes:
@@ -315,7 +347,7 @@ class HostAgent:
             return
         try:
             if req.path == "/health" and req.method == "GET":
-                writer.write(_json_response(self.health()))
+                writer.write(_json_response(await self.health_full()))
             elif req.path.startswith("/spawn/") and req.method == "POST":
                 writer.write(_json_response(await self.spawn(req.path[7:])))
             elif req.path.startswith("/stop/") and req.method == "POST":
@@ -435,7 +467,12 @@ class FleetController:
             loads = {}
             for host_id in live:
                 h = await self._agent_health(host_id)
-                loads[host_id] = h["load"] if h else 1 << 30
+                # connected sessions first (the actual serving load), then
+                # workspace count as the tiebreak (ROADMAP "Scale-out")
+                loads[host_id] = (
+                    (h.get("sessions", 0), h["load"]) if h
+                    else (1 << 30, 1 << 30)
+                )
             host_id = min(sorted(loads), key=lambda h: loads[h])
             result = await self._spawn_on(host_id, key)
             self.assignments[key] = host_id

@@ -306,3 +306,77 @@ def test_concurrent_place_single_assignment(tmp_path, monkeypatch):
         assert r1["host"] == r2["host"] == "host-a"
 
     asyncio.run(go())
+
+
+def test_place_prefers_fewer_sessions_over_workspace_count(monkeypatch):
+    """Placement weighs connected sessions ahead of raw workspace count:
+    an agent running MORE workspaces but serving FEWER live sessions wins
+    (ROADMAP "Scale-out": session-count-aware policy)."""
+
+    async def go():
+        ctl = FleetController()
+        health = {
+            # host-a: one workspace, but 7 connected sessions
+            "host-a": {"load": 1, "sessions": 7, "workspaces": {}},
+            # host-b: three workspaces, all idle
+            "host-b": {"load": 3, "sessions": 0, "workspaces": {}},
+        }
+        spawns = []
+
+        async def fake_health(host_id):
+            return health[host_id]
+
+        async def fake_spawn(host_id, key):
+            spawns.append(host_id)
+            return {"url": "http://x"}
+
+        ctl._agent_health = fake_health
+        ctl._spawn_on = fake_spawn
+        ctl.register("host-a", "http://a")
+        ctl.register("host-b", "http://b")
+        await ctl.place("w1")
+        assert spawns == ["host-b"]
+        # an agent whose health omits sessions (older agent) still places:
+        # missing count treated as 0, tiebreak falls to workspace count
+        health["host-a"] = {"load": 0, "workspaces": {}}
+        await ctl.place("w2")
+        assert spawns == ["host-b", "host-a"]
+
+    asyncio.run(go())
+
+
+def test_agent_health_full_scrapes_worker_sessions(tmp_path):
+    """health_full sums mixlab_sessions_connected scraped from each live
+    worker's /_metrics (unreachable workers count 0, never fail health)."""
+
+    async def go():
+        agent = HostAgent("h", tmp_path)
+
+        async def serve_metrics(reader, writer):
+            await reader.readuntil(b"\r\n\r\n")
+            body = b"mixlab_engine_tick 5\nmixlab_sessions_connected 3\n"
+            writer.write(
+                b"HTTP/1.1 200 OK\r\nContent-Length: %d\r\n\r\n%s"
+                % (len(body), body))
+            await writer.drain()
+            writer.close()
+
+        srv = await asyncio.start_server(serve_metrics, "127.0.0.1", 0)
+        port = srv.sockets[0].getsockname()[1]
+
+        class FakeProc:
+            def poll(self):
+                return None
+
+        agent.procs["w1"] = {"proc": FakeProc(), "port": port,
+                             "url": f"http://127.0.0.1:{port}"}
+        agent.procs["w2"] = {"proc": FakeProc(), "port": 1,
+                             "url": "http://127.0.0.1:1"}  # unreachable
+        h = await agent.health_full()
+        assert h["sessions"] == 3
+        assert h["workspaces"]["w1"]["sessions"] == 3
+        assert h["workspaces"]["w2"]["sessions"] == 0
+        srv.close()
+        await srv.wait_closed()
+
+    asyncio.run(go())
