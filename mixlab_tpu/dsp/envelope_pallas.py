@@ -6,13 +6,24 @@ two-pass reformulation (dsp/envelope_chunked.py) has the right math but as
 XLA ops it pays per-step kernel launches.  This kernel fuses the whole
 thing into a single launch with the block resident in VMEM:
 
-  phase A  - C sequential steps of [1,K]-wide VPU work computing each
+  phase A  - C sequential steps of K-lane-wide VPU work computing each
              lane's symbolic dual-entry transfer record (entry mode unknown:
              both machines run; `on`/`off`/`off_amp` may reference entry
              state symbolically) — the math of envelope_chunked.py;
   combine  - Hillis-Steele inclusive scan over the K lanes (log2 K
              vectorized composition passes, VMEM-resident);
   phase B  - C sequential steps emitting concrete outputs per lane.
+
+Lane layout (round-3 profile fix): the K lanes are carried as an [8, L]
+tile (L = K/8, lane k = s*L + l) so every per-step vector op fills whole
+(8, 128) vregs.  The first version kept lanes as a flat [1, K] row, which
+Mosaic lays out on sublane 0 only — 1/8 VPU utilization on every one of the
+~2*C sequential steps; measured on the flagship block size this kernel was
+~30 us per content-second, dominating the whole 16-module graph
+(tools/profile_flagship_residual2.py: elementwise subgraph 5.5 us/s, full
+graph ~40 us/s).  The Hillis-Steele lane shifts become two concatenates
+(row-carry for shifts < L, whole-row shifts for multiples of L), which
+requires K to be a power of two.
 
 HBM traffic: one read of x, one write of out (the XLA path reads/writes
 ~19x).  Semantics identical to dsp/envelope.py / src/module/envelope.rs,
@@ -30,8 +41,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mixlab_tpu.dsp.envelope_chunked import pick_lanes
-
 _POS_FLOOR = -(2**30)
 
 # amp record kinds (envelope_chunked.py)
@@ -42,6 +51,16 @@ _K_ON = 2     # off_amp = ampOn(amp_pos - entry.on)
 _REC = ("mode", "on_sym", "on_pos", "off_sym", "off_pos", "ampk", "ampv", "ampp")
 
 
+def pick_lanes_pow2(S: int) -> int:
+    """Power-of-two lane count for the [8, L] tile layout.  ~190 sequential
+    steps stays the sweet spot (envelope_chunked.pick_lanes); snapping to the
+    nearest power of two in [1024, 4096] keeps the Hillis-Steele shifts as
+    two concatenates and the tile rows full."""
+    target = max(1, S // 192)
+    k = 1 << int(round(np.log2(target))) if target > 1 else 1
+    return max(1024, min(4096, k))
+
+
 def _amp_on(ms, attack, decay, sustain):
     attack_amp = ms / attack
     decay_amp = 1.0 - jnp.clip((ms - attack) / decay, 0.0, 1.0)
@@ -49,8 +68,14 @@ def _amp_on(ms, attack, decay, sustain):
     return jnp.where(ms < attack, attack_amp, sustain_amp)
 
 
-def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
-    C, K = x_ref.shape
+def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
+            xs_ref, os_ref):
+    # x_ref/out_ref are chunk-major [K, C] (= linear sample order: the host
+    # reshape is free).  The [C, R, L] working orientation is built HERE in
+    # VMEM scratch — as XLA ops the same transposes lowered to full-block
+    # HBM relayout copies around the custom call (same finding as eq_pallas)
+    K, C = x_ref.shape
+    R, L = xs_ref.shape[1], xs_ref.shape[2]  # R = 8 sublane rows, K = R*L
     attack = pf_ref[0]
     decay = pf_ref[1]
     sustain = pf_ref[2]
@@ -66,7 +91,14 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
     def amp_on_at(pos, on):
         return amp_on((pos - on).astype(jnp.float32) * msps)
 
-    lane_base = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) * C  # [1,K]
+    # lane index k = s*L + l over the [R, L] tile
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (R, L), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (R, L), 1)
+    lane_base = (row_i * L + col_i) * C
+
+    # stage the input as [C, R, L] so each sequential step reads one full
+    # [R, L] vreg tile (one in-VMEM transpose instead of per-step gathers)
+    xs_ref[...] = x_ref[...].T.reshape(C, R, L)
 
     # ---- phase A: dual-machine symbolic records ---------------------------
     # flags are int32 0/1 (Mosaic lowers 1-bit vectors poorly)
@@ -74,19 +106,19 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
         rec = []
         for m in (0, 1):
             rec += [
-                jnp.full((1, K), m, dtype=jnp.int32),        # mode
-                jnp.ones((1, K), dtype=jnp.int32),           # on_sym
-                jnp.zeros((1, K), dtype=jnp.int32),          # on_pos
-                jnp.ones((1, K), dtype=jnp.int32),           # off_sym
-                jnp.zeros((1, K), dtype=jnp.int32),          # off_pos
-                jnp.full((1, K), _K_ENTRY, dtype=jnp.int32), # ampk
-                jnp.zeros((1, K), dtype=jnp.float32),        # ampv
-                jnp.zeros((1, K), dtype=jnp.int32),          # ampp
+                jnp.full((R, L), m, dtype=jnp.int32),        # mode
+                jnp.ones((R, L), dtype=jnp.int32),           # on_sym
+                jnp.zeros((R, L), dtype=jnp.int32),          # on_pos
+                jnp.ones((R, L), dtype=jnp.int32),           # off_sym
+                jnp.zeros((R, L), dtype=jnp.int32),          # off_pos
+                jnp.full((R, L), _K_ENTRY, dtype=jnp.int32), # ampk
+                jnp.zeros((R, L), dtype=jnp.float32),        # ampv
+                jnp.zeros((R, L), dtype=jnp.int32),          # ampp
             ]
         return tuple(rec)
 
     def stepA(c, rec):
-        xc = x_ref[pl.ds(c, 1), :]  # [1,K]
+        xc = xs_ref[pl.ds(c, 1), :, :][0]  # [R, L]
         t = lane_base + c
         out = []
         for m in range(2):
@@ -114,7 +146,7 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
     # prefix[k] = rec[k] ∘ ... ∘ rec[0]  (function composition, lane order)
     def select(machine_pair, mode_sel):
         """machine_pair: list of 16 arrays (2 machines x 8 fields);
-        mode_sel [1,K] bool — returns the 8 fields of the selected machine."""
+        mode_sel [R,L] int — returns the 8 fields of the selected machine."""
         take_b = mode_sel == 1
         out = []
         for f in range(8):
@@ -157,16 +189,31 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
             out += substitute(g_sel, f_exit)
         return out
 
-    identity_pair = initA
+    def shift_k(fields, ident, n):
+        """shifted[k] = fields[k - n] in lane order k = s*L + l (identity for
+        k < n).  n is a power of two.  Built from pltpu.roll + masks —
+        Mosaic rejects the offset-mismatched concatenate form (same note in
+        eq_pallas).  Below L the roll wraps each row, so lanes l < n take
+        the previous row's wrapped values (roll along the sublane axis too);
+        at or above L it is a whole-row roll."""
+        if n < L:
+            def sh(f, idf):
+                rl = pltpu.roll(f, n, 1)        # [s, (l-n) mod L]
+                rr = pltpu.roll(rl, 1, 0)       # [(s-1) mod R, (l-n) mod L]
+                return jnp.where(
+                    col_i >= n, rl, jnp.where(row_i >= 1, rr, idf))
+        else:
+            m = n // L
+            def sh(f, idf):
+                rr = pltpu.roll(f, m, 0)
+                return jnp.where(row_i >= m, rr, idf)
+        return [sh(f, i) for f, i in zip(fields, ident)]
 
     prefix = list(rec)
-    ident = identity_pair()
+    ident = list(initA())
     s = 1
     while s < K:
-        shifted = [
-            jnp.concatenate([ident[f][:, :s], prefix[f][:, : K - s]], axis=1)
-            for f in range(16)
-        ]
+        shifted = shift_k(prefix, ident, s)
         prefix = compose(shifted, prefix)
         s *= 2
 
@@ -182,31 +229,33 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
         )
         return mode, on, off, amp
 
-    e_mode0 = jnp.full((1, K), ent_mode, dtype=jnp.int32)
-    e_on0 = jnp.full((1, K), ent_on, dtype=jnp.int32)
-    e_off0 = jnp.full((1, K), ent_off, dtype=jnp.int32)
-    e_amp0 = jnp.full((1, K), ent_amp, dtype=jnp.float32)
+    e_mode0 = jnp.full((R, L), ent_mode, dtype=jnp.int32)
+    e_on0 = jnp.full((R, L), ent_on, dtype=jnp.int32)
+    e_off0 = jnp.full((R, L), ent_off, dtype=jnp.int32)
+    e_amp0 = jnp.full((R, L), ent_amp, dtype=jnp.float32)
     ap_mode, ap_on, ap_off, ap_amp = apply_entry(prefix, e_mode0, e_on0, e_off0, e_amp0)
 
     # entry of lane k = exit of lane k-1 (lane 0 = E0): shift right by one
     def shift1(applied, e0):
-        return jnp.concatenate([e0[:, :1], applied[:, : K - 1]], axis=1)
+        rl = pltpu.roll(applied, 1, 1)
+        rr = pltpu.roll(rl, 1, 0)
+        return jnp.where(col_i >= 1, rl, jnp.where(row_i >= 1, rr, e0))
 
     st_mode = shift1(ap_mode, e_mode0)
     st_on = shift1(ap_on, e_on0)
     st_off = shift1(ap_off, e_off0)
     st_amp = shift1(ap_amp, e_amp0)
 
-    # exit state of the whole block = exit of last lane
-    exit_i_ref[0, 0] = ap_mode[0, K - 1]
-    exit_i_ref[0, 1] = ap_on[0, K - 1]
-    exit_i_ref[0, 2] = ap_off[0, K - 1]
-    exit_f_ref[0, 0] = ap_amp[0, K - 1]
+    # exit state of the whole block = exit of last lane (R-1, L-1)
+    exit_i_ref[0, 0] = ap_mode[R - 1, L - 1]
+    exit_i_ref[0, 1] = ap_on[R - 1, L - 1]
+    exit_i_ref[0, 2] = ap_off[R - 1, L - 1]
+    exit_f_ref[0, 0] = ap_amp[R - 1, L - 1]
 
     # ---- phase B: concrete outputs ----------------------------------------
     def stepB(c, st):
         mode, on, off, amp = st
-        xc = x_ref[pl.ds(c, 1), :]
+        xc = xs_ref[pl.ds(c, 1), :, :][0]
         t = lane_base + c
         rising = (mode == 0) & (xc == 1.0)
         falling = (mode == 1) & (xc == 0.0)
@@ -219,10 +268,13 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref):
         rel = 1.0 - jnp.clip(ms_off / release, 0.0, 1.0)
         on_amp = amp_on_at(t, n_on)
         out = jnp.where(n_mode == 1, on_amp, n_amp * rel).astype(jnp.float32)
-        out_ref[pl.ds(c, 1), :] = out
+        os_ref[pl.ds(c, 1), :, :] = out[None]
         return (n_mode, n_on, n_off, n_amp)
 
     jax.lax.fori_loop(0, C, stepB, (st_mode, st_on, st_off, st_amp))
+
+    # back to chunk-major linear order, still in VMEM
+    out_ref[...] = os_ref[...].reshape(C, K).T
 
 
 def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=None):
@@ -231,11 +283,13 @@ def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=Non
     mode off-TPU so CPU tests execute the same code path)."""
     S = x.shape[0]
     if K is None:
-        K = pick_lanes(S)
+        K = pick_lanes_pow2(S)
+    assert K % 8 == 0 and (K & (K - 1)) == 0, K
+    L = K // 8
     C = -(-S // K)
     pad = C * K - S
     xp = jnp.concatenate([x, jnp.full((pad,), 0.5, x.dtype)]) if pad else x
-    xT = xp.reshape(K, C).T  # [C, K]
+    x_kc = xp.reshape(K, C)  # chunk-major = linear order (free reshape)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -254,10 +308,10 @@ def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=Non
         jnp.asarray(state["off_pos"], jnp.int32),
     ])
 
-    outT, exit_i, exit_f = pl.pallas_call(
+    out_kc, exit_i, exit_f = pl.pallas_call(
         _kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((C, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, C), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.int32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
@@ -271,10 +325,14 @@ def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=Non
             pl.BlockSpec(memory_space=pltpu.SMEM),  # exit state scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((C, 8, L), jnp.float32),  # step-tiled input
+            pltpu.VMEM((C, 8, L), jnp.float32),  # step-tiled output
+        ],
         interpret=interpret,
-    )(pf, pi, xT)
+    )(pf, pi, x_kc)
 
-    out = outT.T.reshape(-1)[:S]
+    out = out_kc.reshape(-1)[:S]
     new_state = {
         "mode_on": exit_i[0, 0] != 0,
         "on_pos": jnp.maximum(exit_i[0, 1] - S, _POS_FLOOR).astype(jnp.int32),

@@ -41,7 +41,12 @@ from mixlab_tpu.dsp.eq_three import _toeplitz_tables
 # the XLA scan path: kernel fixed costs don't amortize, and the realtime
 # loop is dispatch-bound anyway)
 PALLAS_THRESHOLD = 8192
-_CHUNK = 256
+# Chunk length = per-sample matmul work: the Toeplitz formulation costs
+# O(S*C) MXU FLOPs, so C is the whole cost knob.  128 is the MXU tile edge —
+# the smallest C that keeps the [C,C] operand a full tile; measured on the
+# flagship block (S=384000) the C=256->128 halving cut the isolated eq cost
+# ~2x with the lane scan still negligible (one extra Hillis-Steele pass).
+_CHUNK = 128
 
 
 def _plan(S: int):
@@ -84,7 +89,13 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
         def scal(i):
             return scal_ref[0:1, i:i + 1]  # [1,1], broadcasts as a scalar
 
-        x2 = x2_ref[...]  # [C, K]
+        # inputs arrive chunk-major [K, C] (= linear sample order, so the
+        # host-side reshape is free); the [C, K] working orientation is
+        # produced HERE, VMEM-resident — as XLA ops the same transposes
+        # lowered to three full-block HBM relayout copies around the custom
+        # call (seen as f32[3000,128]{0,1} copies in the flagship HLO),
+        # costing more than the whole kernel
+        x2 = x2_ref[...].T  # [C, K]
         Bs = [x2 * f_lo + vsa, x2 * f_hi + vsa]
         Ts = [tlo_ref[...], thi_ref[...]]
         Y = [None, None]
@@ -123,12 +134,13 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
                 if s < 3:
                     Bs[b] = Yb * (f_lo if b == 0 else f_hi)
         lo, hi_lp = Y[0], Y[1]
-        xd2 = xd2_ref[...]
+        xd2 = xd2_ref[...].T  # [C, K]
         g_lo = scal(8)
         g_mid = scal(9)
         g_hi = scal(10)
-        out_ref[...] = (lo * g_lo + (hi_lp - lo) * g_mid
-                        + (xd2 - hi_lp) * g_hi)
+        out_ck = (lo * g_lo + (hi_lp - lo) * g_mid
+                  + (xd2 - hi_lp) * g_hi)
+        out_ref[...] = out_ck.T  # back to chunk-major = linear order
 
     return kernel
 
@@ -147,8 +159,8 @@ def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
 
     xp = jnp.pad(x, (0, pad))
     xdp = jnp.pad(xd, (0, pad))
-    x2 = xp.reshape(K, C).T  # [C, K]
-    xd2 = xdp.reshape(K, C).T
+    x2 = xp.reshape(K, C)  # chunk-major = linear order; kernel transposes
+    xd2 = xdp.reshape(K, C)
     T_lo, _, _ = _toeplitz_tables((a_lo, a_lo), C)
     T_hi, _, _ = _toeplitz_tables((a_hi, a_hi), C)
     scal = jnp.zeros((1, 128), jnp.float32)
@@ -175,12 +187,12 @@ def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((C, K), jnp.float32),
+            jax.ShapeDtypeStruct((K, C), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
         ],
     )(scal, x2, xd2, jnp.asarray(T_lo[0]), jnp.asarray(T_hi[0]),
       jnp.asarray(pow_np), jnp.asarray(row_np.T.copy()))
 
-    out = out2.T.reshape(-1)[:S]
+    out = out2.reshape(-1)[:S]
     poles_out = poles_rows[:, 0].reshape(4, 2)
     return out, poles_out

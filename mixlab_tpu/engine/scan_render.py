@@ -23,11 +23,19 @@ from mixlab_tpu.engine.graph import Workspace
 
 
 def stacked_host_aux(patch: CompiledPatch, t0: int, n_blocks: int):
-    """Stack per-block host_prepare outputs along a leading scan axis."""
+    """Stack per-block host_prepare outputs along a leading scan axis.
+
+    Always carries a ``__block__`` index leaf so the scan has a length even
+    when no module in the patch prepares host arrays (the compiled program
+    ignores keys that aren't module ids)."""
     cfg, block = patch.cfg, patch.block
     spb = block.n_samples(cfg)
     per_block = [patch.host_aux(t0 + i * spb) for i in range(n_blocks)]
-    return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_block)
+    stacked = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_block
+    )
+    stacked["__block__"] = jnp.arange(n_blocks, dtype=jnp.int32)
+    return stacked
 
 
 def build_scanned(
@@ -44,15 +52,28 @@ def build_scanned(
     program = patch._fn
 
     def scanned(aux, host_aux_stacked, state0):
+        if checksum_only:
+            # reduce taps to a scalar INSIDE the body: the stacked-then-summed
+            # form materializes an [n_blocks, S] array per tap leaf to HBM
+            # before the reduction (seen as f32[n,480,800] fusions in the
+            # flagship HLO census) for data the benchmark only checksums
+            def body_ck(carry, host_aux_b):
+                state, acc = carry
+                state, taps = program(aux, host_aux_b, state)
+                leaves = jax.tree.leaves(taps)
+                acc = acc + sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+                return (state, acc), None
+
+            (state, checksum), _ = jax.lax.scan(
+                body_ck, (state0, jnp.float32(0.0)), host_aux_stacked
+            )
+            return state, checksum
+
         def body(state, host_aux_b):
             state, taps = program(aux, host_aux_b, state)
             return state, taps
 
         state, taps = jax.lax.scan(body, state0, host_aux_stacked)
-        if checksum_only:
-            leaves = jax.tree.leaves(taps)
-            checksum = sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
-            return state, checksum
         return state, taps
 
     return patch, jax.jit(scanned)
