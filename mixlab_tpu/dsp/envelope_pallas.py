@@ -277,11 +277,30 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
     out_ref[...] = os_ref[...].reshape(C, K).T
 
 
+# largest single-launch block: the kernel keeps ~4 full-block arrays (in,
+# out, two step-tiled scratches) in VMEM against the 16 MB scoped limit;
+# larger blocks split into sequential launches with exact state carry
+MAX_KERNEL_S = 512 * 1024
+
+
 def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=None):
     """Evaluate the envelope over ``x`` [S]; same contract as
     envelope_chunked.run_block_chunked.  Runs the Pallas kernel (interpret
     mode off-TPU so CPU tests execute the same code path)."""
     S = x.shape[0]
+    if S > MAX_KERNEL_S:
+        n_parts = -(-S // MAX_KERNEL_S)
+        part = -(-S // n_parts)
+        outs = []
+        for i in range(n_parts):
+            piece = x[i * part : min((i + 1) * part, S)]
+            o, state = envelope_block_pallas(
+                piece, state, params, ms_per_sample, K=K, interpret=interpret
+            )
+            outs.append(o)
+        import jax.numpy as _jnp
+
+        return _jnp.concatenate(outs), state
     if K is None:
         K = pick_lanes_pow2(S)
     assert K % 8 == 0 and (K & (K - 1)) == 0, K

@@ -145,6 +145,12 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
     return kernel
 
 
+# largest single-launch block: the kernel holds ~7 full-block [C,K] arrays
+# in VMEM against the 16 MB scoped limit; larger blocks split into
+# sequential launches carrying the pole state exactly
+MAX_KERNEL_S = 384 * 1024
+
+
 def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
                       vsa: float):
     """Full EqThree block on device in one launch.
@@ -154,6 +160,17 @@ def eq_cascade_pallas(x, xd, poles0, gains, f_lo: float, f_hi: float,
     Returns (out [S], poles_out [4, 2]).
     """
     S = x.shape[0]
+    if S > MAX_KERNEL_S:
+        n_parts = -(-S // MAX_KERNEL_S)
+        part = -(-S // n_parts)
+        outs = []
+        for i in range(n_parts):
+            sl = slice(i * part, min((i + 1) * part, S))
+            o, poles0 = eq_cascade_pallas(
+                x[sl], xd[sl], poles0, gains, f_lo, f_hi, vsa
+            )
+            outs.append(o)
+        return jnp.concatenate(outs), poles0
     C, K, pad = _plan(S)
     a_lo, a_hi = 1.0 - f_lo, 1.0 - f_hi
 

@@ -92,3 +92,30 @@ def test_pallas_dense_edges():
         BlockSpec(12),
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(outs[0]), atol=2e-5)
+
+
+def test_pallas_split_large_blocks(monkeypatch):
+    """Blocks above MAX_KERNEL_S split into sequential launches with exact
+    state carry (the single-launch form OOMs the 16 MB scoped VMEM on real
+    chips at ~1.5M samples; reproduced small here by shrinking the cap)."""
+    import mixlab_tpu.dsp.envelope_pallas as ep
+
+    d = EnvelopeDef()
+    params = EnvelopeParams()
+    aux = d.prepare(params, CFG)
+    ms = 1000.0 / CFG.sample_rate
+    S = 48_000
+    x = jnp.asarray(gate_signal(S, 11))
+
+    state_ref = d.init_state(params, CFG)
+    block = BlockSpec(S // SPT)
+    state_ref, outs, _ = d.run_block(params, aux, None, state_ref, [x], CFG, block)
+    want = np.asarray(outs[0])
+
+    monkeypatch.setattr(ep, "MAX_KERNEL_S", 16_384)  # forces 3 sub-launches
+    got, state_pl = ep.envelope_block_pallas(
+        x, d.init_state(params, CFG), aux, ms, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+    assert bool(state_ref["mode_on"]) == bool(state_pl["mode_on"])
+    np.testing.assert_allclose(
+        float(state_ref["off_amp"]), float(state_pl["off_amp"]), atol=2e-5)

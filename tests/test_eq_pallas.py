@@ -81,3 +81,32 @@ def test_kernel_under_vmap():
     for i in range(4):
         _, (ref,), _ = _run(xs[i], st0, block, "xla")
         assert np.abs(np.asarray(outs[i]) - np.asarray(ref)).max() < 2e-5
+
+
+def test_kernel_split_large_blocks(monkeypatch):
+    """Blocks above MAX_KERNEL_S split into sequential launches carrying the
+    pole state exactly (single-launch OOMs scoped VMEM at ~1.5M samples on
+    chip; reproduced small by shrinking the cap)."""
+    import mixlab_tpu.dsp.eq_pallas as eqp
+    from mixlab_tpu.dsp.registry import get_def
+    from mixlab_tpu.protocol import Decibel, EqThreeParams
+
+    cfg = EngineConfig(sample_rate=48_000)
+    d = get_def("EqThree")
+    params = EqThreeParams(Decibel(4.0), Decibel(-2.0), Decibel(3.0))
+    aux = d.prepare(params, cfg)
+    S = 64_000
+    block = BlockSpec(S // cfg.samples_per_tick)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, S).astype(np.float32))
+
+    st_ref = d.init_state(params, cfg)
+    st_ref, (want,), _ = d.run_block(params, aux, None, st_ref, [x], cfg, block)
+
+    monkeypatch.setattr(eqp, "MAX_KERNEL_S", 16_384)  # forces 4 sub-launches
+    st_split = d.init_state(params, cfg)
+    st_split, (got,), _ = d.run_block(params, aux, None, st_split, [x], cfg, block)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_split["poles"]),
+                               np.asarray(st_ref["poles"]), rtol=2e-5, atol=2e-5)

@@ -193,6 +193,80 @@ def main():
         return ws
 
     rows["full_noosc"] = graph_maker(build_full_noosc())
+
+    # ---- dummy-kernel substitution: full graph with eq's Pallas call
+    # replaced by a same-shape passthrough custom call --------------------
+    from jax.experimental import pallas as plx
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mixlab_tpu.dsp.base import ModuleDef, expect_mono
+    from mixlab_tpu.dsp.registry import register
+    from mixlab_tpu.protocol import LineType
+
+    def _dummy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 1.0000001
+
+    class EqDummyDef(ModuleDef):
+        kind = "EqDummy"
+
+        def terminals(self, params):
+            return [LineType.MONO.unlabeled()], [LineType.MONO.unlabeled()]
+
+        def run_block(self, params, aux, host_aux, state, inputs, cfg, block):
+            S = block.n_samples(cfg)
+            x = expect_mono(inputs[0], S)
+            Cc = 128
+            Kk = S // Cc
+            xkc = x.reshape(Kk, Cc)
+            out = plx.pallas_call(
+                _dummy_kernel,
+                out_shape=jax.ShapeDtypeStruct((Kk, Cc), jnp.float32),
+                in_specs=[plx.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=plx.BlockSpec(memory_space=pltpu.VMEM),
+                interpret=jax.default_backend() != "tpu",
+            )(xkc)
+            return state, [out.reshape(-1)], {}
+
+    try:
+        register(EqDummyDef())
+    except Exception:
+        pass
+    p.ModuleParams.KINDS = {**p.ModuleParams.KINDS, "EqDummy": type(None)}
+
+    def build_full_dummy_eq():
+        ws = Workspace()
+        def add(kind, params):
+            return ws.create_module(p.ModuleParams(kind, params))
+        trig = add("Trigger", p.GateState.OPEN)
+        env = add("Envelope", p.EnvelopeParams())
+        ws.connect(InputId(env, 0), OutputId(trig, 0))
+        oscs = [add("Oscillator", p.OscillatorParams(110.0 * (i + 1), p.Waveform.SINE))
+                for i in range(4)]
+        fm = add("FmSine", p.FmSineParams(440.0, 880.0))
+        amps = [add("Amplifier", p.AmplifierParams(amplitude=0.5, mod_depth=0.3))
+                for _ in range(4)]
+        eq = add("EqDummy", None)
+        split = add("StereoSplitter", None)
+        pan = add("StereoPanner", None)
+        mixer = add("Mixer", p.MixerParams.with_channels(8))
+        mon = add("Monitor", None)
+        for i, (o, a) in enumerate(zip(oscs, amps)):
+            ws.connect(InputId(a, 0), OutputId(o, 1))
+            ws.connect(InputId(a, 1), OutputId(env, 0))
+            ws.connect(InputId(mixer, i), OutputId(a, 0))
+        ws.connect(InputId(fm, 0), OutputId(env, 0))
+        ws.connect(InputId(mixer, 4), OutputId(fm, 0))
+        ws.connect(InputId(split, 0), OutputId(amps[0], 0))
+        ws.connect(InputId(eq, 0), OutputId(split, 0))
+        ws.connect(InputId(pan, 0), OutputId(eq, 0))
+        ws.connect(InputId(pan, 1), OutputId(split, 1))
+        ws.connect(InputId(mixer, 5), OutputId(pan, 0))
+        ws.connect(InputId(mixer, 6), OutputId(amps[1], 0))
+        ws.connect(InputId(mixer, 7), OutputId(amps[2], 0))
+        ws.connect(InputId(mon, 1), OutputId(mixer, 0))
+        return ws
+
+    rows["full_dummy_eq"] = graph_maker(build_full_dummy_eq())
     rows["no_env"] = graph_maker(build_flagship(drop_env=True))
     rows["no_eq"] = graph_maker(build_flagship(drop_eq=True))
     rows["no_both"] = graph_maker(build_flagship(drop_env=True, drop_eq=True))
