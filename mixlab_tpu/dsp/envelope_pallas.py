@@ -68,23 +68,19 @@ def _amp_on(ms, attack, decay, sustain):
     return jnp.where(ms < attack, attack_amp, sustain_amp)
 
 
-def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
-            xs_ref, os_ref):
-    # x_ref/out_ref are chunk-major [K, C] (= linear sample order: the host
-    # reshape is free).  The [C, R, L] working orientation is built HERE in
-    # VMEM scratch — as XLA ops the same transposes lowered to full-block
-    # HBM relayout copies around the custom call (same finding as eq_pallas)
-    K, C = x_ref.shape
+def _env_body(scal_f, scal_i, x_kc, xs_ref, os_ref):
+    """Whole-block envelope evaluation as in-kernel values.
+
+    ``scal_f`` = (attack, decay, sustain, release, msps, ent_amp) f32 values,
+    ``scal_i`` = (ent_mode, ent_on, ent_off) i32 values, ``x_kc`` [K, C]
+    chunk-major gate value, ``xs_ref``/``os_ref`` [C, 8, K//8] VMEM scratch.
+    Returns (out_kc [K, C] value, (mode, on, off) i32 exit values, off_amp
+    f32 exit value).  Shared by the standalone pallas_call below and the
+    whole-graph kernel (engine/pallas_graph.py)."""
+    K, C = x_kc.shape
     R, L = xs_ref.shape[1], xs_ref.shape[2]  # R = 8 sublane rows, K = R*L
-    attack = pf_ref[0]
-    decay = pf_ref[1]
-    sustain = pf_ref[2]
-    release = pf_ref[3]
-    msps = pf_ref[4]
-    ent_amp = pf_ref[5]
-    ent_mode = pi_ref[0]
-    ent_on = pi_ref[1]
-    ent_off = pi_ref[2]
+    attack, decay, sustain, release, msps, ent_amp = scal_f
+    ent_mode, ent_on, ent_off = scal_i
 
     amp_on = functools.partial(_amp_on, attack=attack, decay=decay, sustain=sustain)
 
@@ -98,7 +94,7 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
 
     # stage the input as [C, R, L] so each sequential step reads one full
     # [R, L] vreg tile (one in-VMEM transpose instead of per-step gathers)
-    xs_ref[...] = x_ref[...].T.reshape(C, R, L)
+    xs_ref[...] = x_kc.T.reshape(C, R, L)
 
     # ---- phase A: dual-machine symbolic records ---------------------------
     # flags are int32 0/1 (Mosaic lowers 1-bit vectors poorly)
@@ -189,24 +185,28 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
             out += substitute(g_sel, f_exit)
         return out
 
+    lane_k = row_i * L + col_i
+
     def shift_k(fields, ident, n):
         """shifted[k] = fields[k - n] in lane order k = s*L + l (identity for
-        k < n).  n is a power of two.  Built from pltpu.roll + masks —
+        k < n), for ARBITRARY n and L.  Built from pltpu.roll + masks —
         Mosaic rejects the offset-mismatched concatenate form (same note in
-        eq_pallas).  Below L the roll wraps each row, so lanes l < n take
-        the previous row's wrapped values (roll along the sublane axis too);
-        at or above L it is a whole-row roll."""
-        if n < L:
+        eq_pallas).  Decompose n = n_div*L + n_rem: lanes l >= n_rem come
+        from row s - n_div, lanes l < n_rem from row s - n_div - 1 (both
+        after a lane roll by n_rem); wrapped garbage is masked to identity
+        by the k >= n test."""
+        n_div, n_rem = divmod(n, L)
+        if n_rem == 0:
             def sh(f, idf):
-                rl = pltpu.roll(f, n, 1)        # [s, (l-n) mod L]
-                rr = pltpu.roll(rl, 1, 0)       # [(s-1) mod R, (l-n) mod L]
-                return jnp.where(
-                    col_i >= n, rl, jnp.where(row_i >= 1, rr, idf))
+                rr = pltpu.roll(f, n_div, 0)
+                return jnp.where(lane_k >= n, rr, idf)
         else:
-            m = n // L
             def sh(f, idf):
-                rr = pltpu.roll(f, m, 0)
-                return jnp.where(row_i >= m, rr, idf)
+                rl = pltpu.roll(f, n_rem, 1)       # [s, (l-n_rem) mod L]
+                b1 = pltpu.roll(rl, n_div, 0) if n_div else rl
+                b2 = pltpu.roll(rl, n_div + 1, 0)
+                sv = jnp.where(col_i >= n_rem, b1, b2)
+                return jnp.where(lane_k >= n, sv, idf)
         return [sh(f, i) for f, i in zip(fields, ident)]
 
     prefix = list(rec)
@@ -247,10 +247,9 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
     st_amp = shift1(ap_amp, e_amp0)
 
     # exit state of the whole block = exit of last lane (R-1, L-1)
-    exit_i_ref[0, 0] = ap_mode[R - 1, L - 1]
-    exit_i_ref[0, 1] = ap_on[R - 1, L - 1]
-    exit_i_ref[0, 2] = ap_off[R - 1, L - 1]
-    exit_f_ref[0, 0] = ap_amp[R - 1, L - 1]
+    exit_i = (ap_mode[R - 1, L - 1], ap_on[R - 1, L - 1],
+              ap_off[R - 1, L - 1])
+    exit_f = ap_amp[R - 1, L - 1]
 
     # ---- phase B: concrete outputs ----------------------------------------
     def stepB(c, st):
@@ -274,7 +273,25 @@ def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
     jax.lax.fori_loop(0, C, stepB, (st_mode, st_on, st_off, st_amp))
 
     # back to chunk-major linear order, still in VMEM
-    out_ref[...] = os_ref[...].reshape(C, K).T
+    out_kc = os_ref[...].reshape(C, K).T
+    return out_kc, exit_i, exit_f
+
+
+def _kernel(pf_ref, pi_ref, x_ref, out_ref, exit_i_ref, exit_f_ref,
+            xs_ref, os_ref):
+    # x_ref/out_ref are chunk-major [K, C] (= linear sample order: the host
+    # reshape is free).  The [C, R, L] working orientation is built inside
+    # _env_body in VMEM scratch — as XLA ops the same transposes lowered to
+    # full-block HBM relayout copies around the custom call (same finding as
+    # eq_pallas)
+    scal_f = tuple(pf_ref[i] for i in range(6))
+    scal_i = tuple(pi_ref[i] for i in range(3))
+    out_kc, exit_i, exit_f = _env_body(scal_f, scal_i, x_ref[...], xs_ref, os_ref)
+    out_ref[...] = out_kc
+    exit_i_ref[0, 0] = exit_i[0]
+    exit_i_ref[0, 1] = exit_i[1]
+    exit_i_ref[0, 2] = exit_i[2]
+    exit_f_ref[0, 0] = exit_f
 
 
 # largest single-launch block: the kernel keeps ~4 full-block arrays (in,
@@ -303,7 +320,7 @@ def envelope_block_pallas(x, state, params, ms_per_sample, K=None, interpret=Non
         return _jnp.concatenate(outs), state
     if K is None:
         K = pick_lanes_pow2(S)
-    assert K % 8 == 0 and (K & (K - 1)) == 0, K
+    assert K % 8 == 0, K  # shifts handle arbitrary K; 8 sublane rows fixed
     L = K // 8
     C = -(-S // K)
     pad = C * K - S

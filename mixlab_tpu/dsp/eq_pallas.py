@@ -77,10 +77,69 @@ def _lane_tables(a_lo: float, a_hi: float, C: int, K: int):
     return out_pow.astype(np.float32), row_pow.astype(np.float32), tuple(factors)
 
 
+def _eq_body(x_kc, xd_kc, scal, Ts, pow_v, row_v, S: int,
+             f_lo: float, f_hi: float, vsa: float, factors):
+    """Whole-block EqThree as in-kernel values.
+
+    ``x_kc``/``xd_kc`` [K, C] chunk-major values (linear sample order);
+    ``scal(i)`` returns broadcastable scalar i ([poles0(8) stage-major,
+    gains(3)]); ``Ts`` = ([C,C] lo, [C,C] hi) Toeplitz values; ``pow_v``
+    [2, K], ``row_v`` [C, 2] lane/row tables; ``factors`` the Hillis-Steele
+    round factors per band.  Returns (out_kc [K, C] value, poles list of 8
+    [1,1] values stage-major).  Shared by the standalone pallas_call below
+    and the whole-graph kernel (engine/pallas_graph.py)."""
+    K, C = x_kc.shape
+    r0, k0 = (S - 1) % C, (S - 1) // C  # static position of sample S-1
+
+    # the [C, K] working orientation is produced HERE, VMEM-resident — as
+    # XLA ops the same transposes lowered to full-block HBM relayout copies
+    # around the custom call, costing more than the whole kernel
+    x2 = x_kc.T  # [C, K]
+    Bs = [x2 * f_lo + vsa, x2 * f_hi + vsa]
+    Y = [None, None]
+    poles_out = [None] * 8
+    for s in range(4):
+        for b in range(2):
+            pole0 = scal(s * 2 + b)
+            Z = jax.lax.dot_general(
+                Ts[b], Bs[b], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # [C, K]
+            zlast = Z[C - 1 : C, :]  # [1, K]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            carry = zlast
+            step = 1
+            for fct in factors[b]:
+                # lane shift as rotate+mask (Mosaic rejects the
+                # offset-mismatched concat form)
+                rolled = pltpu.roll(carry, step, 1)
+                shifted = jnp.where(lane >= step, rolled, 0.0)
+                carry = carry + jnp.float32(fct) * shifted
+                step *= 2
+            powv = pow_v[b : b + 1, :]  # [1, K]
+            y_end = carry + powv * pole0
+            rolled1 = pltpu.roll(y_end, 1, 1)
+            y_prev = jnp.where(lane >= 1, rolled1, pole0)  # [1, K]
+            # in-chunk pole contribution: a^(i+1) per row (same f64
+            # table the XLA path uses, so in-chunk math is identical)
+            prow = row_v[:, b : b + 1]  # [C, 1]
+            Yb = Z + prow * y_prev
+            # final pole for this stage+band = y at sample S-1
+            poles_out[s * 2 + b] = Yb[r0 : r0 + 1, k0 : k0 + 1]  # [1,1]
+            Y[b] = Yb
+            if s < 3:
+                Bs[b] = Yb * (f_lo if b == 0 else f_hi)
+    lo, hi_lp = Y[0], Y[1]
+    xd2 = xd_kc.T  # [C, K]
+    out_ck = (lo * scal(8) + (hi_lp - lo) * scal(9)
+              + (xd2 - hi_lp) * scal(10))
+    return out_ck.T, poles_out  # back to chunk-major = linear order
+
+
 def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
                  f_lo: float, f_hi: float, vsa: float):
     _, _, factors = _lane_tables(a_lo, a_hi, C, K)
-    r0, k0 = (S - 1) % C, (S - 1) // C  # static position of sample S-1
 
     def kernel(scal_ref, x2_ref, xd2_ref, tlo_ref, thi_ref, pow_ref, row_ref,
                out_ref, poles_ref):
@@ -89,60 +148,72 @@ def _make_kernel(S: int, C: int, K: int, a_lo: float, a_hi: float,
         def scal(i):
             return scal_ref[0:1, i:i + 1]  # [1,1], broadcasts as a scalar
 
-        # inputs arrive chunk-major [K, C] (= linear sample order, so the
-        # host-side reshape is free); the [C, K] working orientation is
-        # produced HERE, VMEM-resident — as XLA ops the same transposes
-        # lowered to three full-block HBM relayout copies around the custom
-        # call (seen as f32[3000,128]{0,1} copies in the flagship HLO),
-        # costing more than the whole kernel
-        x2 = x2_ref[...].T  # [C, K]
-        Bs = [x2 * f_lo + vsa, x2 * f_hi + vsa]
-        Ts = [tlo_ref[...], thi_ref[...]]
-        Y = [None, None]
-        for s in range(4):
-            for b in range(2):
-                pole0 = scal(s * 2 + b)
-                Z = jax.lax.dot_general(
-                    Ts[b], Bs[b], (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )  # [C, K]
-                zlast = Z[C - 1 : C, :]  # [1, K]
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-                carry = zlast
-                step = 1
-                for fct in factors[b]:
-                    # lane shift as rotate+mask (Mosaic rejects the
-                    # offset-mismatched concat form)
-                    rolled = pltpu.roll(carry, step, 1)
-                    shifted = jnp.where(lane >= step, rolled, 0.0)
-                    carry = carry + jnp.float32(fct) * shifted
-                    step *= 2
-                powv = pow_ref[b : b + 1, :]  # [1, K]
-                y_end = carry + powv * pole0
-                rolled1 = pltpu.roll(y_end, 1, 1)
-                y_prev = jnp.where(lane >= 1, rolled1, pole0)  # [1, K]
-                # in-chunk pole contribution: a^(i+1) per row (same f64
-                # table the XLA path uses, so in-chunk math is identical)
-                prow = row_ref[:, b : b + 1]  # [C, 1]
-                Yb = Z + prow * y_prev
-                # final pole for this stage+band = y at sample S-1
-                ps = Yb[r0 : r0 + 1, k0 : k0 + 1]  # [1,1]
-                poles_ref[s * 2 + b : s * 2 + b + 1, :] = jnp.broadcast_to(
-                    ps, (1, poles_ref.shape[1]))
-                Y[b] = Yb
-                if s < 3:
-                    Bs[b] = Yb * (f_lo if b == 0 else f_hi)
-        lo, hi_lp = Y[0], Y[1]
-        xd2 = xd2_ref[...].T  # [C, K]
-        g_lo = scal(8)
-        g_mid = scal(9)
-        g_hi = scal(10)
-        out_ck = (lo * g_lo + (hi_lp - lo) * g_mid
-                  + (xd2 - hi_lp) * g_hi)
-        out_ref[...] = out_ck.T  # back to chunk-major = linear order
+        out_kc, poles = _eq_body(
+            x2_ref[...], xd2_ref[...], scal, (tlo_ref[...], thi_ref[...]),
+            pow_ref[...], row_ref[...], S, f_lo, f_hi, vsa, factors)
+        out_ref[...] = out_kc
+        for i, ps in enumerate(poles):
+            poles_ref[i : i + 1, :] = jnp.broadcast_to(
+                ps, (1, poles_ref.shape[1]))
 
     return kernel
+
+
+def _delay3_kc(x_kc, hist):
+    """In-kernel 3-sample delay of a chunk-major [K, C] value: result[s] =
+    x[s-3] in linear order s = k*C + c, with the first three samples taken
+    from ``hist`` (scalars, oldest first) — the eq's delay line
+    (eq_three.rs:71-79) evaluated without leaving VMEM."""
+    K, C = x_kc.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (K, C), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, C), 0)
+    rl = pltpu.roll(x_kc, 3, 1)          # [k, (c-3) mod C]
+    rr = pltpu.roll(rl, 1, 0)            # previous row for wrapped lanes
+    xd = jnp.where(col >= 3, rl, rr)
+    lin = row * C + col
+    fill = jnp.where(col == 0, hist[0], jnp.where(col == 1, hist[1], hist[2]))
+    return jnp.where(lin >= 3, xd, fill)
+
+
+def make_mega_emit(sample_rate: int):
+    """EqThree's whole-module body for the whole-graph kernel
+    (engine/pallas_graph.py): reuses ``_eq_body`` on the kernel's native
+    [K, 128] layout.  State scalars / exits layout: 8 poles (stage-major)
+    then 3 delay-history samples (oldest first)."""
+    from mixlab_tpu.dsp.eq_three import FREQ_HI, FREQ_LO, VSA, _filter_coeff
+
+    f_lo = _filter_coeff(FREQ_LO, sample_rate)
+    f_hi = _filter_coeff(FREQ_HI, sample_rate)
+    a_lo, a_hi = 1.0 - f_lo, 1.0 - f_hi
+
+    def tables(Sp):
+        C = _CHUNK
+        K = Sp // C
+        T_lo, _, _ = _toeplitz_tables((a_lo, a_lo), C)
+        T_hi, _, _ = _toeplitz_tables((a_hi, a_hi), C)
+        pow_np, row_np, _ = _lane_tables(a_lo, a_hi, C, K)
+        return [T_lo[0], T_hi[0], pow_np, row_np.T.copy()]
+
+    def emit(ctx, ins):
+        x = ctx.expect_mono(ins[0])
+        K, C = x.shape
+        poles = ctx.sf[:8]
+        hist = ctx.sf[8:11]
+        gains = ctx.pf  # 3 linear band gains
+
+        def scal(i):
+            return poles[i] if i < 8 else gains[i - 8]
+
+        xd = _delay3_kc(x, hist)
+        _, _, factors = _lane_tables(a_lo, a_hi, C, K)
+        out, poles_out = _eq_body(
+            x, xd, scal, (ctx.tables[0], ctx.tables[1]),
+            ctx.tables[2], ctx.tables[3], ctx.S, f_lo, f_hi, VSA, factors)
+        f_exits = [p[0, 0] for p in poles_out]
+        f_exits += [x[K - 1, C - 3], x[K - 1, C - 2], x[K - 1, C - 1]]
+        return [out], {}, (f_exits, [])
+
+    return emit, tables
 
 
 # largest single-launch block: the kernel holds ~7 full-block [C,K] arrays

@@ -204,3 +204,24 @@ class EqThreeDef(ModuleDef):
             "hist": new_hist,
         }
         return new_state, [out], {}
+
+    def mega_spec(self, params, cfg, block, connected):
+        from mixlab_tpu.dsp.base import MegaSpec
+        from mixlab_tpu.dsp.eq_pallas import make_mega_emit
+
+        emit, tables = make_mega_emit(cfg.sample_rate)
+
+        def unpack(f, i, old):
+            return {
+                "poles": jnp.stack(f[:8]).reshape(4, 2),
+                "hist": jnp.stack(f[8:11]),
+            }
+
+        return MegaSpec(
+            emit=emit,
+            declare={"taps": [], "exit_f": 11, "exit_i": 0},
+            param_scalars=lambda aux, h: ([aux["gains"]], []),
+            state_scalars=lambda st: ([st["poles"].reshape(-1), st["hist"]], []),
+            tables=tables,
+            unpack=unpack,
+        )

@@ -118,7 +118,11 @@ class CompiledPatch:
 
 
 def compile_patch(
-    ws: Workspace, cfg: EngineConfig, block: BlockSpec, jit: bool = True
+    ws: Workspace,
+    cfg: EngineConfig,
+    block: BlockSpec,
+    jit: bool = True,
+    mega: Optional[bool] = None,
 ) -> CompiledPatch:
     order = ws.run_order()
     # freeze structure
@@ -184,7 +188,22 @@ def compile_patch(
                     buffers[OutputId(mid, i)] = buf
         return new_state, taps
 
-    fn = jax.jit(program) if jit else program
+    # whole-graph Pallas lowering (engine/pallas_graph.py): one custom call
+    # for the kernel region instead of mid-graph calls that split XLA's
+    # streaming fusion.  Auto-engages for qualifying graphs/blocks; the
+    # regular program above is the total fallback.
+    chosen = program
+    if mega is not False:
+        from mixlab_tpu.engine.pallas_graph import build_mega_program
+
+        mega_program = build_mega_program(ws, cfg, block)
+        if mega_program is not None:
+            chosen = mega_program
+        elif mega is True:
+            raise ValueError("mega lowering requested but graph/block "
+                             "does not qualify")
+
+    fn = jax.jit(chosen) if jit else chosen
 
     patch = CompiledPatch(
         cfg=cfg,
@@ -196,4 +215,5 @@ def compile_patch(
         _ext_specs=ext_specs,
     )
     patch._kinds = kinds_by_key
+    patch._mega = chosen is not program
     return patch
