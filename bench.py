@@ -446,11 +446,23 @@ def bench_config5_full_session(seconds=4, reps=3):
     # the default is the separate path with exact u8 blend semantics.
     fused = os.environ.get("MIXLAB_BENCH_FUSED", "0") == "1"
 
-    def video_frame(i):
-        from mixlab_tpu.video.fused import resize_crossfade_roll
+    # MIXLAB_BENCH_YUV=downfirst routes the converter through the planar
+    # integer-downsample-first formulation (colorspace.rgb_planes_to_
+    # yuv420_downfirst); isolated stage benches constant-fold under the
+    # checksum harness, so the A/B lives at full-pipeline level here.
+    downfirst = os.environ.get("MIXLAB_BENCH_YUV", "") == "downfirst"
 
-        rgb = gradient_rgb(960, 540, t=i)
-        y, u, v = rgb_to_yuv420(rgb)
+    def video_frame(i):
+        from mixlab_tpu.video.colorspace import rgb_planes_to_yuv420_downfirst
+        from mixlab_tpu.video.fused import resize_crossfade_roll
+        from mixlab_tpu.video.pattern import gradient_planes
+
+        if downfirst:
+            y, u, v = rgb_planes_to_yuv420_downfirst(
+                *gradient_planes(960, 540, t=i))
+        else:
+            rgb = gradient_rgb(960, 540, t=i)
+            y, u, v = rgb_to_yuv420(rgb)
         if fused:
             y2 = resize_crossfade_roll(y, 1080, 1920, 128)
         else:

@@ -62,7 +62,10 @@ from mixlab_tpu.engine.config import BlockSpec, EngineConfig
 from mixlab_tpu.protocol import InputId, LineType, OutputId
 
 C_GLOBAL = 128  # in-kernel chunk length (= eq's MXU tile edge)
-ALIGN_S = 1024  # launch sizes must be multiples (keeps K a multiple of 8)
+ALIGN_S = 128   # launch sizes must be whole chunks
+# engage only where the standalone eq kernel would: tiny (realtime) blocks
+# are dispatch-bound and keep the proven per-block path
+MIN_S = 8192
 
 # per-launch sample cap.  On-chip sweep on the flagship (tools/ab_mega.py,
 # matched A/B pairs against the regular path): 64Ki (6 launches) ~parity,
@@ -144,7 +147,7 @@ def _select_region(order, entries, connections, cfg, block):
 
 def _partition(S: int) -> Optional[List[Tuple[int, int]]]:
     """Contiguous ALIGN_S-aligned launch ranges, each <= MAX_LAUNCH_S."""
-    if S % ALIGN_S != 0:
+    if S % ALIGN_S != 0 or S < MIN_S:
         return None
     n = max(1, -(-S // MAX_LAUNCH_S))
     base = S // n

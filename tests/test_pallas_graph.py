@@ -132,10 +132,15 @@ def test_disengages_without_eq():
     assert pallas_graph.build_mega_program(ws, CFG, BlockSpec(64)) is None
 
 
-def test_disengages_on_unaligned_block():
-    # 4 ticks * 800 spt = 3200 samples: not ALIGN_S-aligned -> realtime
-    # blocks keep the proven per-block path
-    assert pallas_graph.build_mega_program(_flagship(), CFG, BlockSpec(4)) is None
+def test_disengages_on_small_or_unaligned_block():
+    ws = _flagship()
+    # 4 ticks * 800 spt = 3200 samples < MIN_S -> realtime blocks keep the
+    # proven per-block path
+    assert pallas_graph.build_mega_program(ws, CFG, BlockSpec(4)) is None
+    # 13 ticks = 10400 samples >= MIN_S but not a whole chunk count
+    assert pallas_graph.build_mega_program(ws, CFG, BlockSpec(13)) is None
+    # 60 ticks = 48000 samples = 375 chunks: engages
+    assert pallas_graph.build_mega_program(ws, CFG, BlockSpec(60)) is not None
 
 
 def test_forced_mega_raises_when_unqualified():
