@@ -29,6 +29,7 @@ shim is for (rtmp/mod.rs:260-338 uses ffmpeg there).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -81,6 +82,40 @@ _CHROMA_DC_TOKEN_FLAT = _flatten(_CHROMA_DC_TOKEN_DEC)
 _TOTAL_ZEROS_FLAT = tuple(_flatten(d) for d in _TOTAL_ZEROS_DEC)
 _CHROMA_DC_TZ_FLAT = tuple(_flatten(d) for d in _CHROMA_DC_TZ_DEC)
 _RUN_FLAT = tuple(_flatten(d) for d in _RUN_DEC)
+
+# one packed buffer for the C++ parse twin (mixlab_native.cpp
+# h264_parse_slice): coeff_token 0-3, chroma-DC token, total_zeros 1-15,
+# chroma-DC total_zeros 1-3, run_before 1-7 — layout constants kCT0..kRUN0
+# in the C++ must match this order
+_TABLES_PACKED = b"".join(
+    v + ln
+    for v, ln in (
+        *_COEFF_TOKEN_FLAT,
+        _CHROMA_DC_TOKEN_FLAT,
+        *_TOTAL_ZEROS_FLAT[:15],
+        *_CHROMA_DC_TZ_FLAT,
+        *_RUN_FLAT,
+    )
+)
+assert len(_TABLES_PACKED) == 30 * 2 * 65536
+
+_NATIVE_ERRORS = {
+    -1: "bad prefix code",
+    -2: "level prefix overflow",
+    -3: "truncated I_PCM",
+    -7: "bad Exp-Golomb code",
+    -8: "truncated slice data",
+}
+
+
+def _native_error(code: int, detail: int) -> str:
+    if code == -4:
+        return f"mb_type {detail} unsupported (Intra_16x16/I_PCM only)"
+    if code == -5:
+        return (f"Intra_16x16 prediction mode {detail} unsupported (DC only)")
+    if code == -6:
+        return "chroma prediction mode != DC unsupported"
+    return _NATIVE_ERRORS.get(code, f"native parse error {code}")
 
 # count-leading-zeros over a 16-bit window (16 for the all-zero window)
 _CLZ16_NP = np.full(1 << 16, 16, np.uint8)
@@ -288,26 +323,24 @@ class FastSliceDecoder:
         # accept either a raw BitReader (unescaped data inside) or bytes
         if isinstance(r, (bytes, bytearray)):
             r = BitReader(bytes(r))
-        fb = _FastBits(r.data)
-        fb.pos = r.pos
         sps, pps = self.sps, self.pps
 
-        first_mb = fb.ue()
-        slice_type = fb.ue()
+        first_mb = r.ue()
+        slice_type = r.ue()
         if slice_type % 5 != 2:
             raise H264DecodeError(f"non-I slice {slice_type} unsupported")
-        fb.ue()  # pps id
-        fb.read(sps.log2_max_frame_num)
+        r.ue()  # pps id
+        r.bits(sps.log2_max_frame_num)
         if nal_unit_type == 5:
-            fb.ue()  # idr_pic_id
+            r.ue()  # idr_pic_id
         if sps.poc_type == 0:
-            fb.read(sps.log2_max_poc_lsb)
+            r.bits(sps.log2_max_poc_lsb)
         if nal_unit_type == 5:
-            fb.read(1)
-            fb.read(1)
-        qp = pps.pic_init_qp + fb.se()
+            r.bits(1)
+            r.bits(1)
+        qp = pps.pic_init_qp + r.se()
         if pps.deblocking_control:
-            if fb.ue() != 1:
+            if r.ue() != 1:
                 raise H264DecodeError("deblocking-enabled slice unsupported")
 
         mbw, mbh = self.mbw, self.mbh
@@ -324,6 +357,55 @@ class FastSliceDecoder:
         c_ac = np.zeros((N, 2, 4, 15), np.int64)
         pcm_y = {}
         pcm_c = {}
+
+        mb_addr = None
+        if os.environ.get("MIXLAB_PURE_H264_PYPARSE", "") != "1":
+            mb_addr = self._parse_native(
+                r, first_mb, qp, kinds, qps, l_dc, l_ac, c_dc, c_ac,
+                pcm_y, pcm_c)
+        if mb_addr is None:
+            mb_addr = self._parse_python(
+                r, first_mb, qp, kinds, qps, l_dc, l_ac, c_dc, c_ac,
+                pcm_y, pcm_c)
+
+        if mb_addr != n_total:
+            raise H264DecodeError(
+                f"slice ended after {mb_addr}/{n_total} macroblocks"
+            )
+        self._transform(first_mb, N, kinds, qps, l_dc, l_ac, c_dc, c_ac,
+                        pcm_y, pcm_c)
+
+    def _parse_native(self, r, first_mb, qp, kinds, qps, l_dc, l_ac, c_dc,
+                      c_ac, pcm_y, pcm_c):
+        """C++ pass 1 (mixlab_native.cpp h264_parse_slice), bit-identical to
+        :meth:`_parse_python`; returns None when the library is missing so
+        the caller falls back."""
+        from mixlab_tpu import native
+
+        N = kinds.shape[0]
+        pcm = np.zeros((N, 384), np.uint8)
+        state = np.zeros(3, np.int64)
+        code = native.h264_parse_slice(
+            bytes(r.data) + b"\0" * 8, len(r.data), r.pos, first_mb,
+            self.mbw, self.mbh, qp, _TABLES_PACKED,
+            kinds, qps, l_dc, l_ac, c_dc, c_ac, pcm, state)
+        if code is None:
+            return None
+        if code != 0:
+            raise H264DecodeError(_native_error(code, int(state[2])))
+        r.pos = int(state[0])
+        for i in np.nonzero(kinds)[0]:
+            raw = pcm[i].astype(np.int64)
+            pcm_y[int(i)] = raw[:256].reshape(16, 16)
+            pcm_c[int(i)] = raw[256:].reshape(2, 8, 8)
+        return int(state[1])
+
+    def _parse_python(self, r, first_mb, qp, kinds, qps, l_dc, l_ac, c_dc,
+                      c_ac, pcm_y, pcm_c):
+        fb = _FastBits(r.data)
+        fb.pos = r.pos
+        mbw, mbh = self.mbw, self.mbh
+        n_total = mbw * mbh
 
         # nnz context as plain lists (parse-time only)
         nnz_y = [[-1] * (mbw * 4) for _ in range(mbh * 4)]
@@ -424,10 +506,12 @@ class FastSliceDecoder:
                             nnz_c[ty][tx] = 0
             mb_addr += 1
 
-        if mb_addr != n_total:
-            raise H264DecodeError(
-                f"slice ended after {mb_addr}/{n_total} macroblocks"
-            )
+        r.pos = fb.pos
+        return mb_addr
+
+    def _transform(self, first_mb, N, kinds, qps, l_dc, l_ac, c_dc, c_ac,
+                   pcm_y, pcm_c):
+        mbw, mbh = self.mbw, self.mbh
 
         # ---- pass 2: batched transforms ----------------------------------
         qp6, rem = np.divmod(qps, 6)
@@ -482,7 +566,22 @@ class FastSliceDecoder:
         # just the raw samples)
         pcm_idx = np.nonzero(kinds)[0]
 
-        # ---- pass 2b: wavefront DC prediction ----------------------------
+        # ---- pass 2b: DC prediction + reconstruction ----------------------
+        # native sequential recon when available (mixlab_native.cpp
+        # h264_dc_recon, mirrors the scalar oracle; handles any first_mb);
+        # otherwise the Python anti-diagonal wavefront below
+        if os.environ.get("MIXLAB_PURE_H264_PYPARSE", "") != "1":
+            from mixlab_tpu import native
+
+            pcm_buf = np.zeros((N, 384), np.uint8)
+            for i in pcm_idx:
+                pcm_buf[i, :256] = pcm_y[int(i)].ravel()
+                pcm_buf[i, 256:] = pcm_c[int(i)].ravel()
+            if native.h264_dc_recon(mb_y, mb_c, kinds, pcm_buf,
+                                    first_mb, mbw, mbh,
+                                    self.ry, self.ru, self.rv):
+                return
+
         # DC prediction consumes only neighbor-edge SUMS, so carry running
         # bottom-row/right-col sums per MB and batch each anti-diagonal.
         if first_mb != 0:

@@ -17,17 +17,10 @@ class SpsError(Exception):
 
 class _BitReader:
     def __init__(self, data: bytes):
-        # strip emulation prevention: 00 00 03 xx -> 00 00 xx
-        out = bytearray()
-        i = 0
-        while i < len(data):
-            if i + 2 < len(data) and data[i] == 0 and data[i + 1] == 0 and data[i + 2] == 3:
-                out += data[i : i + 2]
-                i += 3
-            else:
-                out.append(data[i])
-                i += 1
-        self.data = bytes(out)
+        # strip emulation prevention: 00 00 03 xx -> 00 00 xx.  bytes.replace
+        # is leftmost non-overlapping, exactly the scan the spec describes
+        # (each match consumes its three bytes before rescanning).
+        self.data = bytes(data).replace(b"\x00\x00\x03", b"\x00\x00")
         self.pos = 0
 
     def bit(self) -> int:

@@ -69,6 +69,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_uint64, ctypes.c_uint8,
     ]
+    lib.h264_parse_slice.restype = ctypes.c_int64
+    lib.h264_parse_slice.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+    ] + [ctypes.c_void_p] * 8
+    lib.h264_dc_recon.restype = None
+    lib.h264_dc_recon.argtypes = (
+        [ctypes.c_void_p] * 4
+        + [ctypes.c_int64] * 4
+        + [ctypes.c_void_p] * 3
+    )
     _lib = lib
     return lib
 
@@ -157,6 +168,42 @@ def ws_unmask(payload: bytes, mask: bytes) -> bytes:
     buf = np.frombuffer(bytearray(payload), dtype=np.uint8)
     lib.ws_unmask(buf.ctypes.data, buf.size, mask)
     return buf.tobytes()
+
+
+def h264_parse_slice(padded: bytes, n_bytes: int, start_pos: int,
+                     first_mb: int, mbw: int, mbh: int, qp: int,
+                     tables: bytes, kinds: np.ndarray, qps: np.ndarray,
+                     l_dc: np.ndarray, l_ac: np.ndarray, c_dc: np.ndarray,
+                     c_ac: np.ndarray, pcm: np.ndarray,
+                     out_state: np.ndarray) -> Optional[int]:
+    """CAVLC pass-1 slice parse (see mixlab_native.cpp); fills the
+    preallocated coefficient arrays in place.  Returns the C error code
+    (0 = ok), or None when the native library is unavailable (the caller
+    falls back to the Python parse in av/h264dec_fast.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.h264_parse_slice(
+        padded, n_bytes, start_pos, first_mb, mbw, mbh, qp, tables,
+        kinds.ctypes.data, qps.ctypes.data, l_dc.ctypes.data,
+        l_ac.ctypes.data, c_dc.ctypes.data, c_ac.ctypes.data,
+        pcm.ctypes.data, out_state.ctypes.data))
+
+
+def h264_dc_recon(mb_y: np.ndarray, mb_c: np.ndarray, kinds: np.ndarray,
+                  pcm: np.ndarray, first_mb: int, mbw: int, mbh: int,
+                  ry: np.ndarray, ru: np.ndarray, rv: np.ndarray) -> bool:
+    """Sequential DC-prediction reconstruction into the decoder's planes
+    (see mixlab_native.cpp).  Returns False when the native library is
+    unavailable (caller falls back to the Python wavefront)."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.h264_dc_recon(
+        mb_y.ctypes.data, mb_c.ctypes.data, kinds.ctypes.data,
+        pcm.ctypes.data, len(kinds), first_mb, mbw, mbh,
+        ry.ctypes.data, ru.ctypes.data, rv.ctypes.data)
+    return True
 
 
 def crossfade_u8(a: np.ndarray, b: np.ndarray, fade: int) -> np.ndarray:

@@ -115,3 +115,53 @@ def test_env_toggle_routes_scalar(monkeypatch):
 
     y, u, v = decode_annexb_frame(data)
     assert np.array_equal(y, enc.last_recon[0][:32, :32])
+
+
+def test_native_parse_matches_python_parse(monkeypatch):
+    """The C++ pass 1 + recon (mixlab_native h264_parse_slice/h264_dc_recon)
+    and the pure-Python fast path must be bit-identical; the env toggle
+    keeps the Python twin reachable so this differential never rots."""
+    from mixlab_tpu import native
+    from mixlab_tpu.av.h264dec import decode_annexb_frame
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    for qp, size, seed in ((14, (48, 32), 1), (30, (96, 80), 2),
+                           (42, (64, 64), 3)):
+        pic = make_picture(*size, seed=seed)
+        data, _ = annexb_frame(pic, qp)
+        monkeypatch.setenv("MIXLAB_PURE_H264_PYPARSE", "1")
+        py = decode_annexb_frame(data)
+        monkeypatch.delenv("MIXLAB_PURE_H264_PYPARSE")
+        nat = decode_annexb_frame(data)
+        for a, b in zip(py, nat):
+            assert np.array_equal(a, b)
+
+
+def test_native_parse_fuzz_typed_errors():
+    """Byte mutations of a valid stream must either decode or raise the
+    decoder's typed error — never crash or read out of bounds (the C++
+    parser's bounds discipline)."""
+    from mixlab_tpu.av.h264dec import H264DecodeError, decode_annexb_frame
+
+    pic = make_picture(48, 32, seed=9)
+    data, _ = annexb_frame(pic, 24)
+    rng = np.random.default_rng(0)
+    buf = bytearray(data)
+    for _ in range(300):
+        i = int(rng.integers(0, len(buf)))
+        old = buf[i]
+        buf[i] = int(rng.integers(0, 256))
+        try:
+            decode_annexb_frame(bytes(buf))
+        except H264DecodeError:
+            pass
+        except ValueError:
+            pass  # SPS/DCR-level rejects
+        buf[i] = old
+    # truncations of the slice payload
+    for cut in range(1, min(len(data), 200)):
+        try:
+            decode_annexb_frame(data[:-cut])
+        except (H264DecodeError, ValueError):
+            pass
