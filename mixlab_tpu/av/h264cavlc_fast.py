@@ -594,3 +594,88 @@ class FastCavlcIntraEncoder:
         keys, values, nbits = keys[live], values[live], nbits[live]
         order = np.argsort(keys, kind="stable")
         return _pack_bits(values[order], nbits[order])
+
+
+# ---------------------------------------------------------------------------
+# native (C++) encoder — the fastest tier
+# ---------------------------------------------------------------------------
+
+
+def _pack_encoder_tables() -> np.ndarray:
+    """Pack the CAVLC VLC tables into the flat int16 layout consumed by the
+    C++ encoder (mixlab_native.cpp h264enc:: offsets) — h264cavlc.py stays
+    the single source of truth, as with the decoder's packed tables."""
+    from mixlab_tpu.av.h264cavlc import (
+        CHROMA_DC_COEFF_TOKEN_BITS as CDCB,
+        CHROMA_DC_COEFF_TOKEN_LEN as CDCL,
+    )
+
+    parts = [
+        np.asarray(COEFF_TOKEN_BITS, np.int16).ravel(),       # 4*68
+        np.asarray(COEFF_TOKEN_LEN, np.int16).ravel(),
+        np.asarray(CDCB[0], np.int16),                        # 20
+        np.asarray(CDCL[0], np.int16),
+        np.asarray(TOTAL_ZEROS_BITS, np.int16).ravel(),       # 16*16
+        np.asarray(TOTAL_ZEROS_LEN, np.int16).ravel(),
+        np.asarray(CHROMA_DC_TOTAL_ZEROS_BITS, np.int16).ravel(),  # 3*4
+        np.asarray(CHROMA_DC_TOTAL_ZEROS_LEN, np.int16).ravel(),
+        np.asarray(RUN_BITS, np.int16).ravel(),               # 7*16
+        np.asarray(RUN_LEN, np.int16).ravel(),
+    ]
+    packed = np.concatenate(parts)
+    assert packed.size == 1344, packed.size  # kTablesTotal
+    return np.ascontiguousarray(packed)
+
+
+_ENC_TABLES: np.ndarray | None = None
+
+
+class NativeCavlcIntraEncoder:
+    """C++ full-frame encoder (mixlab_native.cpp h264_encode_frame),
+    byte-identical to CavlcIntraEncoder / FastCavlcIntraEncoder; the per-MB
+    serial walk (entropy coding + wavefront recon) runs at C speed instead
+    of as numpy batch algebra.  Raises RuntimeError if the native library
+    is unavailable — use make_cavlc_encoder() for automatic fallback."""
+
+    def __init__(self, qp: int = 28):
+        from mixlab_tpu import native
+
+        if not native.available():
+            raise RuntimeError("native library unavailable")
+        global _ENC_TABLES
+        if _ENC_TABLES is None:
+            _ENC_TABLES = _pack_encoder_tables()
+        self.qp = int(np.clip(qp, 10, 48))
+        qpc_i = int(np.clip(self.qp, 0, 51))
+        self.qpc = qpc_i if qpc_i < 30 else _QPC[qpc_i - 30]
+
+    def encode_frame(self, pic) -> bytes:
+        from mixlab_tpu import native
+        from mixlab_tpu.av.h264enc import BitWriter
+
+        py, pu, pv, mbw, mbh = _pad_planes(pic)
+        py = np.ascontiguousarray(py)
+        pu = np.ascontiguousarray(pu)
+        pv = np.ascontiguousarray(pv)
+        w = BitWriter()
+        _slice_header(w, qp_delta=self.qp - 26)
+        recon_y = np.empty_like(py)
+        recon_u = np.empty_like(pu)
+        recon_v = np.empty_like(pv)
+        rbsp = native.h264_encode_frame(
+            py, pu, pv, mbw, mbh, self.qp, self.qpc,
+            bytes(w.buf), w.acc, w.nbits, _ENC_TABLES,
+            recon_y, recon_u, recon_v)
+        if rbsp is None:  # library vanished after __init__: shouldn't happen
+            raise RuntimeError("native library unavailable")
+        self.last_recon = (recon_y, recon_u, recon_v)
+        return rbsp
+
+
+def make_cavlc_encoder(qp: int = 28):
+    """Fastest available bit-exact CAVLC intra encoder: the C++ full-frame
+    encoder when the native library loads, else the vectorized numpy one."""
+    try:
+        return NativeCavlcIntraEncoder(qp)
+    except RuntimeError:
+        return FastCavlcIntraEncoder(qp)

@@ -247,11 +247,12 @@ class PureH264Stream:
         ).to_bytes()
         self._pending: List[Tuple[bool, bytes]] = []
         if mode == "cavlc":
-            # vectorized two-pass encoder (bit-identical to the scalar
-            # CavlcIntraEncoder; ~9x faster on typical content)
-            from mixlab_tpu.av.h264cavlc_fast import FastCavlcIntraEncoder
+            # fastest bit-exact tier: C++ full-frame encoder when the native
+            # library loads, else the vectorized numpy two-pass encoder
+            # (both byte-identical to the scalar CavlcIntraEncoder)
+            from mixlab_tpu.av.h264cavlc_fast import make_cavlc_encoder
 
-            self._cavlc = FastCavlcIntraEncoder(qp)
+            self._cavlc = make_cavlc_encoder(qp)
 
     def feed(self, pic: Picture):
         if self.mode == "ipcm":

@@ -80,6 +80,15 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64] * 4
         + [ctypes.c_void_p] * 3
     )
+    lib.h264_encode_frame.restype = ctypes.c_int64
+    lib.h264_encode_frame.argtypes = (
+        [ctypes.c_void_p] * 3           # py, pu, pv
+        + [ctypes.c_int64] * 4          # mbw, mbh, qp, qpc
+        + [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64]
+        + [ctypes.c_void_p]             # tables
+        + [ctypes.c_void_p, ctypes.c_int64]  # out, out_cap
+        + [ctypes.c_void_p] * 3         # recon planes
+    )
     _lib = lib
     return lib
 
@@ -204,6 +213,32 @@ def h264_dc_recon(mb_y: np.ndarray, mb_c: np.ndarray, kinds: np.ndarray,
         pcm.ctypes.data, len(kinds), first_mb, mbw, mbh,
         ry.ctypes.data, ru.ctypes.data, rv.ctypes.data)
     return True
+
+
+def h264_encode_frame(py: np.ndarray, pu: np.ndarray, pv: np.ndarray,
+                      mbw: int, mbh: int, qp: int, qpc: int,
+                      hdr_bytes: bytes, hdr_acc: int, hdr_nbits: int,
+                      tables: np.ndarray, recon_y: np.ndarray,
+                      recon_u: np.ndarray, recon_v: np.ndarray
+                      ) -> Optional[bytes]:
+    """Full-frame CAVLC Intra_16x16 encode (see mixlab_native.cpp) —
+    byte-identical to CavlcIntraEncoder.encode_frame.  Planes must be
+    C-contiguous uint8, MB-padded; recon planes are filled in place.
+    Returns the slice RBSP, or None when the native library is unavailable
+    (the caller falls back to the vectorized numpy encoder)."""
+    lib = _load()
+    if lib is None:
+        return None
+    cap = 4096 * mbw * mbh + len(hdr_bytes) + 1024
+    out = np.empty(cap, np.uint8)
+    n = lib.h264_encode_frame(
+        py.ctypes.data, pu.ctypes.data, pv.ctypes.data, mbw, mbh, qp, qpc,
+        hdr_bytes, len(hdr_bytes), hdr_acc, hdr_nbits, tables.ctypes.data,
+        out.ctypes.data, cap,
+        recon_y.ctypes.data, recon_u.ctypes.data, recon_v.ctypes.data)
+    if n < 0:
+        raise RuntimeError("h264_encode_frame: output buffer overflow")
+    return out[:n].tobytes()
 
 
 def crossfade_u8(a: np.ndarray, b: np.ndarray, fade: int) -> np.ndarray:

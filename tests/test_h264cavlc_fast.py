@@ -85,6 +85,53 @@ def test_cavlc_batch_empty_and_single():
     assert n[0, 0] > 0 and (n[0, 1:] == 0).all()
 
 
+def _native_encoder(qp):
+    from mixlab_tpu.av.h264cavlc_fast import NativeCavlcIntraEncoder
+
+    try:
+        return NativeCavlcIntraEncoder(qp)
+    except RuntimeError:
+        pytest.skip("native library unavailable")
+
+
+@pytest.mark.parametrize("kind", ["noise", "flat", "grad", "edges"])
+@pytest.mark.parametrize("qp", [10, 26, 30, 48])
+def test_native_bitexact_vs_fast(kind, qp):
+    """The C++ full-frame encoder is byte-identical to the numpy encoder
+    (itself byte-identical to the scalar oracle) across qps/content/size."""
+    rng = np.random.default_rng(hash((kind, qp, "native")) % (1 << 31))
+    for (w, h) in ((16, 16), (48, 32), (112, 64)):
+        pic = _make(w, h, kind, rng)
+        ref = FastCavlcIntraEncoder(qp).encode_frame(pic)
+        got = _native_encoder(qp).encode_frame(pic)
+        assert ref == got, (kind, qp, w, h)
+
+
+def test_native_bitexact_fuzz_and_recon():
+    # randomized geometries incl. non-multiple-of-16 (MB edge padding)
+    for seed in range(8):
+        rng = np.random.default_rng(1000 + seed)
+        w = int(rng.integers(17, 97))
+        h = int(rng.integers(17, 97))
+        qp = int(rng.integers(10, 49))
+        pic = _make(w - w % 2, h - h % 2, "noise", rng)
+        f = FastCavlcIntraEncoder(qp)
+        n = _native_encoder(qp)
+        assert f.encode_frame(pic) == n.encode_frame(pic), (seed, qp, w, h)
+        for a, b in zip(f.last_recon, n.last_recon):
+            assert np.array_equal(a, b), (seed, qp)
+
+
+def test_make_cavlc_encoder_is_bit_exact_tier():
+    """The factory returns a working encoder whichever tier is available."""
+    from mixlab_tpu.av.h264cavlc_fast import make_cavlc_encoder
+
+    rng = np.random.default_rng(5)
+    pic = _make(48, 32, "grad", rng)
+    enc = make_cavlc_encoder(30)
+    assert enc.encode_frame(pic) == FastCavlcIntraEncoder(30).encode_frame(pic)
+
+
 def test_fast_encoder_through_stream_decodes_independently(tmp_path):
     """PureH264Stream (now on the fast encoder) still decodes in an
     independent decoder with the exact recon."""
