@@ -9,8 +9,9 @@ Backends:
   * ``FileAudioBackend`` — always available: "devices" are WAV files under a
     spool directory; used headless (this image has no sound hardware) and in
     tests.  Ring + lag semantics preserved.
-  * ALSA/portaudio backends can be registered when present (none in this
-    image — documented gating).
+  * ``AlsaAudioBackend`` (alsa_out.py) — real soundcards via libasound when
+    the library is present; validated here against an in-tree fake
+    libasound since no sound stack exists in this image.
 """
 
 from __future__ import annotations
@@ -125,9 +126,24 @@ _BACKEND: Optional[object] = None
 
 
 def get_backend():
+    """Active backend: ``MIXLAB_AUDIO_BACKEND`` selects "alsa" or "file";
+    unset = auto (real soundcard via libasound when it loads, like the
+    reference's cpal default host, else the WAV-file spool)."""
     global _BACKEND
     if _BACKEND is None:
-        _BACKEND = FileAudioBackend()
+        import os
+
+        choice = os.environ.get("MIXLAB_AUDIO_BACKEND", "auto")
+        if choice in ("alsa", "auto"):
+            try:
+                from mixlab_tpu.io_host.alsa_out import AlsaAudioBackend
+
+                _BACKEND = AlsaAudioBackend()
+            except RuntimeError:
+                if choice == "alsa":
+                    raise
+        if _BACKEND is None:
+            _BACKEND = FileAudioBackend()
     return _BACKEND
 
 
