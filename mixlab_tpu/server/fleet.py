@@ -37,6 +37,7 @@ import json
 import logging
 import os
 import socket
+import ssl as ssl_mod
 import subprocess
 import sys
 import time
@@ -62,6 +63,34 @@ def check_token(req, token: Optional[str]) -> bool:
         return True
     auth = req.header("authorization", "")
     return hmac.compare_digest(auth, f"Bearer {token}")
+
+
+class FleetTls:
+    """TLS material for the fleet control plane (ROADMAP "Scale-out"):
+    one cert/key pair per fleet, pinned as the trust root on every peer —
+    controller and agents serve TLS and verify each other against the
+    pinned CA (hostname checks are off: the pin IS the identity, suiting
+    cross-datacenter fleets without a name-issuing CA).  Worker admin
+    traffic stays on loopback HTTP behind the agent.  Combine with the
+    shared-secret token: TLS authenticates the channel, the token the
+    caller."""
+
+    def __init__(self, certfile: str, keyfile: str,
+                 cafile: Optional[str] = None):
+        self.certfile = certfile
+        self.keyfile = keyfile
+        self.cafile = cafile or certfile  # self-signed pin by default
+
+    def server_ctx(self) -> ssl_mod.SSLContext:
+        ctx = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_SERVER)
+        ctx.load_cert_chain(self.certfile, self.keyfile)
+        return ctx
+
+    def client_ctx(self) -> ssl_mod.SSLContext:
+        ctx = ssl_mod.create_default_context(cafile=self.cafile)
+        ctx.check_hostname = False  # pinned CA, not public PKI
+        ctx.verify_mode = ssl_mod.CERT_REQUIRED
+        return ctx
 
 
 # ---------------------------------------------------------------------------
@@ -92,14 +121,21 @@ def decode_checkpoint(blob: bytes) -> dict:
 
 
 async def http_call(url: str, method: str = "GET", body: bytes = b"",
-                    timeout: float = 30.0,
-                    token: Optional[str] = None) -> Tuple[int, bytes]:
-    """Minimal HTTP/1.1 request; returns (status, body)."""
-    assert url.startswith("http://")
-    hostport, _, path = url[len("http://"):].partition("/")
+                    timeout: float = 30.0, token: Optional[str] = None,
+                    ssl_ctx: Optional[ssl_mod.SSLContext] = None
+                    ) -> Tuple[int, bytes]:
+    """Minimal HTTP/1.1 request; returns (status, body).  https:// URLs use
+    ssl_ctx (a FleetTls pinned client context) or default system trust;
+    ssl_ctx is ignored for plain http:// (loopback worker traffic)."""
+    scheme, sep, rest = url.partition("://")
+    assert sep and scheme in ("http", "https"), url
+    hostport, _, path = rest.partition("/")
     host, _, port = hostport.partition(":")
+    tls = (ssl_ctx or ssl_mod.create_default_context()) \
+        if scheme == "https" else None
     reader, writer = await asyncio.wait_for(
-        asyncio.open_connection(host, int(port or 80)), timeout)
+        asyncio.open_connection(host, int(port or (443 if tls else 80)),
+                                ssl=tls), timeout)
     try:
         auth = f"Authorization: Bearer {token}\r\n" if token else ""
         head = (f"{method} /{path} HTTP/1.1\r\nHost: {hostport}\r\n{auth}"
@@ -138,8 +174,11 @@ class HostAgent:
     def __init__(self, host_id: str, data_dir: Path, bind: str = "127.0.0.1",
                  python: str = sys.executable, spawn_timeout: float = 300.0,
                  respawn_interval: Optional[float] = None,
-                 token: Optional[str] = None):
+                 token: Optional[str] = None,
+                 tls: Optional[FleetTls] = None):
         self.token = token
+        self.tls = tls
+        self._client_ssl = tls.client_ctx() if tls else None
         self.host_id = host_id
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
@@ -378,9 +417,11 @@ class HostAgent:
             pass
 
     async def serve(self, port: int = 0):
-        server = await asyncio.start_server(self.handle, self.bind, port)
-        self.url = "http://%s:%d" % (self.bind,
-                                     server.sockets[0].getsockname()[1])
+        server = await asyncio.start_server(
+            self.handle, self.bind, port,
+            ssl=self.tls.server_ctx() if self.tls else None)
+        self.url = "%s://%s:%d" % ("https" if self.tls else "http", self.bind,
+                                   server.sockets[0].getsockname()[1])
         if self.respawn_interval:
             self._watchdog_task = asyncio.ensure_future(self._watchdog())
         return server
@@ -415,9 +456,12 @@ class HostAgent:
 
 
 class FleetController:
-    def __init__(self, bind: str = "127.0.0.1", token: Optional[str] = None):
+    def __init__(self, bind: str = "127.0.0.1", token: Optional[str] = None,
+                 tls: Optional[FleetTls] = None):
         self.bind = bind
         self.token = token
+        self.tls = tls
+        self._client_ssl = tls.client_ctx() if tls else None
         self.agents: Dict[str, dict] = {}  # host_id -> {url, last_seen}
         self.assignments: Dict[str, str] = {}  # workspace key -> host_id
         self._place_lock = asyncio.Lock()  # serialize placement decisions
@@ -442,7 +486,8 @@ class FleetController:
             return None
         try:
             status, body = await http_call(agent["url"] + "/health",
-                                           timeout=5.0, token=self.token)
+                                           timeout=5.0, token=self.token,
+                                           ssl_ctx=self._client_ssl)
             return json.loads(body) if status == 200 else None
         except (OSError, asyncio.TimeoutError, asyncio.IncompleteReadError):
             return None
@@ -483,7 +528,7 @@ class FleetController:
         # tunnel) — the spawn call must outlive the agent's spawn_timeout
         status, body = await http_call(
             self.agents[host_id]["url"] + f"/spawn/{key}", "POST",
-            timeout=330.0, token=self.token)
+            timeout=330.0, token=self.token, ssl_ctx=self._client_ssl)
         if status != 200:
             raise RuntimeError(f"spawn on {host_id} failed: {body!r}")
         return json.loads(body)
@@ -516,12 +561,12 @@ class FleetController:
             return await self.route(key)
         status, blob = await http_call(
             self.agents[src]["url"] + f"/export/{key}", timeout=330.0,
-            token=self.token)
+            token=self.token, ssl_ctx=self._client_ssl)
         if status != 200:
             raise RuntimeError(f"export from {src} failed")
         status, body = await http_call(
             self.agents[to_host]["url"] + f"/import/{key}", "POST", blob,
-            timeout=330.0, token=self.token)
+            timeout=330.0, token=self.token, ssl_ctx=self._client_ssl)
         if status != 200:
             raise RuntimeError(f"import on {to_host} failed: {body!r}")
         self.assignments[key] = to_host
@@ -590,9 +635,11 @@ class FleetController:
             pass
 
     async def serve(self, port: int = 0):
-        server = await asyncio.start_server(self.handle, self.bind, port)
-        self.url = "http://%s:%d" % (self.bind,
-                                     server.sockets[0].getsockname()[1])
+        server = await asyncio.start_server(
+            self.handle, self.bind, port,
+            ssl=self.tls.server_ctx() if self.tls else None)
+        self.url = "%s://%s:%d" % ("https" if self.tls else "http", self.bind,
+                                   server.sockets[0].getsockname()[1])
         return server
 
 
@@ -630,12 +677,19 @@ def main(argv=None):
     a.add_argument("--data", required=True)
     a.add_argument("--listen", default="127.0.0.1:0")
     a.add_argument("--token", default=os.environ.get("MIXLAB_FLEET_TOKEN"))
+    for sp in (c, a):
+        sp.add_argument("--tls-cert", default=os.environ.get("MIXLAB_FLEET_TLS_CERT"))
+        sp.add_argument("--tls-key", default=os.environ.get("MIXLAB_FLEET_TLS_KEY"))
+        sp.add_argument("--tls-ca", default=os.environ.get("MIXLAB_FLEET_TLS_CA"))
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
+    tls = (FleetTls(args.tls_cert, args.tls_key, args.tls_ca)
+           if args.tls_cert and args.tls_key else None)
 
     async def run_controller():
         host, _, port = args.listen.rpartition(":")
-        ctl = FleetController(bind=host or "127.0.0.1", token=args.token)
+        ctl = FleetController(bind=host or "127.0.0.1", token=args.token,
+                              tls=tls)
         server = await ctl.serve(int(port))
         log.info("fleet controller on %s", ctl.url)
         async with server:
@@ -645,20 +699,22 @@ def main(argv=None):
         host, _, port = args.listen.rpartition(":")
         agent = HostAgent(args.host_id, Path(args.data),
                           bind=host or "127.0.0.1", respawn_interval=5.0,
-                          token=args.token)
+                          token=args.token, tls=tls)
         server = await agent.serve(int(port))
         log.info("host agent %s on %s", args.host_id, agent.url)
         await http_call(args.controller + "/register", "POST",
                         json.dumps({"host_id": args.host_id,
                                     "url": agent.url}).encode(),
-                        token=args.token)
+                        token=args.token,
+                        ssl_ctx=agent._client_ssl)
         async with server:
             while True:
                 await asyncio.sleep(HEARTBEAT_TTL / 3)
                 try:
                     await http_call(args.controller + "/heartbeat", "POST",
                                     json.dumps({"host_id": args.host_id}).encode(),
-                                    token=args.token)
+                                    token=args.token,
+                                    ssl_ctx=agent._client_ssl)
                 except (OSError, asyncio.TimeoutError):
                     log.warning("controller unreachable")
 

@@ -380,3 +380,84 @@ def test_agent_health_full_scrapes_worker_sessions(tmp_path):
         await srv.wait_closed()
 
     asyncio.run(go())
+
+
+def _make_cert(tmp_path, name):
+    """Self-signed cert+key with a 127.0.0.1 SAN via the openssl CLI."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:
+        pytest.skip("openssl unavailable")
+    cert = tmp_path / f"{name}.crt"
+    key = tmp_path / f"{name}.key"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=mixlab-fleet",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True, timeout=120)
+    return str(cert), str(key)
+
+
+def test_fleet_tls_pinned_control_plane(tmp_path):
+    """TLS on the fleet control plane (ROADMAP "Scale-out"): controller and
+    agent serve https with a fleet cert; clients verify against the pinned
+    CA.  Plain HTTP and wrong-CA clients are rejected at the channel layer;
+    the pinned client with the bearer token drives registration, placement,
+    and worker spawn end to end."""
+    import ssl
+
+    from mixlab_tpu.server.fleet import FleetTls
+
+    cert, key = _make_cert(tmp_path, "fleet")
+    other_cert, _ = _make_cert(tmp_path, "other")
+    tls = FleetTls(cert, key)
+
+    async def go():
+        ctl = FleetController(token="s3cret", tls=tls)
+        ctl_server = await ctl.serve()
+        agent = HostAgent("host-t", tmp_path / "t", token="s3cret", tls=tls)
+        agent_server = await agent.serve()
+        assert ctl.url.startswith("https://")
+        assert agent.url.startswith("https://")
+        ctx = tls.client_ctx()
+        try:
+            # plain-HTTP client against the TLS port fails at the channel
+            with pytest.raises((ssl.SSLError, ConnectionError,
+                                asyncio.IncompleteReadError,
+                                asyncio.TimeoutError)):
+                await http_call("http" + ctl.url[len("https"):] + "/fleet",
+                                token="s3cret", timeout=3.0)
+            # a client pinning a DIFFERENT CA refuses the server cert
+            wrong = FleetTls(other_cert, other_cert).client_ctx()
+            with pytest.raises(ssl.SSLError):
+                await http_call(ctl.url + "/fleet", token="s3cret",
+                                ssl_ctx=wrong, timeout=3.0)
+            # pinned client + token: register, then place a workspace
+            status, _ = await http_call(
+                ctl.url + "/register", "POST",
+                json.dumps({"host_id": "host-t",
+                            "url": agent.url}).encode(),
+                token="s3cret", ssl_ctx=ctx)
+            assert status == 200
+            # TLS alone is not enough: the bearer token is still enforced
+            status, _ = await http_call(ctl.url + "/fleet", ssl_ctx=ctx)
+            assert status == 401
+            status, body = await http_call(
+                ctl.url + "/workspaces/wtls", "POST",
+                token="s3cret", ssl_ctx=ctx, timeout=330.0)
+            assert status == 200
+            placed = json.loads(body)
+            assert placed["host"] == "host-t"
+            # the worker itself is loopback http behind the agent
+            assert placed["url"].startswith("http://")
+            status, body = await http_call(placed["url"] + "/_metrics",
+                                           timeout=10.0)
+            assert status == 200
+        finally:
+            ctl_server.close()
+            agent_server.close()
+            await agent.shutdown()
+
+    asyncio.run(go())
