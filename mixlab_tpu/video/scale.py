@@ -148,6 +148,92 @@ def _resize_matrix_i8_from(W: np.ndarray):
     return Wq, dequant, offset, bound
 
 
+@functools.lru_cache(maxsize=256)
+def _banded_blocks_i8(n_in: int, n_out: int, block: int = 0):
+    """Block-banded form of the quantized resize matrix.
+
+    The dense [n_out, n_in] bicubic matrix is banded (each output row reads
+    ~4 neighboring inputs), so an output block of ``block`` rows touches only
+    a short input window.  Batching per-block [block, K] x [K, ...] matmuls
+    keeps the work on the MXU (the round-2 lesson: VPU polyphase loses) while
+    cutting the contraction from n_in to K — fewer MACs by n_in/K.  The
+    zero columns inside each window contribute exactly 0 to the s32
+    accumulator, so results are BIT-IDENTICAL to the dense int8 path
+    (asserted in tests/test_video.py).
+
+    MEASURED NEGATIVE RESULT (round 3, tools/ab_banded_resize.py, 3
+    interleaved pairs on chip): 112 vs 18 us/frame at config5's geometry —
+    6x SLOWER than dense despite 3.4x fewer MACs.  The overlapping-window
+    stack materializes a relayout copy and the K~136 contraction underfills
+    the 128x128 systolic tiles; the dense matmul amortizes both.  This
+    extends the round-2 rule (BENCH_NOTES "video resize roofline"): on this
+    chip, prefer the dense MXU formulation even at ~100x FLOP redundancy.
+    Kept opt-in (MIXLAB_RESIZE_BANDED=1) as the tested negative result;
+    bit-exactness vs dense is asserted in tests/test_video.py.
+
+    Returns (Wb int8 [nb, block, K], starts tuple, K) or None when the band
+    is too wide to save meaningful work (e.g. heavy minification)."""
+    Wq, _, _, _ = _resize_matrix_i8(n_in, n_out)
+    if block == 0:  # small outputs waste less on last-block padding at 128
+        block = 256 if n_out >= 1024 else 128
+    nb = -(-n_out // block)
+    starts = []
+    K = 0
+    for b in range(nb):
+        rows = Wq[b * block : min((b + 1) * block, n_out)]
+        nz = np.nonzero((rows != 0).any(axis=0))[0]
+        lo, hi = (int(nz[0]), int(nz[-1]) + 1) if len(nz) else (0, 1)
+        starts.append(lo)
+        K = max(K, hi - lo)
+    K = min(n_in, -(-K // 8) * 8)  # sublane-aligned window
+    if nb * block * K >= 0.6 * n_out * n_in:
+        return None  # band too wide: dense is at least as good
+    starts = [min(s, n_in - K) for s in starts]
+    Wb = np.zeros((nb, block, K), np.int8)
+    for b, s in enumerate(starts):
+        rows = Wq[b * block : min((b + 1) * block, n_out)]
+        Wb[b, : rows.shape[0]] = rows[:, s : s + K]
+    return Wb, tuple(starts), K
+
+
+def _banded_enabled() -> bool:
+    import os
+
+    # default OFF: measured 6x slower than dense on chip (see
+    # _banded_blocks_i8 docstring); opt-in for re-measurement
+    return os.environ.get("MIXLAB_RESIZE_BANDED", "0") == "1"
+
+
+def _int8_rows_matmul(xc, n_out: int):
+    """s8 row-pass accumulator [n_out, W] s32: banded when profitable."""
+    n_in = xc.shape[0]
+    banded = _banded_blocks_i8(n_in, n_out) if _banded_enabled() else None
+    if banded is None:
+        Wq, _, _, _ = _resize_matrix_i8(n_in, n_out)
+        return jnp.einsum("oi,iw->ow", jnp.asarray(Wq), xc,
+                          preferred_element_type=jnp.int32)
+    Wb, starts, K = banded
+    xb = jnp.stack([xc[s : s + K, :] for s in starts])
+    acc = jnp.einsum("brk,bkw->brw", jnp.asarray(Wb), xb,
+                     preferred_element_type=jnp.int32)
+    return acc.reshape(-1, xc.shape[1])[:n_out]
+
+
+def _int8_cols_matmul(xc, n_out: int):
+    """s8 col-pass accumulator [H, n_out] s32: banded when profitable."""
+    n_in = xc.shape[1]
+    banded = _banded_blocks_i8(n_in, n_out) if _banded_enabled() else None
+    if banded is None:
+        Wq, _, _, _ = _resize_matrix_i8(n_in, n_out)
+        return jnp.einsum("hw,ow->ho", xc, jnp.asarray(Wq),
+                          preferred_element_type=jnp.int32)
+    Wb, starts, K = banded
+    xb = jnp.stack([xc[:, s : s + K] for s in starts])
+    acc = jnp.einsum("bhk,brk->bhr", xb, jnp.asarray(Wb),
+                     preferred_element_type=jnp.int32)
+    return acc.transpose(1, 0, 2).reshape(xc.shape[0], -1)[:, :n_out]
+
+
 def _resize_plane_int8(plane, out_h: int, out_w: int):
     """Two int8 MXU matmuls (s8 x s8 -> s32 at 2x the bf16 rate on v5e/v6e).
 
@@ -161,9 +247,7 @@ def _resize_plane_int8(plane, out_h: int, out_w: int):
     mid_scale = 1.0  # intermediate units per original pixel unit
     if in_h != out_h:
         Wq, dq, off, bound = _resize_matrix_i8(in_h, out_h)
-        acc = jnp.einsum(
-            "oi,iw->ow", jnp.asarray(Wq), xc, preferred_element_type=jnp.int32
-        )
+        acc = _int8_rows_matmul(xc, out_h)
         y = acc.astype(jnp.float32) * dq[:, None] + (off[:, None] - 128.0)
         if in_w == out_w:
             return jnp.clip(jnp.round(y) + 128.0, 0, 255).astype(jnp.uint8)
@@ -174,9 +258,7 @@ def _resize_plane_int8(plane, out_h: int, out_w: int):
         mid_scale = 127.0 / bound
         xc = jnp.clip(jnp.round(y * mid_scale), -127, 127).astype(jnp.int8)
     Wq, dq, off, _ = _resize_matrix_i8(in_w, out_w)
-    acc = jnp.einsum(
-        "hw,ow->ho", xc, jnp.asarray(Wq), preferred_element_type=jnp.int32
-    )
+    acc = _int8_cols_matmul(xc, out_w)
     y = acc.astype(jnp.float32) * (dq[None, :] / mid_scale) + off[None, :]
     return jnp.clip(jnp.round(y), 0, 255).astype(jnp.uint8)
 

@@ -393,3 +393,25 @@ def test_downfirst_colorspace_bound():
         d = np.abs(pa - pb)
         assert d.max() <= 1
         assert (d != 0).mean() < 0.02
+
+
+def test_resize_banded_bit_exact_vs_dense(monkeypatch):
+    """The block-banded int8 resize (a measured-slower opt-in; see
+    scale._banded_blocks_i8) is BIT-identical to the dense path: the band's
+    zero columns contribute exactly 0 to the s32 accumulator."""
+    import numpy as np
+
+    from mixlab_tpu.video import scale
+
+    rng = np.random.default_rng(11)
+    for (ih, iw, oh, ow) in [(540, 960, 1080, 1920), (353, 561, 700, 1120),
+                             (270, 480, 540, 960)]:
+        x = jnp.asarray(rng.integers(0, 256, (ih, iw), dtype=np.uint8))
+        monkeypatch.setenv("MIXLAB_RESIZE_BANDED", "0")
+        dense = np.asarray(scale._resize_plane_int8(x, oh, ow))
+        monkeypatch.setenv("MIXLAB_RESIZE_BANDED", "1")
+        banded = np.asarray(scale._resize_plane_int8(x, oh, ow))
+        assert np.array_equal(dense, banded), (ih, iw, oh, ow)
+        # the banded form actually engaged on at least one axis
+        assert (scale._banded_blocks_i8(ih, oh) is not None
+                or scale._banded_blocks_i8(iw, ow) is not None)
