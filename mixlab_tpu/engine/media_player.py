@@ -93,6 +93,16 @@ class MediaPlayer(threading.Thread):
         if header[:2] == b"\xff\xd8":
             self._run_jpeg_still()
             return
+        if len(header) >= 8 and header[4:8] in (b"ftyp", b"styp", b"moov"):
+            from mixlab_tpu.native import avshim
+
+            # the shim demuxes MP4 with full codec support (incl. AAC);
+            # the pure demux+decode path is the zero-dependency fallback
+            if avshim.available():
+                self._run_shim()
+            else:
+                self._run_mp4()
+            return
         try:
             fmt, data_off, data_size = parse_header(header)
         except WavError as e:
@@ -385,6 +395,133 @@ class MediaPlayer(threading.Thread):
                 if self.feed.push_video(MediaTime(t), frame, block=True,
                                         timeout=0.25):
                     break
+
+    def _run_mp4(self):
+        """Codec-free MP4 playback: pure demux (av/mp4read.py) + pure
+        decoders — H.264 video via av/h264dec.py, FLAC-in-MP4 audio via
+        av/flacdec.py.  The shim path handles MP4 whenever libavformat
+        exists; this is the zero-dependency fallback, covering the pure
+        encoder's own recordings end to end.  AAC audio is skipped with a
+        warning (its normative Huffman codebooks cannot be re-derived —
+        ROADMAP 'Capability'); out-of-scope H.264 shapes raise typed
+        errors, never mis-decode."""
+        from fractions import Fraction
+
+        from mixlab_tpu.av.h264dec import H264DecodeError, PureH264Decoder
+        from mixlab_tpu.av.flacdec import FlacDecoder, FlacError
+        from mixlab_tpu.av.mp4read import Mp4Error, Mp4Reader
+        from mixlab_tpu.io_host.throttle import MediaThrottle
+        from mixlab_tpu.utils.mtime import MediaDuration, MediaTime
+        from mixlab_tpu.video.frame import Picture, PictureSettings, VideoFrame
+
+        self.stream.seek(0)
+        data = bytearray()
+        while True:
+            chunk = self.stream.read(1 << 20)
+            if not chunk:
+                break
+            data += chunk
+        try:
+            r = Mp4Reader(bytes(data))
+        except Mp4Error as e:
+            log.warning("media_source: bad mp4: %s", e)
+            return
+        vt = r.video_track()
+        at = r.audio_track()
+        video_ok = vt is not None and vt.codec == "h264"
+        audio_ok = at is not None and at.codec == "flac"
+        if at is not None and not audio_ok:
+            log.warning(
+                "media_source: pure tier cannot decode %s audio "
+                "(no codec shim in this image); playing video only",
+                at.codec)
+        if vt is not None and not video_ok:
+            log.warning("media_source: pure tier cannot decode %s video",
+                        vt.codec)
+        if not video_ok and not audio_ok:
+            log.warning("media_source: no decodable tracks in mp4")
+            return
+
+        events = []
+        if video_ok:
+            for i, s in enumerate(vt.samples):
+                nxt = (vt.samples[i + 1].dts - s.dts
+                       if i + 1 < len(vt.samples) else 0)
+                events.append((Fraction(s.cts, vt.timescale), "video", s,
+                               Fraction(max(nxt, 1), vt.timescale)))
+        if audio_ok:
+            for s in at.samples:
+                events.append((Fraction(s.dts, at.timescale), "audio", s,
+                               Fraction(0)))
+        events.sort(key=lambda e: (e[0], e[1]))
+        if not events:
+            return
+
+        vdec = PureH264Decoder(vt.dcr) if video_ok else None
+        fdec = FlacDecoder(at.streaminfo) if audio_ok else None
+        a_rate = fdec.sample_rate if audio_ok else self.cfg.sample_rate
+        throttle = MediaThrottle()
+        epoch = Fraction(0)
+        while not self._stop_evt.is_set():
+            resample_ctx = None
+            carry = np.zeros((0, 2), dtype=np.float32)
+            end = Fraction(0)
+            for t0, kind, s, dur in events:
+                if self._stop_evt.is_set():
+                    return
+                t = epoch + t0
+                throttle.wait_until(MediaTime(t))
+                try:
+                    payload = r.sample_data(s)
+                    if kind == "audio":
+                        pcm32, _ = fdec.decode_frame(payload)
+                        end = max(end, t0 + Fraction(len(pcm32), a_rate))
+                        pcm = pcm32.astype(np.float32) / 32768.0
+                        if pcm.shape[1] == 1:
+                            pcm = np.repeat(pcm, 2, axis=1)
+                        pcm = pcm[:, :2]
+                        if a_rate != self.cfg.sample_rate:
+                            _, M, _ = design(a_rate, self.cfg.sample_rate)
+                            buf = np.concatenate([carry, pcm])
+                            usable = len(buf) - (len(buf) % M)
+                            carry = buf[usable:]
+                            if usable == 0:
+                                continue
+                            if resample_ctx is None:
+                                resample_ctx = np.zeros(
+                                    (context_len(a_rate,
+                                                 self.cfg.sample_rate), 2),
+                                    dtype=np.float32)
+                            out, resample_ctx = resample_block_np(
+                                buf[:usable], resample_ctx, a_rate,
+                                self.cfg.sample_rate)
+                        else:
+                            out = pcm
+                        while not self._stop_evt.is_set():
+                            if self.feed.push_block(out, block=True,
+                                                    timeout=0.25):
+                                break
+                    else:
+                        frames = vdec.decode(payload)
+                        end = max(end, t0 + dur)
+                        for _, y, u, v in frames:
+                            h, w = y.shape
+                            pic = Picture(PictureSettings(w, h),
+                                          _upload_planes(y, u, v))
+                            frame = VideoFrame(
+                                picture=pic,
+                                duration_hint=MediaDuration(dur))
+                            while not self._stop_evt.is_set():
+                                if self.feed.push_video(MediaTime(t), frame,
+                                                        block=True,
+                                                        timeout=0.25):
+                                    break
+                except (H264DecodeError, FlacError) as e:
+                    log.warning("media_source: pure mp4 decode failed: %s", e)
+                    return
+            if end == 0:
+                return  # nothing played: don't spin
+            epoch += end  # loop with epoch accumulation
 
     def _run_shim(self):
         """Any-container playback through the ffmpeg-libs shim
