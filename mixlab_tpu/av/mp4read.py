@@ -33,6 +33,17 @@ class Mp4Error(Exception):
     pass
 
 
+# sanity cap on any declared entry/sample count: a corrupt 32-bit count
+# field must not become a multi-GB allocation (adversarial uploads)
+_MAX_ENTRIES = 1 << 24
+
+
+def _check_count(n: int, what: str) -> int:
+    if n < 0 or n > _MAX_ENTRIES:
+        raise Mp4Error(f"unreasonable {what} count {n}")
+    return n
+
+
 def _boxes(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
     """Yield (fourcc, payload_start, payload_end) for boxes in [start, end)."""
     at = start
@@ -177,12 +188,12 @@ def _parse_stbl(data: bytes, s: int, e: int, t: TrackInfo):
             _parse_stsd_entry(data, ps + 4, be, t)
         elif kind == b"stts":
             _, _, ps = _full(data, bs)
-            (n,) = struct.unpack_from(">I", data, ps)
+            n = _check_count(struct.unpack_from(">I", data, ps)[0], "stts")
             vals = _u32s(data, ps + 4, 2 * n)
             stts = [(vals[2 * i], vals[2 * i + 1]) for i in range(n)]
         elif kind == b"ctts":
             ver, _, ps = _full(data, bs)
-            (n,) = struct.unpack_from(">I", data, ps)
+            n = _check_count(struct.unpack_from(">I", data, ps)[0], "ctts")
             for i in range(n):
                 cnt = struct.unpack_from(">I", data, ps + 4 + 8 * i)[0]
                 off = struct.unpack_from(
@@ -190,23 +201,24 @@ def _parse_stbl(data: bytes, s: int, e: int, t: TrackInfo):
                 ctts.append((cnt, off))
         elif kind == b"stsc":
             _, _, ps = _full(data, bs)
-            (n,) = struct.unpack_from(">I", data, ps)
+            n = _check_count(struct.unpack_from(">I", data, ps)[0], "stsc")
             vals = _u32s(data, ps + 4, 3 * n)
             stsc = [tuple(vals[3 * i : 3 * i + 3]) for i in range(n)]
         elif kind == b"stsz":
             _, _, ps = _full(data, bs)
             uniform, n = struct.unpack_from(">II", data, ps)
+            _check_count(n, "stsz")
             sizes = [uniform] * n if uniform else list(_u32s(data, ps + 8, n))
         elif kind in (b"stco", b"co64"):
             _, _, ps = _full(data, bs)
-            (n,) = struct.unpack_from(">I", data, ps)
+            n = _check_count(struct.unpack_from(">I", data, ps)[0], "stco")
             if kind == b"stco":
                 chunk_offsets = list(_u32s(data, ps + 4, n))
             else:
                 chunk_offsets = list(struct.unpack_from(f">{n}Q", data, ps + 4))
         elif kind == b"stss":
             _, _, ps = _full(data, bs)
-            (n,) = struct.unpack_from(">I", data, ps)
+            n = _check_count(struct.unpack_from(">I", data, ps)[0], "stss")
             sync = set(_u32s(data, ps + 4, n))
 
     if not sizes:
@@ -216,12 +228,14 @@ def _parse_stbl(data: bytes, s: int, e: int, t: TrackInfo):
     dts_list: List[int] = []
     tdts = 0
     for count, delta in stts:
+        _check_count(len(dts_list) + count, "stts expansion")
         for _ in range(count):
             dts_list.append(tdts)
             tdts += delta
     # composition offsets
     cts_list: List[int] = []
     for count, off in ctts:
+        _check_count(len(cts_list) + count, "ctts expansion")
         cts_list.extend([off] * count)
     # chunk map: stsc runs give samples-per-chunk from each first_chunk on
     n_chunks = len(chunk_offsets)
@@ -273,11 +287,18 @@ class Mp4Reader:
     def __init__(self, data: bytes):
         self.data = data
         self.tracks: Dict[int, TrackInfo] = {}
-        moov = _find(data, 0, len(data), b"moov")
-        if moov is None:
-            raise Mp4Error("no moov box")
-        self._parse_moov(*moov)
-        self._parse_fragments()
+        try:
+            moov = _find(data, 0, len(data), b"moov")
+            if moov is None:
+                raise Mp4Error("no moov box")
+            self._parse_moov(*moov)
+            self._parse_fragments()
+        except Mp4Error:
+            raise
+        except (struct.error, IndexError, AttributeError, TypeError) as e:
+            # adversarial input discipline (tests/test_codec_fuzz.py):
+            # truncated/corrupt tables surface as the typed error
+            raise Mp4Error(f"corrupt mp4 structure: {e}") from e
 
     # -- init / progressive ---------------------------------------------------
 
@@ -383,7 +404,7 @@ class Mp4Reader:
             if kind != b"trun":
                 continue
             ver, tflags, tp = _full(d, bs)
-            (count,) = struct.unpack_from(">I", d, tp)
+            count = _check_count(struct.unpack_from(">I", d, tp)[0], "trun")
             tp += 4
             at = base
             if tflags & _TRUN_DATA_OFFSET:

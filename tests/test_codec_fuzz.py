@@ -188,3 +188,54 @@ def test_flac_decoder_survives_garbage_and_corruption():
             assert pcm.dtype == np.int32
         except (FlacError, ValueError, IndexError):
             pass
+
+
+def test_mp4_reader_survives_garbage_and_corruption():
+    """Mp4Reader (av/mp4read.py) parses media-library uploads: garbage,
+    truncations, and bit flips must raise Mp4Error or parse cleanly —
+    never an unexpected exception class (struct.error, IndexError...)."""
+    from mixlab_tpu.av import mp4
+    from mixlab_tpu.av.mp4read import Mp4Error, Mp4Reader
+
+    for blob in _random_blobs(20, 2048):
+        try:
+            Mp4Reader(blob)
+        except Mp4Error:
+            pass
+
+    # seed: a real fMP4 from our own mux (init + a few fragments)
+    params = mp4.Mp4Params(
+        timescale=48000, width=64, height=48,
+        dcr=b"\x01\x42\xc0\x28\xff\xe1\x00\x02\x67\x42\x01\x00\x01\x68",
+        sample_rate=48000, channels=2, audio_codec="flac",
+        flac_streaminfo_block=bytes(34),
+    )
+    mux, seed = mp4.Mp4Mux.create(params)
+    from mixlab_tpu.utils.mtime import MediaDuration
+
+    for k in range(3):
+        seed += mux.write_track(MediaDuration.new(1024, 48000),
+                                mp4.FlacFrame(b"\xffhello" + bytes([k]) * 20))
+    seed = bytes(seed)
+    Mp4Reader(seed)  # sanity: the seed itself parses
+
+    for cut in (1, 7, 17, len(seed) // 3, len(seed) - 3):
+        try:
+            Mp4Reader(seed[:cut])
+        except Mp4Error:
+            pass
+    for i in range(60):
+        pos = int(RNG.integers(0, len(seed)))
+        bit = 1 << int(RNG.integers(0, 8))
+        mutated = bytearray(seed)
+        mutated[pos] ^= bit
+        try:
+            r = Mp4Reader(bytes(mutated))
+            for t in r.tracks.values():
+                for s in t.samples[:8]:
+                    try:
+                        r.sample_data(s)
+                    except Mp4Error:
+                        pass
+        except Mp4Error:
+            pass
