@@ -1,19 +1,24 @@
-"""Pure-Python baseline JPEG decoder (ITU-T T.81, sequential DCT, Huffman).
+"""Pure-Python JPEG decoder (ITU-T T.81, Huffman DCT).
 
 Capability layer for media_source stills / MJPEG without codec libraries
 (the reference decodes images and MJPEG via ffmpeg, ``src/module/
 media_source.rs:185-292``; the preferred tier here is the libavcodec shim,
 this is the zero-dependency fallback alongside av/y4m.py).
 
-Scope: baseline sequential (SOF0) and extended sequential (SOF1) 8-bit,
-grayscale or YCbCr with any of the common samplings (4:4:4, 4:2:2, 4:2:0),
-restart markers, multiple scans NOT supported (progressive SOF2 raises).
+Scope: baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2)
+8-bit, grayscale or YCbCr with any of the common samplings (4:4:4, 4:2:2,
+4:2:0), restart markers, multi-scan files.  Progressive covers all four
+scan classes of T.81 Annex G: DC first, DC successive-approximation
+refinement, AC first with EOB runs, and AC refinement with correction
+bits (the libjpeg decode_mcu_AC_refine discipline).  Arithmetic coding
+and 12-bit precision raise typed errors.
 Output is yuv420p planes for the engine's Picture type; the inverse DCT is
 batched float matrix algebra over every block at once, and the Huffman
 entropy decode is the only per-symbol Python.
 
 Accuracy: validated in tests against libavcodec's decode of the same
-bytes (mean error well under 1 LSB; IDCT rounding differs by at most 1).
+bytes (mean error well under 1 LSB; IDCT rounding differs by at most 1);
+progressive decode is additionally cross-checked against Pillow's libjpeg.
 """
 
 from __future__ import annotations
@@ -115,8 +120,9 @@ def _destuff(data: bytes) -> bytes:
 
 def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """JPEG bytes -> (y, u, v) uint8 planes at 4:2:0 (grayscale: flat
-    chroma).  Raises JpegError for progressive/arithmetic/12-bit files and
-    for ANY malformed input (uploads are untrusted; structural index/struct
+    chroma).  Baseline/extended sequential AND progressive (SOF2).
+    Raises JpegError for arithmetic/12-bit/lossless files and for ANY
+    malformed input (uploads are untrusted; structural index/struct
     errors are normalized to JpegError so callers need one except)."""
     try:
         return _decode_jpeg(data)
@@ -130,6 +136,208 @@ def decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 _MAX_PIXELS = 8192 * 8192
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Index of the next real marker (not stuffing, not RSTn) after
+    ``start`` — the end of one scan's entropy-coded data."""
+    q = start
+    while True:
+        q = data.find(b"\xff", q)
+        if q < 0 or q + 1 >= len(data):
+            return len(data)
+        m = data[q + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7:
+            q += 2
+            continue
+        if m == 0xFF:  # fill byte
+            q += 1
+            continue
+        return q
+
+
+def _split_restarts(scan: bytes) -> List[bytes]:
+    """Split entropy data on RSTn markers (destuffed)."""
+    intervals: List[bytes] = []
+    p = 0
+    while True:
+        q = p
+        cut = None
+        while True:
+            q = scan.find(b"\xff", q)
+            if q < 0 or q + 1 >= len(scan):
+                break
+            m = scan[q + 1]
+            if 0xD0 <= m <= 0xD7:
+                cut = q
+                break
+            q += 2 if m == 0x00 else 1
+        if cut is None:
+            intervals.append(_destuff(scan[p:]))
+            return intervals
+        intervals.append(_destuff(scan[p:cut]))
+        p = cut + 2
+
+
+class _ScanDecoder:
+    """One SOS scan over the per-component coefficient grids.
+
+    Implements the T.81 scan classes: sequential (DC+AC in one pass) and
+    the four progressive Annex-G classes — DC first, DC refine, AC first
+    with EOB runs, AC refine with correction bits (the libjpeg
+    decode_mcu_AC_refine discipline)."""
+
+    def __init__(self, huff, ss, se, ah, al, n_comps, sequential):
+        self.huff = huff
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.sequential = sequential
+        self.preds = [0] * n_comps
+        self.eobrun = 0
+
+    def _lut(self, tc, th):
+        try:
+            return self.huff[(tc, th)]
+        except KeyError as e:
+            raise JpegError(f"scan references undefined "
+                            f"Huffman table {e}") from None
+
+    def reset(self):  # at restart markers
+        self.preds = [0] * len(self.preds)
+        self.eobrun = 0
+
+    def _dc(self, br, block, si, c):
+        lut = self._lut(0, c.dc_tab)
+        pk = br.peek16()
+        t = int(lut.sym[pk])
+        ln = int(lut.len[pk])
+        if ln == 0:
+            raise JpegError("bad DC code")
+        br.skip(ln)
+        self.preds[si] += _extend(br.receive(t), t)
+        block[0] = self.preds[si] << self.al
+
+    def _dc_refine(self, br, block):
+        if br.receive(1):
+            block[0] |= 1 << self.al
+
+    def _ac_sequential(self, br, block, c):
+        lut = self._lut(1, c.ac_tab)
+        k = 1
+        while k < 64:
+            pk = br.peek16()
+            rs = int(lut.sym[pk])
+            ln = int(lut.len[pk])
+            if ln == 0:
+                raise JpegError("bad AC code")
+            br.skip(ln)
+            if rs == 0:
+                break  # EOB
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    raise JpegError("bad AC run")
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > 63:
+                raise JpegError("AC overflow")
+            block[k] = _extend(br.receive(s), s)
+            k += 1
+
+    def _ac_first(self, br, block, c):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        lut = self._lut(1, c.ac_tab)
+        k = self.ss
+        while k <= self.se:
+            pk = br.peek16()
+            rs = int(lut.sym[pk])
+            ln = int(lut.len[pk])
+            if ln == 0:
+                raise JpegError("bad AC code")
+            br.skip(ln)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    self.eobrun = (1 << r) - 1 + br.receive(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > self.se:
+                raise JpegError("AC overflow")
+            block[k] = _extend(br.receive(s), s) << self.al
+            k += 1
+
+    def _ac_refine(self, br, block, c):
+        # T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine: correction bits for
+        # already-nonzero coefficients, newly significant ones at +-1<<Al
+        p1 = 1 << self.al
+        m1 = -p1
+        k = self.ss
+
+        def correct(idx):
+            coef = int(block[idx])
+            if br.receive(1) and (coef & p1) == 0:
+                block[idx] = coef + (p1 if coef >= 0 else m1)
+
+        if self.eobrun == 0:
+            lut = self._lut(1, c.ac_tab)
+            while k <= self.se:
+                pk = br.peek16()
+                rs = int(lut.sym[pk])
+                ln = int(lut.len[pk])
+                if ln == 0:
+                    raise JpegError("bad AC code")
+                br.skip(ln)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        self.eobrun = (1 << r) + br.receive(r)
+                        break  # finish this block in the EOB epilogue
+                    # r == 15: ZRL — advance over 16 zero-history coeffs
+                else:
+                    if s != 1:
+                        raise JpegError("bad AC refine size")
+                    val = p1 if br.receive(1) else m1
+                # advance over r zero-history coefficients, appending
+                # correction bits to nonzero ones along the way
+                while k <= self.se:
+                    if block[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > self.se:
+                        raise JpegError("AC refine overflow")
+                    block[k] = val
+                k += 1
+        if self.eobrun > 0:
+            while k <= self.se:
+                if block[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    def decode_block(self, br, block, si, c):
+        if self.sequential:
+            self._dc(br, block, si, c)
+            self._ac_sequential(br, block, c)
+        elif self.ss == 0:
+            if self.ah == 0:
+                self._dc(br, block, si, c)
+            else:
+                self._dc_refine(br, block)
+        else:
+            if self.ah == 0:
+                self._ac_first(br, block, c)
+            else:
+                self._ac_refine(br, block, c)
+
+
 def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     if data[:2] != b"\xff\xd8":
         raise JpegError("missing SOI")
@@ -139,7 +347,8 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     comps: List[_Component] = []
     width = height = 0
     restart_interval = 0
-    scan_start = None
+    progressive = False
+    scans: List[tuple] = []
 
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -165,7 +374,8 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
                     table = np.frombuffer(seg, np.uint8, 64, p).astype(np.int64)
                     p += 64
                 qt[tq] = table  # zigzag order
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise JpegError(f"{precision}-bit JPEG unsupported")
@@ -179,10 +389,10 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append(_Component(cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError(f"unsupported SOF marker 0xFF{marker:02X} "
-                            "(progressive/arithmetic)")
+                            "(lossless/arithmetic/hierarchical)")
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -195,44 +405,34 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise JpegError("SOS before SOF")
             ns = seg[0]
             by_id = {c.cid: c for c in comps}
+            scan_cis: List[int] = []
+            tabs_now: List[Tuple[int, int]] = []
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i : 3 + 2 * i]
-                by_id[cid].dc_tab = tabs >> 4
-                by_id[cid].ac_tab = tabs & 15
+                if cid not in by_id:
+                    raise JpegError(f"scan references unknown component {cid}")
+                scan_cis.append(comps.index(by_id[cid]))
+                tabs_now.append((tabs >> 4, tabs & 15))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             scan_start = pos + seglen
-            break
+            scan_end = _entropy_end(data, scan_start)
+            # snapshot the table dict: progressive files redefine DHT
+            # slots between scans, and each scan must use the tables in
+            # effect at ITS header, not the file's final definitions
+            scans.append((scan_cis, tabs_now, ss, se, ahal >> 4, ahal & 15,
+                          _split_restarts(data[scan_start:scan_end]),
+                          restart_interval, dict(huff)))
+            pos = scan_end
+            continue
         pos += seglen
 
-    if scan_start is None or not comps:
+    if not scans or not comps:
         raise JpegError("no scan found")
-
-    # ---- entropy-coded data: split on restart markers, destuff ----
-    end = data.find(b"\xff\xd9", scan_start)
-    if end < 0:
-        end = len(data)
-    scan = data[scan_start:end]
-    intervals: List[bytes] = []
-    p = 0
-    while True:
-        # find next RSTn not part of stuffing
-        q = p
-        cut = None
-        while True:
-            q = scan.find(b"\xff", q)
-            if q < 0 or q + 1 >= len(scan):
-                break
-            m = scan[q + 1]
-            if 0xD0 <= m <= 0xD7:
-                cut = q
-                break
-            q += 2 if m == 0x00 else 1
-        if cut is None:
-            intervals.append(_destuff(scan[p:]))
-            break
-        intervals.append(_destuff(scan[p:cut]))
-        p = cut + 2
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -240,61 +440,68 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     mcu_rows = -(-height // (8 * vmax))
     n_mcu = mcu_cols * mcu_rows
 
-    # per-component coefficient stores [blocks_per_mcu * n_mcu, 64]
-    coeffs = [np.zeros((n_mcu * c.h * c.v, 64), np.int32) for c in comps]
+    # per-component coefficient grids [rows*cols, 64] (zigzag order),
+    # MCU-padded: rows = mcu_rows*v, cols = mcu_cols*h
+    grid_cols = [mcu_cols * c.h for c in comps]
+    coeffs = [np.zeros((mcu_rows * c.v * mcu_cols * c.h, 64), np.int32)
+              for c in comps]
 
-    # ---- Huffman decode (the only per-symbol Python) ----
-    mcu = 0
-    for interval in intervals:
-        br = _BitReader(interval)
-        preds = [0] * len(comps)
-        limit = (min(mcu + restart_interval, n_mcu)
-                 if restart_interval else n_mcu)
-        while mcu < limit:
-            for ci, c in enumerate(comps):
-                try:
-                    dc_lut = huff[(0, c.dc_tab)]
-                    ac_lut = huff[(1, c.ac_tab)]
-                except KeyError as e:
-                    raise JpegError(f"scan references undefined "
-                                    f"Huffman table {e}") from None
-                for b in range(c.h * c.v):
-                    block = coeffs[ci][mcu * c.h * c.v + b]
-                    pk = br.peek16()
-                    t = int(dc_lut.sym[pk])
-                    ln = int(dc_lut.len[pk])
-                    if ln == 0:
-                        raise JpegError("bad DC code")
-                    br.skip(ln)
-                    diff = _extend(br.receive(t), t)
-                    preds[ci] += diff
-                    block[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        pk = br.peek16()
-                        rs = int(ac_lut.sym[pk])
-                        ln = int(ac_lut.len[pk])
-                        if ln == 0:
-                            raise JpegError("bad AC code")
-                        br.skip(ln)
-                        if rs == 0:
-                            break  # EOB
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r != 15:
-                                raise JpegError("bad AC run")
-                            k += 16  # ZRL
-                            continue
-                        k += r
-                        if k > 63:
-                            raise JpegError("AC overflow")
-                        block[k] = _extend(br.receive(s), s)
-                        k += 1
-            mcu += 1
-            if br.exhausted() and mcu < limit:
-                raise JpegError("entropy data truncated")
-        if mcu >= n_mcu:
-            break
+    # ---- Huffman decode, scan by scan (the only per-symbol Python) ----
+    for (scan_cis, tabs_now, ss, se, ah, al, intervals, ri,
+         huff_now) in scans:
+        scomps = []
+        for ci, (dct, act) in zip(scan_cis, tabs_now):
+            c = comps[ci]
+            c.dc_tab, c.ac_tab = dct, act
+            scomps.append((ci, c))
+        if progressive:
+            if ss == 0 and se != 0:
+                raise JpegError("bad progressive spectral selection")
+            if ss > 0 and len(scomps) != 1:
+                raise JpegError("interleaved progressive AC scan")
+        else:
+            ss, se, ah, al = 0, 63, 0, 0
+        dec = _ScanDecoder(huff_now, ss, se, ah, al, len(scomps),
+                           sequential=not progressive)
+        interleaved = len(scomps) > 1
+        if interleaved:
+            units = n_mcu
+            bw = 0
+        else:
+            ci0, c0 = scomps[0]
+            bw = -(-(-(-width * c0.h // hmax)) // 8)
+            bh = -(-(-(-height * c0.v // vmax)) // 8)
+            units = bw * bh
+        unit = 0
+        for interval in intervals:
+            br = _BitReader(interval)
+            dec.reset()
+            limit = min(unit + ri, units) if ri else units
+            while unit < limit:
+                if interleaved:
+                    my, mx = divmod(unit, mcu_cols)
+                    for si, (ci, c) in enumerate(scomps):
+                        gc = grid_cols[ci]
+                        for bv in range(c.v):
+                            for bh2 in range(c.h):
+                                row = my * c.v + bv
+                                col = mx * c.h + bh2
+                                dec.decode_block(
+                                    br, coeffs[ci][row * gc + col], si, c)
+                else:
+                    ci, c = scomps[0]
+                    row, col = divmod(unit, bw)
+                    dec.decode_block(
+                        br, coeffs[ci][row * grid_cols[ci] + col], 0, c)
+                unit += 1
+                # truncation = consuming bits past the data (plus the
+                # zero padding a final partial byte legitimately peeks);
+                # merely reaching the end is NOT truncation — progressive
+                # EOB runs cover trailing blocks with zero bits consumed
+                if br.bitpos > br.limit + 16 and unit < limit:
+                    raise JpegError("entropy data truncated")
+            if unit >= units:
+                break
 
     # ---- batched dequant + IDCT per component ----
     planes = []
@@ -307,10 +514,10 @@ def _decode_jpeg(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         blocks = blocks.reshape(-1, 8, 8)
         spatial = np.einsum("ux,buv,vy->bxy", _A, blocks, _A)
         px = np.clip(np.round(spatial + 128.0), 0, 255).astype(np.uint8)
-        # assemble: MCU raster, then c.v x c.h blocks within the MCU
-        g = px.reshape(mcu_rows, mcu_cols, c.v, c.h, 8, 8)
-        plane = g.transpose(0, 2, 4, 1, 3, 5).reshape(
-            mcu_rows * c.v * 8, mcu_cols * c.h * 8)
+        # assemble from the padded block grid
+        gr, gc = mcu_rows * c.v, grid_cols[ci]
+        plane = px.reshape(gr, gc, 8, 8).transpose(0, 2, 1, 3).reshape(
+            gr * 8, gc * 8)
         cw = -(-width * c.h // hmax)
         ch = -(-height * c.v // vmax)
         planes.append(plane[:ch, :cw])

@@ -366,8 +366,9 @@ class MediaPlayer(threading.Thread):
         try:
             y, u, v = decode_jpeg(bytes(data))
         except JpegError as e:
-            # progressive/arithmetic JPEGs exceed the pure decoder's scope:
-            # fall back to the libavcodec shim when present
+            # arithmetic-coded/12-bit JPEGs exceed the pure decoder's scope
+            # (baseline AND progressive decode pure): fall back to the
+            # libavcodec shim when present
             from mixlab_tpu.native import avshim
 
             if avshim.available():

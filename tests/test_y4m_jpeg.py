@@ -219,3 +219,103 @@ def test_jpeg_undefined_tables_raise_jpegerror():
     blob = b"\xff\xd8" + dqt + sof + sos + b"\x00\x00" + b"\xff\xd9"
     with pytest.raises(JpegError):
         decode_jpeg(blob)
+
+
+def _pil_jpeg(rgb, **kw):
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(rgb).save(buf, "JPEG", **kw)
+    return buf.getvalue()
+
+
+def _pil_ycbcr(data):
+    """Pillow's native-YCbCr decode (draft mode: no RGB round trip)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(data))
+    img.draft("YCbCr", img.size)
+    assert img.mode == "YCbCr"
+    return np.asarray(img, np.uint8)
+
+
+def _test_rgb(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[..., 0] = (xx * 3) % 256
+    rgb[..., 1] = (yy * 5) % 256
+    rgb[..., 2] = ((xx + yy) * 2) % 256
+    return (rgb.astype(int) + rng.integers(-15, 15, rgb.shape)).clip(
+        0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("w,h,quality,subsampling", [
+    (96, 64, 85, 2),    # 4:2:0
+    (120, 80, 60, 0),   # 4:4:4
+    (57, 43, 92, 1),    # 4:2:2, odd dims (MCU padding)
+    (320, 200, 40, 2),  # many EOB-run-covered blocks
+    (128, 96, 95, 0),   # near-lossless: exercises AC refinement density
+])
+def test_progressive_jpeg_matches_pillow(w, h, quality, subsampling):
+    """Progressive (SOF2) decode: all four Annex-G scan classes, within
+    1 LSB of Pillow's libjpeg decoding the same bytes in native YCbCr."""
+    pytest.importorskip("PIL")
+    rgb = _test_rgb(w, h, seed=quality)
+    data = _pil_jpeg(rgb, quality=quality, progressive=True,
+                     subsampling=subsampling)
+    y, u, v = decode_jpeg(data)
+    ycc = _pil_ycbcr(data)
+    dy = np.abs(y[:h, :w].astype(int) - ycc[..., 0].astype(int))
+    assert dy.max() <= 1, dy.max()
+    # strongest check: libjpeg emits IDENTICAL quantized coefficients for
+    # progressive and baseline at the same settings — the progressive scan
+    # classes must reconstruct the exact same planes as the (independently
+    # libavcodec-validated) baseline path
+    base = _pil_jpeg(rgb, quality=quality, progressive=False,
+                     subsampling=subsampling)
+    yb, ub, vb = decode_jpeg(base)
+    assert np.array_equal(y, yb)
+    assert np.array_equal(u, ub)
+    assert np.array_equal(v, vb)
+
+
+def test_progressive_jpeg_grayscale_and_restarts():
+    pytest.importorskip("PIL")
+    rgb = _test_rgb(88, 72, seed=7)
+    gray = rgb[..., 0]
+    data = _pil_jpeg(gray, quality=80, progressive=True)
+    y, u, v = decode_jpeg(data)
+    ycc = _pil_ycbcr(data) if False else None
+    import io
+
+    from PIL import Image
+
+    ref = np.asarray(Image.open(io.BytesIO(data)).convert("L"), np.uint8)
+    assert np.abs(y[:72, :88].astype(int) - ref.astype(int)).max() <= 1
+    assert (u == 128).all() and (v == 128).all()
+
+    # restart markers inside a progressive scan
+    data = _pil_jpeg(_test_rgb(96, 64, seed=9), quality=75, progressive=True,
+                     restart_marker_rows=1)
+    if b"\xff\xdd" in data:  # DRI present: the restart path is live
+        y2, _, _ = decode_jpeg(data)
+        ycc = _pil_ycbcr(data)
+        assert np.abs(y2[:64, :96].astype(int)
+                      - ycc[..., 0].astype(int)).max() <= 1
+
+
+def test_baseline_jpeg_still_matches_pillow():
+    """Regression: the unified scan decoder reproduces baseline exactly as
+    before (sequential = one DC+AC scan)."""
+    pytest.importorskip("PIL")
+    rgb = _test_rgb(96, 64, seed=3)
+    data = _pil_jpeg(rgb, quality=85, progressive=False, subsampling=2)
+    y, _, _ = decode_jpeg(data)
+    ycc = _pil_ycbcr(data)
+    assert np.abs(y[:64, :96].astype(int)
+                  - ycc[..., 0].astype(int)).max() <= 1
