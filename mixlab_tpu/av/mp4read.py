@@ -44,8 +44,10 @@ def _check_count(n: int, what: str) -> int:
     return n
 
 
-def _boxes(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
-    """Yield (fourcc, payload_start, payload_end) for boxes in [start, end)."""
+def _boxes4(data: bytes, start: int, end: int
+            ) -> Iterator[Tuple[bytes, int, int, int]]:
+    """Yield (fourcc, payload_start, payload_end, box_start) for boxes in
+    [start, end) — box_start is largesize-aware (the moof anchor needs it)."""
     at = start
     while at + 8 <= end:
         size = struct.unpack_from(">I", data, at)[0]
@@ -60,8 +62,14 @@ def _boxes(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]
             size = end - at
         if size < head or at + size > end:
             raise Mp4Error(f"bad box size {size} for {kind!r}")
-        yield kind, at + head, at + size
+        yield kind, at + head, at + size, at
         at += size
+
+
+def _boxes(data: bytes, start: int, end: int) -> Iterator[Tuple[bytes, int, int]]:
+    """Yield (fourcc, payload_start, payload_end) for boxes in [start, end)."""
+    for kind, s, e, _ in _boxes4(data, start, end):
+        yield kind, s, e
 
 
 def _find(data: bytes, start: int, end: int, kind: bytes) -> Optional[Tuple[int, int]]:
@@ -350,10 +358,10 @@ class Mp4Reader:
     def _parse_fragments(self):
         d = self.data
         next_dts: Dict[int, int] = {tid: 0 for tid in self.tracks}
-        for kind, s, e in _boxes(d, 0, len(d)):
+        for kind, s, e, box_start in _boxes4(d, 0, len(d)):
             if kind != b"moof":
                 continue
-            moof_start = s - 8
+            moof_start = box_start  # largesize-aware anchor
             for tkind, ts, te in _boxes(d, s, e):
                 if tkind != b"traf":
                     continue
@@ -400,13 +408,16 @@ class Mp4Reader:
             ver, _, tp = _full(d, tfdt[0])
             dts = struct.unpack_from(">Q" if ver else ">I", d, tp)[0]
 
+        # without the data-offset flag a trun continues immediately after
+        # the previous run's data (ISO 14496-12 8.8.8); track that here
+        next_at = base
         for kind, bs, be in _boxes(d, s, e):
             if kind != b"trun":
                 continue
             ver, tflags, tp = _full(d, bs)
             count = _check_count(struct.unpack_from(">I", d, tp)[0], "trun")
             tp += 4
-            at = base
+            at = next_at
             if tflags & _TRUN_DATA_OFFSET:
                 (doff,) = struct.unpack_from(">i", d, tp)
                 tp += 4
@@ -438,12 +449,14 @@ class Mp4Reader:
                     key=not (sflags & _NON_SYNC_BIT)))
                 at += size
                 dts += dur
+            next_at = at
         next_dts[track_id] = dts
 
     # -- access ----------------------------------------------------------------
 
     def sample_data(self, sample: Sample) -> bytes:
-        if sample.offset + sample.size > len(self.data):
+        if (sample.offset < 0 or sample.size < 0
+                or sample.offset + sample.size > len(self.data)):
             raise Mp4Error("sample outside file")
         return bytes(self.data[sample.offset : sample.offset + sample.size])
 

@@ -56,6 +56,51 @@ def _upload_planes(y, u, v):
     return device_call(_up)
 
 
+class _PcmPusher:
+    """Stereo-normalize decoded f32 PCM at ``src_rate`` and push it into the
+    player's feed, resampling to the engine rate with a persistent carry +
+    polyphase context.  One instance per decode stream; ``reset()`` at loop
+    rewinds.  Shared by every audio decode loop (WAV/Ogg/FLAC/shim/MP4) —
+    one copy of the carry/context/push discipline instead of five."""
+
+    def __init__(self, player: "MediaPlayer", src_rate: int):
+        self._player = player
+        self.src_rate = src_rate
+        self._dst_rate = player.cfg.sample_rate
+        self._M = (design(src_rate, self._dst_rate)[1]
+                   if src_rate != self._dst_rate else 1)
+        self.reset()
+
+    def reset(self):
+        self._ctx = None
+        self._carry = np.zeros((0, 2), np.float32)
+
+    def push(self, pcm: np.ndarray):
+        """pcm: f32 [n, channels]; blocks (bounded) against the engine."""
+        player = self._player
+        if pcm.shape[1] == 1:
+            pcm = np.repeat(pcm, 2, axis=1)
+        pcm = pcm[:, :2]
+        if self.src_rate != self._dst_rate:
+            buf = np.concatenate([self._carry, pcm])
+            usable = len(buf) - (len(buf) % self._M)
+            self._carry = buf[usable:]
+            if usable == 0:
+                return
+            if self._ctx is None:
+                self._ctx = np.zeros(
+                    (context_len(self.src_rate, self._dst_rate), 2),
+                    np.float32)
+            out, self._ctx = resample_block_np(
+                buf[:usable].astype(np.float32), self._ctx,
+                self.src_rate, self._dst_rate)
+        else:
+            out = pcm
+        while not player._stop_evt.is_set():
+            if player.feed.push_block(out, block=True, timeout=0.25):
+                break
+
+
 class MediaPlayer(threading.Thread):
     """Decode thread feeding a MediaSourceFeed."""
 
@@ -115,15 +160,14 @@ class MediaPlayer(threading.Thread):
             return
 
         throttle = AudioThrottle(fmt.sample_rate)
-        resample_ctx = None
         bpf = fmt.bytes_per_frame
-        L, M, _ = design(fmt.sample_rate, self.cfg.sample_rate)
+        pusher = _PcmPusher(self, fmt.sample_rate)
 
         while not self._stop_evt.is_set():
             # (re)start from the beginning of the data chunk: loop semantics
             self.stream.seek(data_off)
             remaining = data_size
-            carry = np.zeros((0, 2), dtype=np.int16)
+            pusher.reset()
             while remaining > 0 and not self._stop_evt.is_set():
                 n = min(DECODE_CHUNK_FRAMES * bpf, remaining)
                 raw = self.stream.read(n - (n % bpf) or bpf)
@@ -132,29 +176,8 @@ class MediaPlayer(threading.Thread):
                 remaining -= len(raw)
                 frames = decode_frames(fmt, raw)
                 throttle.send_samples(len(frames))
-                if fmt.sample_rate != self.cfg.sample_rate:
-                    buf = np.concatenate([carry, frames])
-                    usable = len(buf) - (len(buf) % M)
-                    carry = buf[usable:]
-                    if usable == 0:
-                        continue
-                    if resample_ctx is None:
-                        resample_ctx = np.zeros(
-                            (context_len(fmt.sample_rate, self.cfg.sample_rate), 2),
-                            dtype=np.float32,
-                        )
-                    out, resample_ctx = resample_block_np(
-                        buf[:usable].astype(np.float32) / 32768.0,
-                        resample_ctx,
-                        fmt.sample_rate,
-                        self.cfg.sample_rate,
-                    )
-                else:
-                    out = frames.astype(np.float32) / 32768.0
                 # bounded put paces decode against engine consumption
-                while not self._stop_evt.is_set():
-                    if self.feed.push_block(out, block=True, timeout=0.25):
-                        break
+                pusher.push(frames.astype(np.float32) / 32768.0)
 
     def _run_ogg(self):
         """Ogg/Vorbis playback loop via the pure decoder (av/vorbis.py)."""
@@ -164,8 +187,7 @@ class MediaPlayer(threading.Thread):
             self.stream.seek(0)
             dec = OggVorbisStream()
             throttle = None
-            resample_ctx = None
-            carry = np.zeros((0, 2), dtype=np.float32)
+            pusher = None
             got_any = False
             while not self._stop_evt.is_set():
                 raw = self.stream.read(16384)
@@ -182,33 +204,9 @@ class MediaPlayer(threading.Thread):
                 got_any = True
                 if throttle is None:
                     throttle = AudioThrottle(info.sample_rate)
-                    _, M, _ = design(info.sample_rate, self.cfg.sample_rate)
-                if pcm.shape[1] == 1:
-                    pcm = np.repeat(pcm, 2, axis=1)
-                pcm = pcm[:, :2]
+                    pusher = _PcmPusher(self, info.sample_rate)
                 throttle.send_samples(len(pcm))
-                if info.sample_rate != self.cfg.sample_rate:
-                    buf = np.concatenate([carry, pcm])
-                    usable = len(buf) - (len(buf) % M)
-                    carry = buf[usable:]
-                    if usable == 0:
-                        continue
-                    if resample_ctx is None:
-                        resample_ctx = np.zeros(
-                            (context_len(info.sample_rate, self.cfg.sample_rate), 2),
-                            dtype=np.float32,
-                        )
-                    out, resample_ctx = resample_block_np(
-                        buf[:usable],
-                        resample_ctx,
-                        info.sample_rate,
-                        self.cfg.sample_rate,
-                    )
-                else:
-                    out = pcm
-                while not self._stop_evt.is_set():
-                    if self.feed.push_block(out, block=True, timeout=0.25):
-                        break
+                pusher.push(pcm)
             if not got_any:
                 return  # undecodable: don't loop forever
 
@@ -244,11 +242,11 @@ class MediaPlayer(threading.Thread):
         first_frame = pos
         scale = float(1 << (dec.bps - 1))
         throttle = AudioThrottle(dec.sample_rate)
-        resample_ctx = None
-        carry = np.zeros((0, 2), dtype=np.float32)
+        pusher = _PcmPusher(self, dec.sample_rate)
         while not self._stop_evt.is_set():
             at = first_frame
             got_any = False
+            pusher.reset()
             while at + 4 <= len(data) and not self._stop_evt.is_set():
                 try:
                     pcm_i, used = dec.decode_frame(data, at)
@@ -265,30 +263,8 @@ class MediaPlayer(threading.Thread):
                 at += used
                 got_any = True
                 pcm = pcm_i.astype(np.float32) / scale
-                if pcm.shape[1] == 1:
-                    pcm = np.repeat(pcm, 2, axis=1)
-                pcm = pcm[:, :2]
                 throttle.send_samples(len(pcm))
-                if dec.sample_rate != self.cfg.sample_rate:
-                    _, M, _ = design(dec.sample_rate, self.cfg.sample_rate)
-                    buf = np.concatenate([carry, pcm])
-                    usable = len(buf) - (len(buf) % M)
-                    carry = buf[usable:]
-                    if usable == 0:
-                        continue
-                    if resample_ctx is None:
-                        resample_ctx = np.zeros(
-                            (context_len(dec.sample_rate,
-                                         self.cfg.sample_rate), 2),
-                            dtype=np.float32)
-                    out, resample_ctx = resample_block_np(
-                        buf[:usable], resample_ctx, dec.sample_rate,
-                        self.cfg.sample_rate)
-                else:
-                    out = pcm
-                while not self._stop_evt.is_set():
-                    if self.feed.push_block(out, block=True, timeout=0.25):
-                        break
+                pusher.push(pcm)
             if not got_any:
                 return  # undecodable: don't loop forever
 
@@ -458,14 +434,20 @@ class MediaPlayer(threading.Thread):
         if not events:
             return
 
-        vdec = PureH264Decoder(vt.dcr) if video_ok else None
-        fdec = FlacDecoder(at.streaminfo) if audio_ok else None
+        try:
+            vdec = PureH264Decoder(vt.dcr) if video_ok else None
+            fdec = FlacDecoder(at.streaminfo) if audio_ok else None
+        except (H264DecodeError, FlacError, ValueError, IndexError) as e:
+            # fuzzed/corrupt dcr or STREAMINFO: typed failure, not a dead
+            # thread with a traceback
+            log.warning("media_source: bad mp4 codec config: %s", e)
+            return
         a_rate = fdec.sample_rate if audio_ok else self.cfg.sample_rate
+        pusher = _PcmPusher(self, a_rate)
         throttle = MediaThrottle()
         epoch = Fraction(0)
         while not self._stop_evt.is_set():
-            resample_ctx = None
-            carry = np.zeros((0, 2), dtype=np.float32)
+            pusher.reset()
             end = Fraction(0)
             for t0, kind, s, dur in events:
                 if self._stop_evt.is_set():
@@ -477,31 +459,7 @@ class MediaPlayer(threading.Thread):
                     if kind == "audio":
                         pcm32, _ = fdec.decode_frame(payload)
                         end = max(end, t0 + Fraction(len(pcm32), a_rate))
-                        pcm = pcm32.astype(np.float32) / 32768.0
-                        if pcm.shape[1] == 1:
-                            pcm = np.repeat(pcm, 2, axis=1)
-                        pcm = pcm[:, :2]
-                        if a_rate != self.cfg.sample_rate:
-                            _, M, _ = design(a_rate, self.cfg.sample_rate)
-                            buf = np.concatenate([carry, pcm])
-                            usable = len(buf) - (len(buf) % M)
-                            carry = buf[usable:]
-                            if usable == 0:
-                                continue
-                            if resample_ctx is None:
-                                resample_ctx = np.zeros(
-                                    (context_len(a_rate,
-                                                 self.cfg.sample_rate), 2),
-                                    dtype=np.float32)
-                            out, resample_ctx = resample_block_np(
-                                buf[:usable], resample_ctx, a_rate,
-                                self.cfg.sample_rate)
-                        else:
-                            out = pcm
-                        while not self._stop_evt.is_set():
-                            if self.feed.push_block(out, block=True,
-                                                    timeout=0.25):
-                                break
+                        pusher.push(pcm32.astype(np.float32) / 32768.0)
                     else:
                         frames = vdec.decode(payload)
                         end = max(end, t0 + dur)
@@ -517,7 +475,9 @@ class MediaPlayer(threading.Thread):
                                                         block=True,
                                                         timeout=0.25):
                                     break
-                except (H264DecodeError, FlacError) as e:
+                except (H264DecodeError, FlacError, Mp4Error) as e:
+                    # Mp4Error: sample offsets outside the file (corrupt
+                    # moof/stco) surface here from sample_data
                     log.warning("media_source: pure mp4 decode failed: %s", e)
                     return
             if end == 0:
@@ -550,8 +510,7 @@ class MediaPlayer(threading.Thread):
             return
         try:
             a_rate = reader.audio["rate"] if reader.audio else None
-            resample_ctx = None
-            carry = np.zeros((0, 2), dtype=np.float32)
+            pusher = _PcmPusher(self, a_rate) if a_rate else None
             throttle = MediaThrottle()
             epoch = Fraction(0)  # accumulated loop offset, seconds
             last_pts = Fraction(0)
@@ -561,8 +520,8 @@ class MediaPlayer(threading.Thread):
                     # loop: seek to start, accumulate epoch
                     epoch = last_pts
                     reader.seek_start()
-                    resample_ctx = None
-                    carry = np.zeros((0, 2), dtype=np.float32)
+                    if pusher is not None:
+                        pusher.reset()
                     continue
                 kind, pts, payload = item
                 if kind == "audio":
@@ -570,30 +529,7 @@ class MediaPlayer(threading.Thread):
                     t = epoch + (pts * tb if pts >= 0 else last_pts - epoch)
                     last_pts = max(last_pts, t + Fraction(len(payload), a_rate))
                     throttle.wait_until(MediaTime(t))
-                    pcm = payload.astype(np.float32) / 32768.0
-                    if pcm.shape[1] == 1:
-                        pcm = np.repeat(pcm, 2, axis=1)
-                    pcm = pcm[:, :2]
-                    if a_rate != self.cfg.sample_rate:
-                        _, M, _ = design(a_rate, self.cfg.sample_rate)
-                        buf = np.concatenate([carry, pcm])
-                        usable = len(buf) - (len(buf) % M)
-                        carry = buf[usable:]
-                        if usable == 0:
-                            continue
-                        if resample_ctx is None:
-                            resample_ctx = np.zeros(
-                                (context_len(a_rate, self.cfg.sample_rate), 2),
-                                dtype=np.float32,
-                            )
-                        out, resample_ctx = resample_block_np(
-                            buf[:usable], resample_ctx, a_rate, self.cfg.sample_rate
-                        )
-                    else:
-                        out = pcm
-                    while not self._stop_evt.is_set():
-                        if self.feed.push_block(out, block=True, timeout=0.25):
-                            break
+                    pusher.push(payload.astype(np.float32) / 32768.0)
                 else:  # video
                     tb = Fraction(*reader.video["time_base"])
                     t = epoch + (pts * tb if pts >= 0 else last_pts - epoch)

@@ -137,7 +137,14 @@ class _AlsaSink:
         for _ in range(_BACKOFF_PERIODS):
             if self._lib.snd_pcm_writei(self._pcm, silence.ctypes.data, n) < 0:
                 self._lib.snd_pcm_recover(self._pcm, -_EPIPE, 1)
-        self._lib.snd_pcm_writei(self._pcm, pcm.ctypes.data, n)
+        ret = self._lib.snd_pcm_writei(self._pcm, pcm.ctypes.data, n)
+        if ret < 0:
+            # second failure in a row: drop this period (audio-out is
+            # best-effort like the reference's callback) but say so
+            log.warning("alsa: writei failed twice (err %d); period dropped",
+                        int(ret))
+        elif ret < n:
+            self._writei(pcm[ret:])
 
     def close(self):
         with self._lock:
@@ -158,6 +165,21 @@ class AlsaAudioBackend:
         if lib is None:
             raise RuntimeError("libasound unavailable")
         self._lib = lib
+
+    def probe_default(self) -> bool:
+        """Can the default device actually open?  auto-mode backend
+        selection uses this so a host with libasound installed but no
+        usable playback device (headless boxes) keeps the WAV-spool
+        backend instead of silently dead audio."""
+        dev = self.default_device()
+        if dev is None:
+            return False
+        pcm = ctypes.c_void_p()
+        if self._lib.snd_pcm_open(ctypes.byref(pcm), dev.encode(),
+                                  _SND_PCM_STREAM_PLAYBACK, 0) < 0:
+            return False
+        self._lib.snd_pcm_close(pcm)
+        return True
 
     def devices(self) -> List[Tuple[str, int]]:
         """Playback PCM names via device-name hints (the cpal enumeration

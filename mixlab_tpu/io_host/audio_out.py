@@ -138,7 +138,12 @@ def get_backend():
             try:
                 from mixlab_tpu.io_host.alsa_out import AlsaAudioBackend
 
-                _BACKEND = AlsaAudioBackend()
+                backend = AlsaAudioBackend()
+                # auto: require a usable default device, not just the
+                # library — headless hosts with libasound installed must
+                # keep the WAV-spool backend ("alsa" forces it regardless)
+                if choice == "alsa" or backend.probe_default():
+                    _BACKEND = backend
             except RuntimeError:
                 if choice == "alsa":
                     raise

@@ -84,12 +84,18 @@ class FleetTls:
     def server_ctx(self) -> ssl_mod.SSLContext:
         ctx = ssl_mod.SSLContext(ssl_mod.PROTOCOL_TLS_SERVER)
         ctx.load_cert_chain(self.certfile, self.keyfile)
+        # mutual TLS: clients must present a cert under the pinned CA too
+        # (the fleet shares one cert/key pair), so a reachable port alone
+        # is not enough to speak to the control plane
+        ctx.load_verify_locations(self.cafile)
+        ctx.verify_mode = ssl_mod.CERT_REQUIRED
         return ctx
 
     def client_ctx(self) -> ssl_mod.SSLContext:
         ctx = ssl_mod.create_default_context(cafile=self.cafile)
         ctx.check_hostname = False  # pinned CA, not public PKI
         ctx.verify_mode = ssl_mod.CERT_REQUIRED
+        ctx.load_cert_chain(self.certfile, self.keyfile)  # our side of mTLS
         return ctx
 
 

@@ -411,7 +411,7 @@ def test_fleet_tls_pinned_control_plane(tmp_path):
     from mixlab_tpu.server.fleet import FleetTls
 
     cert, key = _make_cert(tmp_path, "fleet")
-    other_cert, _ = _make_cert(tmp_path, "other")
+    other_cert, other_key = _make_cert(tmp_path, "other")
     tls = FleetTls(cert, key)
 
     async def go():
@@ -430,10 +430,18 @@ def test_fleet_tls_pinned_control_plane(tmp_path):
                 await http_call("http" + ctl.url[len("https"):] + "/fleet",
                                 token="s3cret", timeout=3.0)
             # a client pinning a DIFFERENT CA refuses the server cert
-            wrong = FleetTls(other_cert, other_cert).client_ctx()
+            wrong = FleetTls(other_cert, other_key).client_ctx()
             with pytest.raises(ssl.SSLError):
                 await http_call(ctl.url + "/fleet", token="s3cret",
                                 ssl_ctx=wrong, timeout=3.0)
+            # mTLS: a client with NO fleet cert is refused by the server
+            anon = ssl.create_default_context(cafile=cert)
+            anon.check_hostname = False
+            with pytest.raises((ssl.SSLError, ConnectionError,
+                                asyncio.IncompleteReadError,
+                                asyncio.TimeoutError)):
+                await http_call(ctl.url + "/fleet", token="s3cret",
+                                ssl_ctx=anon, timeout=3.0)
             # pinned client + token: register, then place a workspace
             status, _ = await http_call(
                 ctl.url + "/register", "POST",
