@@ -267,3 +267,103 @@ def test_media_player_plays_mp4_codec_free(tmp_path, monkeypatch):
         player.join(timeout=5)
         proj.engine.stop()
         proj.close()
+
+
+def _min_moov_video(timescale=1000):
+    """Minimal fragmented-capable moov with one video track + trex."""
+    from mixlab_tpu.av.mp4 import box, full_box
+
+    stsd = full_box(
+        b"stsd", 0, 0, struct.pack(">I", 1),
+        box(b"avc1",
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12
+            + struct.pack(">HH", 64, 48)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0) + struct.pack(">H", 1) + b"\x00" * 32
+            + struct.pack(">Hh", 0x0018, -1)
+            + box(b"avcC", b"\x01\x42\xc0\x28\xff")))
+    stbl = box(b"stbl", stsd
+               + full_box(b"stts", 0, 0, struct.pack(">I", 0))
+               + full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+               + full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+               + full_box(b"stco", 0, 0, struct.pack(">I", 0)))
+    mdhd = full_box(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0)
+                    + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full_box(b"hdlr", 0, 0,
+                    struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", stbl))
+    tkhd = full_box(b"tkhd", 0, 7,
+                    struct.pack(">IIII", 0, 0, 1, 0) + b"\x00" * 52)
+    trex = full_box(b"trex", 0, 0, struct.pack(">5I", 1, 1, 0, 0, 0))
+    mvhd = full_box(b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0)
+                    + b"\x00" * 80)
+    return box(b"moov", mvhd + box(b"trak", tkhd + mdia) + box(b"mvex", trex))
+
+
+def test_multi_trun_without_data_offset_continues():
+    """A traf with two truns where the second omits data_offset: the second
+    run's samples follow the first run's data (ISO 14496-12 8.8.8), not the
+    moof anchor."""
+    from mixlab_tpu.av.mp4 import box, full_box
+
+    init = _min_moov_video()
+    # trun 1: data-offset + sizes for 2 samples; trun 2: sizes only
+    tfhd = full_box(b"tfhd", 0, 0x020008,
+                    struct.pack(">II", 1, 10))  # default duration 10
+    trun1 = full_box(b"trun", 0, 0x000201,
+                     struct.pack(">Ii", 2, 0) + struct.pack(">II", 5, 7))
+    trun2 = full_box(b"trun", 0, 0x000200,
+                     struct.pack(">I", 1) + struct.pack(">I", 3))
+    moof_body = full_box(b"mfhd", 0, 0, struct.pack(">I", 1)) + box(
+        b"traf", tfhd + trun1 + trun2)
+    moof = box(b"moof", moof_body)
+    # patch trun1's data_offset to point at the mdat payload
+    doff = len(moof) + 8
+    trun1 = full_box(b"trun", 0, 0x000201,
+                     struct.pack(">Ii", 2, doff) + struct.pack(">II", 5, 7))
+    moof = box(b"moof", full_box(b"mfhd", 0, 0, struct.pack(">I", 1))
+               + box(b"traf", tfhd + trun1 + trun2))
+    payload = bytes(range(1, 16))  # 5 + 7 + 3 bytes
+    data = init + moof + box(b"mdat", payload)
+
+    r = Mp4Reader(data)
+    t = r.tracks[1]
+    assert [s.size for s in t.samples] == [5, 7, 3]
+    assert r.sample_data(t.samples[0]) == payload[:5]
+    assert r.sample_data(t.samples[1]) == payload[5:12]
+    # the fix: trun 2 continues after trun 1's data
+    assert r.sample_data(t.samples[2]) == payload[12:15]
+    assert [s.dts for s in t.samples] == [0, 10, 20]
+
+
+def test_largesize_moof_anchor():
+    """A moof written with the 64-bit largesize header still anchors
+    default-base-is-moof offsets at the true box start."""
+    from mixlab_tpu.av.mp4 import box, full_box
+
+    init = _min_moov_video()
+    tfhd = full_box(b"tfhd", 0, 0x020008, struct.pack(">II", 1, 10))
+    mfhd = full_box(b"mfhd", 0, 0, struct.pack(">I", 1))
+
+    def make_moof(doff):
+        trun = full_box(b"trun", 0, 0x000201,
+                        struct.pack(">Ii", 1, doff) + struct.pack(">I", 4))
+        body = mfhd + box(b"traf", tfhd + trun)
+        # largesize encoding: size field 1 + 64-bit size after the fourcc
+        return (struct.pack(">I", 1) + b"moof"
+                + struct.pack(">Q", 16 + len(body)) + body)
+
+    moof = make_moof(0)
+    moof = make_moof(len(moof) + 8)
+    payload = b"ABCD"
+    data = init + moof + box(b"mdat", payload)
+    r = Mp4Reader(data)
+    assert r.sample_data(r.tracks[1].samples[0]) == payload
+
+
+def test_negative_sample_offset_rejected():
+    s = Sample(offset=-50, size=10, dts=0)
+    r = Mp4Reader(_min_moov_video() + b"")
+    with pytest.raises(Mp4Error):
+        r.sample_data(s)
