@@ -23,6 +23,7 @@ Operating points mirror the reference profiles:
 
 from __future__ import annotations
 
+import os
 import shutil
 import struct
 import subprocess
@@ -63,7 +64,23 @@ def codec_tier() -> str:
       * "ffmpeg" — CLI subprocess pipes (AAC + H.264)
       * "pure"   — zero-dependency encoders: CAVLC intra H.264
                    (av/h264cavlc.py) + FLAC (av/flacenc.py)
+
+    ``MIXLAB_CODEC_TIER`` overrides the auto-selection (deployment
+    debugging, or exercising the pure tier on an image that has the
+    libraries); an override naming an unavailable tier raises rather than
+    silently auto-selecting.
     """
+    forced = os.environ.get("MIXLAB_CODEC_TIER", "").strip().lower()
+    if forced:
+        if forced not in ("shim", "ffmpeg", "pure"):
+            raise ValueError(f"MIXLAB_CODEC_TIER={forced!r}: expected "
+                             "shim|ffmpeg|pure")
+        if forced == "shim" and not avshim_codecs_available():
+            raise RuntimeError("MIXLAB_CODEC_TIER=shim but the libavcodec "
+                               "shim is unavailable")
+        if forced == "ffmpeg" and not ffmpeg_available():
+            raise RuntimeError("MIXLAB_CODEC_TIER=ffmpeg but no ffmpeg CLI")
+        return forced
     if avshim_codecs_available():
         return "shim"
     if ffmpeg_available():

@@ -255,3 +255,23 @@ def test_fmp4_monitor_pure_tier_zero_dependency(tmp_path, monkeypatch):
     # FLAC is lossless; the only error is the f32 -> i16 quantization
     assert got.shape[0] >= 20 * spt
     assert np.max(np.abs(got - want[: len(got)])) < 2.0 / 32767.0
+
+
+def test_codec_tier_env_override(monkeypatch):
+    """MIXLAB_CODEC_TIER forces the tier; naming an unavailable tier raises
+    instead of silently auto-selecting."""
+    import pytest
+
+    from mixlab_tpu.av import codecs
+
+    monkeypatch.setenv("MIXLAB_CODEC_TIER", "pure")
+    assert codecs.codec_tier() == "pure"
+    monkeypatch.setenv("MIXLAB_CODEC_TIER", "bogus")
+    with pytest.raises(ValueError):
+        codecs.codec_tier()
+    monkeypatch.setenv("MIXLAB_CODEC_TIER", "ffmpeg")
+    if not codecs.ffmpeg_available():
+        with pytest.raises(RuntimeError):
+            codecs.codec_tier()
+    monkeypatch.delenv("MIXLAB_CODEC_TIER")
+    assert codecs.codec_tier() in ("shim", "ffmpeg", "pure")
