@@ -92,8 +92,7 @@ class _PcmPusher:
                     (context_len(self.src_rate, self._dst_rate), 2),
                     np.float32)
             out, self._ctx = resample_block_np(
-                buf[:usable].astype(np.float32), self._ctx,
-                self.src_rate, self._dst_rate)
+                buf[:usable], self._ctx, self.src_rate, self._dst_rate)
         else:
             out = pcm
         while not player._stop_evt.is_set():
@@ -384,6 +383,7 @@ class MediaPlayer(threading.Thread):
         errors, never mis-decode."""
         from fractions import Fraction
 
+        from mixlab_tpu.av.avc import AvcError
         from mixlab_tpu.av.h264dec import H264DecodeError, PureH264Decoder
         from mixlab_tpu.av.flacdec import FlacDecoder, FlacError
         from mixlab_tpu.av.mp4read import Mp4Error, Mp4Reader
@@ -437,12 +437,16 @@ class MediaPlayer(threading.Thread):
         try:
             vdec = PureH264Decoder(vt.dcr) if video_ok else None
             fdec = FlacDecoder(at.streaminfo) if audio_ok else None
-        except (H264DecodeError, FlacError, ValueError, IndexError) as e:
-            # fuzzed/corrupt dcr or STREAMINFO: typed failure, not a dead
-            # thread with a traceback
+        except (H264DecodeError, FlacError, AvcError, ValueError,
+                IndexError) as e:
+            # fuzzed/corrupt dcr (AvcError from the DCR parse) or
+            # STREAMINFO: typed failure, not a dead thread
             log.warning("media_source: bad mp4 codec config: %s", e)
             return
         a_rate = fdec.sample_rate if audio_ok else self.cfg.sample_rate
+        # full-scale divisor from the stream's bit depth (matches _run_flac:
+        # 24-bit FLAC-in-MP4 must not be scaled as if 16-bit)
+        a_scale = float(1 << (fdec.bps - 1)) if audio_ok else 32768.0
         pusher = _PcmPusher(self, a_rate)
         throttle = MediaThrottle()
         epoch = Fraction(0)
@@ -459,7 +463,7 @@ class MediaPlayer(threading.Thread):
                     if kind == "audio":
                         pcm32, _ = fdec.decode_frame(payload)
                         end = max(end, t0 + Fraction(len(pcm32), a_rate))
-                        pusher.push(pcm32.astype(np.float32) / 32768.0)
+                        pusher.push(pcm32.astype(np.float32) / a_scale)
                     else:
                         frames = vdec.decode(payload)
                         end = max(end, t0 + dur)

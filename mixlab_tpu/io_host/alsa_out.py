@@ -123,28 +123,37 @@ class _AlsaSink:
             self._writei(pcm)
 
     def _writei(self, pcm: np.ndarray):
-        n = len(pcm)
-        ret = self._lib.snd_pcm_writei(self._pcm, pcm.ctypes.data, n)
-        if ret >= 0:
-            if ret < n:  # short write: push the remainder
-                self._writei(pcm[ret:])
-            return
-        # error path: recover, silence backoff, retry once
-        # (output_device.rs:113-130 plays SILENCE_FRAMES for 3 callbacks)
-        self.underruns += 1
-        self._lib.snd_pcm_recover(self._pcm, int(ret), 1)
-        silence = np.zeros((n, self.channels), "<i2")
-        for _ in range(_BACKOFF_PERIODS):
-            if self._lib.snd_pcm_writei(self._pcm, silence.ctypes.data, n) < 0:
-                self._lib.snd_pcm_recover(self._pcm, -_EPIPE, 1)
-        ret = self._lib.snd_pcm_writei(self._pcm, pcm.ctypes.data, n)
-        if ret < 0:
-            # second failure in a row: drop this period (audio-out is
-            # best-effort like the reference's callback) but say so
-            log.warning("alsa: writei failed twice (err %d); period dropped",
-                        int(ret))
-        elif ret < n:
-            self._writei(pcm[ret:])
+        # one bounded loop, never recursion (1-frame short-write progress
+        # on a large period would blow the stack); each error consumes one
+        # recover+backoff attempt, and audio-out is best-effort like the
+        # reference's callback — after the budget the period is dropped
+        recoveries = 0
+        while len(pcm):
+            n = len(pcm)
+            ret = self._lib.snd_pcm_writei(self._pcm, pcm.ctypes.data, n)
+            if ret == n:
+                return
+            if ret > 0:  # short write: continue with the remainder
+                pcm = np.ascontiguousarray(pcm[ret:])
+                continue
+            if ret == 0:
+                log.warning("alsa: writei made no progress; "
+                            "%d frames dropped", n)
+                return
+            if recoveries >= 2:
+                log.warning("alsa: writei failing repeatedly (err %d); "
+                            "%d frames dropped", int(ret), n)
+                return
+            # underrun: recover + 3 periods of silence, then retry
+            # (output_device.rs:113-130 plays SILENCE_FRAMES for 3 callbacks)
+            recoveries += 1
+            self.underruns += 1
+            self._lib.snd_pcm_recover(self._pcm, int(ret), 1)
+            silence = np.zeros((n, self.channels), "<i2")
+            for _ in range(_BACKOFF_PERIODS):
+                if self._lib.snd_pcm_writei(
+                        self._pcm, silence.ctypes.data, n) < 0:
+                    self._lib.snd_pcm_recover(self._pcm, -_EPIPE, 1)
 
     def close(self):
         with self._lock:
