@@ -497,3 +497,75 @@ def test_metrics_endpoint(server_port):
         writer.close()
 
     loop.run_until_complete(go())
+
+
+def test_two_concurrent_sessions_op_broadcast_and_sync_filtering(server_port):
+    """Reference multi-session semantics (server.rs:259-270,
+    engine.rs:269-275): an op from session A is rebroadcast to EVERY
+    session as a ServerUpdate, while the Sync echo is filtered to the
+    originating session only; B's later op reaches A symmetrically."""
+    loop, port, project = server_port
+
+    async def boot_session():
+        reader, writer = await ws_connect("127.0.0.1", port, "/session")
+        for expected in ("WorkspaceState", "MediaLibrary"):
+            _, payload = await ws_recv(reader)
+            kind, _ = wire.parse_envelope(payload)
+            assert kind == expected
+        return reader, writer
+
+    def create_op(seq, freq):
+        msg = p.WorkspaceMessage(
+            seq,
+            p.CreateModule(
+                p.ModuleParams("Oscillator",
+                               p.OscillatorParams(freq, p.Waveform.SINE)),
+                p.WindowGeometry(),
+            ),
+        )
+        env = json.dumps({"v": 1, "kind": "Workspace", "m": wire.encode(msg)})
+        return mask_frame(ws_mod.OP_TEXT, env.encode())
+
+    async def collect(reader, want_update, want_sync, budget=8):
+        got = {"Update": [], "Sync": []}
+        for _ in range(budget):
+            op, payload = await asyncio.wait_for(ws_recv(reader), 5.0)
+            kind, body = wire.parse_envelope(payload)
+            if kind in got:
+                got[kind].append(body)
+            if len(got["Update"]) >= want_update and len(got["Sync"]) >= want_sync:
+                break
+        return got
+
+    async def go():
+        ra, wa = await boot_session()
+        rb, wb = await boot_session()
+
+        wa.write(create_op(1, 440.0))
+        await wa.drain()
+        a_got = await collect(ra, want_update=1, want_sync=1)
+        b_got = await collect(rb, want_update=1, want_sync=0, budget=3)
+        # both sessions observe A's op...
+        assert a_got["Update"][0]["t"] == "SUCreateModule"
+        assert b_got["Update"][0]["t"] == "SUCreateModule"
+        assert b_got["Update"][0] == a_got["Update"][0]
+        # ...but only A gets the Sync echo for A's sequence
+        assert a_got["Sync"] == [1]
+        assert b_got["Sync"] == []
+
+        # symmetric: B's op reaches A; B gets its own Sync
+        wb.write(create_op(1, 220.0))
+        await wb.drain()
+        b2 = await collect(rb, want_update=1, want_sync=1)
+        a2 = await collect(ra, want_update=1, want_sync=0, budget=3)
+        assert b2["Sync"] == [1]
+        assert a2["Sync"] == []
+        assert a2["Update"][0] == b2["Update"][0]
+        assert a2["Update"][0]["t"] == "SUCreateModule"
+        # the two creates got distinct module ids on the shared workspace
+        ids = {a_got["Update"][0]["id"], a2["Update"][0]["id"]}
+        assert len(ids) == 2
+        wa.close()
+        wb.close()
+
+    loop.run_until_complete(go())
