@@ -57,6 +57,12 @@ long epipe_at() {
     return p ? std::atol(p) : -1;
 }
 
+// if set, the k-th writei accepts only half the frames (short write)
+long short_at() {
+    const char* p = std::getenv("FAKE_ASOUND_SHORT_AT");
+    return p ? std::atol(p) : -1;
+}
+
 }  // namespace
 
 extern "C" {
@@ -83,6 +89,16 @@ long snd_pcm_writei(void* pcm, const void* buf, unsigned long frames) {
     if (idx == epipe_at()) {
         logf("writei %lu -> -EPIPE", frames);
         return -EPIPE;
+    }
+    if (idx == short_at() && frames > 1) {
+        const unsigned long half = frames / 2;
+        logf("writei %lu -> short %lu", frames, half);
+        FILE* f = pcm_file();
+        if (f) {
+            std::fwrite(buf, 2 * p->channels, half, f);
+            std::fflush(f);
+        }
+        return static_cast<long>(half);
     }
     logf("writei %lu", frames);
     FILE* f = pcm_file();

@@ -132,3 +132,29 @@ def test_get_backend_env_selection(monkeypatch, tmp_path, fake_lib):
             audio_out.get_backend()
     finally:
         audio_out._BACKEND = saved
+
+
+def test_short_write_continues_with_remainder(monkeypatch, tmp_path, fake_lib):
+    """A short writei (device accepted only part of the period) continues
+    with the remainder in the bounded loop — the full PCM still lands, in
+    order, with no dropped or duplicated frames."""
+    log = tmp_path / "log"
+    backend = _make_backend(monkeypatch, fake_lib, log)
+    monkeypatch.setenv("FAKE_ASOUND_SHORT_AT", "0")
+    stream = backend.open("default", 48000)
+    assert stream is not None
+    t = np.arange(1024, dtype=np.float32)
+    frames = np.stack([np.sin(t * 0.013), np.cos(t * 0.007)], axis=1) * 0.8
+    assert stream.write(frames)
+    expect = (np.clip(frames, -1, 1) * 32767).astype("<i2").tobytes()
+    pcm_path = pathlib.Path(str(log) + ".pcm")
+    deadline = time.time() + 5.0
+    got = b""
+    while time.time() < deadline:
+        got = pcm_path.read_bytes() if pcm_path.exists() else b""
+        if len(got) >= len(expect):
+            break
+        time.sleep(0.02)
+    stream.close()
+    assert got[: len(expect)] == expect
+    assert "-> short" in log.read_text()
