@@ -569,3 +569,65 @@ def test_two_concurrent_sessions_op_broadcast_and_sync_filtering(server_port):
         wb.close()
 
     loop.run_until_complete(go())
+
+
+def test_monitor_ws_pure_tier_full_server(tmp_path, monkeypatch):
+    """The whole server on the zero-dependency codec tier
+    (MIXLAB_CODEC_TIER=pure): monitor fMP4 over the live WS advertises
+    CAVLC H.264 + FLAC and ships real moof segments — the codec-less-image
+    deployment story end to end, not just the pipeline unit."""
+    monkeypatch.setenv("MIXLAB_CODEC_TIER", "pure")
+
+    async def setup():
+        project = open_or_create(tmp_path / "pure.mixlab", CFG)
+        tcp, server = await run_server(project, "127.0.0.1", 0)
+        return project, tcp, server, tcp.sockets[0].getsockname()[1]
+
+    loop = asyncio.new_event_loop()
+    project, tcp, server, port = loop.run_until_complete(setup())
+    try:
+        eng = project.engine
+
+        async def go():
+            sid, _, _ = await asyncio.get_running_loop().run_in_executor(
+                None, eng.connect_session)
+            eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+                p.ModuleParams("Oscillator",
+                               p.OscillatorParams(440.0, p.Waveform.SINE)),
+                p.WindowGeometry())))
+            eng.update(sid, p.WorkspaceMessage(2, p.CreateModule(
+                p.ModuleParams("Monitor", None), p.WindowGeometry())))
+            eng.update(sid, p.WorkspaceMessage(3, p.CreateConnection(
+                p.InputId(p.ModuleId(2), 1), p.OutputId(p.ModuleId(1), 1))))
+            deadline0 = asyncio.get_event_loop().time() + 20.0
+            ind = None
+            while asyncio.get_event_loop().time() < deadline0:
+                ind = eng.ws.indications.get(p.ModuleId(2))
+                if ind is not None and ind.value is not None:
+                    break
+                await asyncio.sleep(0.05)
+            assert ind is not None and ind.value is not None
+            reader, writer = await ws_connect(
+                "127.0.0.1", port, f"/_monitor/{ind.value.socket_id}")
+            op, payload = await asyncio.wait_for(ws_recv(reader), 10.0)
+            init = json.loads(payload.partition(b"\n")[0])
+            assert init["t"] == "init" and init["mode"] == "fmp4"
+            assert "avc1." in init["mime"] and "flac" in init["mime"]
+            segments = 0
+            deadline = asyncio.get_event_loop().time() + 20.0
+            while (segments < 6
+                   and asyncio.get_event_loop().time() < deadline):
+                op, payload = await asyncio.wait_for(ws_recv(reader), 10.0)
+                header, _, body = payload.partition(b"\n")
+                if json.loads(header)["t"] == "segment":
+                    assert body[4:8] == b"moof"
+                    segments += 1
+            assert segments >= 6, "pure-tier segments never flowed"
+            writer.close()
+
+        loop.run_until_complete(go())
+    finally:
+        project.engine.stop()
+        tcp.close()
+        drain_and_close(loop)
+        project.close()
