@@ -367,3 +367,54 @@ def test_negative_sample_offset_rejected():
     r = Mp4Reader(_min_moov_video() + b"")
     with pytest.raises(Mp4Error):
         r.sample_data(s)
+
+
+def test_media_player_mp4_aac_audio_plays_video_only(tmp_path, monkeypatch):
+    """Pure tier cannot decode AAC (normative codebooks — ROADMAP): an MP4
+    with AAC audio + CAVLC video still plays its VIDEO codec-free; the
+    audio is skipped with a warning, never mis-decoded."""
+    from mixlab_tpu.av.aac import AudioSpecificConfiguration, adts_frame
+    from mixlab_tpu.av.h264enc import PureH264Stream
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.feeds import MediaSourceFeed
+    from mixlab_tpu.engine.media_player import MediaPlayer
+    from mixlab_tpu.engine.project import open_or_create
+    from mixlab_tpu.native import avshim
+
+    monkeypatch.setattr(avshim, "available", lambda: False)
+
+    W, H, SR = 96, 64, 44100
+    vstream = PureH264Stream(PictureSettings(W, H), mode="cavlc", qp=28)
+    params = mp4.Mp4Params(
+        timescale=SR, width=W, height=H, dcr=vstream.dcr,
+        sample_rate=SR, channels=2, audio_codec="aac",
+    )
+    mux, blob = mp4.Mp4Mux.create(params)
+    blob = bytearray(blob)
+    # a fake AAC granule (the player must never try to decode it)
+    asc = AudioSpecificConfiguration.lc_stereo(SR)
+    adts = adts_frame(b"\x55" * 57, asc)
+    blob += mux.write_track(MediaDuration.new(1024, SR), mp4.AdtsFrame(adts))
+    vstream.feed(_pic(W, H, 1))
+    ((_, avcc),) = vstream.poll_access_units()
+    recon = vstream._cavlc.last_recon
+    blob += mux.write_track(MediaDuration.new(1, 10),
+                            mp4.AvcFrame(True, MediaDuration.new(0, 1), avcc))
+
+    cfg = EngineConfig(sample_rate=SR)
+    proj = open_or_create(tmp_path / "aacclip.mixlab", cfg)
+    media_id = proj.upload_media("clip.mp4", "video/mp4", [bytes(blob)])
+    stream = proj.base.open_media(media_id)
+    feed = MediaSourceFeed(cfg)
+    player = MediaPlayer(stream, feed, cfg)
+    player.start()
+    try:
+        pts, frame = feed.video_q.get(timeout=15)
+        yp = np.asarray(frame.picture.planes["y"])
+        assert np.array_equal(yp, recon[0][:H, :W])
+        assert feed.queue.empty()  # no (mis-)decoded audio blocks
+    finally:
+        player.stop()
+        player.join(timeout=5)
+        proj.engine.stop()
+        proj.close()
