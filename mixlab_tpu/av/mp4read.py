@@ -111,6 +111,7 @@ class TrackInfo:
     dcr: bytes = b""  # raw AVCDecoderConfigurationRecord (h264)
     asc: bytes = b""  # AudioSpecificConfiguration (aac)
     streaminfo: bytes = b""  # 34-byte STREAMINFO (flac)
+    edit_media_time: int = 0  # elst media_time (leading-media skip)
     samples: List[Sample] = field(default_factory=list)
     # mvex/trex fragment defaults
     default_duration: int = 0
@@ -338,6 +339,26 @@ class Mp4Reader:
                 stbl = _find(d, minf[0], minf[1], b"stbl")
                 if stbl is not None:
                     _parse_stbl(d, stbl[0], stbl[1], t)
+            # edit list: the common single-entry media_time form shifts the
+            # whole track's presentation (leading-media skip); exotic
+            # multi-segment edits are out of scope and ignored
+            edts = _find(d, ts, te, b"edts")
+            if edts is not None:
+                elst = _find(d, edts[0], edts[1], b"elst")
+                if elst is not None:
+                    ver, _, ps = _full(d, elst[0])
+                    (n,) = struct.unpack_from(">I", d, ps)
+                    ps += 4
+                    for _i in range(min(n, 8)):
+                        if ver == 1:
+                            _dur, mt = struct.unpack_from(">Qq", d, ps)
+                            ps += 20
+                        else:
+                            _dur, mt = struct.unpack_from(">Ii", d, ps)
+                            ps += 12
+                        if mt >= 0:  # first real edit (-1 = empty edit)
+                            t.edit_media_time = mt
+                            break
             self.tracks[track_id] = t
         # mvex fragment defaults
         mvex = _find(d, s, e, b"mvex")

@@ -424,11 +424,14 @@ class MediaPlayer(threading.Thread):
             for i, s in enumerate(vt.samples):
                 nxt = (vt.samples[i + 1].dts - s.dts
                        if i + 1 < len(vt.samples) else 0)
-                events.append((Fraction(s.cts, vt.timescale), "video", s,
+                # elst media_time = leading-media skip (mp4read)
+                cts = max(s.cts - vt.edit_media_time, 0)
+                events.append((Fraction(cts, vt.timescale), "video", s,
                                Fraction(max(nxt, 1), vt.timescale)))
         if audio_ok:
             for s in at.samples:
-                events.append((Fraction(s.dts, at.timescale), "audio", s,
+                dts = max(s.dts - at.edit_media_time, 0)
+                events.append((Fraction(dts, at.timescale), "audio", s,
                                Fraction(0)))
         events.sort(key=lambda e: (e[0], e[1]))
         if not events:

@@ -418,3 +418,27 @@ def test_media_player_mp4_aac_audio_plays_video_only(tmp_path, monkeypatch):
         player.join(timeout=5)
         proj.engine.stop()
         proj.close()
+
+
+def test_elst_media_time_parsed():
+    """A single-entry edit list's media_time (the leading-media skip most
+    muxers emit) lands on TrackInfo.edit_media_time; an initial empty edit
+    (-1) is skipped to the first real entry."""
+    from mixlab_tpu.av.mp4 import box, full_box
+
+    moov = _min_moov_video()
+    # splice an edts (empty edit then media_time=500) into the trak
+    elst = full_box(b"elst", 0, 0,
+                    struct.pack(">I", 2)
+                    + struct.pack(">Ii", 100, -1) + struct.pack(">HH", 1, 0)
+                    + struct.pack(">Ii", 0, 500) + struct.pack(">HH", 1, 0))
+    edts = box(b"edts", elst)
+    # rebuild: unwrap moov, find trak payload, append edts inside it
+    from mixlab_tpu.av.mp4read import _boxes
+
+    inner = {k: (s, e) for k, s, e in _boxes(moov, 8, len(moov))}
+    trak_s, trak_e = inner[b"trak"]
+    new_trak = box(b"trak", moov[trak_s:trak_e] + edts)
+    new_moov = box(b"moov", moov[8:trak_s - 8] + new_trak + moov[trak_e:])
+    r = Mp4Reader(new_moov)
+    assert r.tracks[1].edit_media_time == 500
