@@ -210,14 +210,18 @@ class StreamOutputController:
                 log.warning("stream_output: codec init failed: %s", e)
                 self._aac = self._h264 = None
         if self._h264 is None:
+            from mixlab_tpu.av.h264cavlc_fast import NativeCavlcIntraEncoder
             from mixlab_tpu.av.h264enc import PureH264Stream
 
             try:
-                self._video_fps = 5  # all-intra python encoder budget
                 self._h264 = PureH264Stream(
-                    STREAM_PICTURE, fps=self._video_fps,
-                    profile="stream", qp=32,
+                    STREAM_PICTURE, fps=15, profile="stream", qp=32,
                 )
+                # all-intra encoder budget at 1120x700: the C++ full-frame
+                # encoder runs ~49 fps (15 fps leaves 3x headroom); the
+                # numpy fallback manages ~5
+                native = isinstance(self._h264._cavlc, NativeCavlcIntraEncoder)
+                self._video_fps = 15 if native else 5
             except Exception as e:
                 log.warning("stream_output: pure video init failed: %s", e)
                 self._h264 = None
