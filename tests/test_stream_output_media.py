@@ -240,9 +240,11 @@ def test_media_source_ogg_vorbis_playback(tmp_path):
     eng.update(sid, p.WorkspaceMessage(3, p.CreateConnection(
         InputId(p.ModuleId(2), 1), OutputId(p.ModuleId(1), 1))))
 
-    time.sleep(0.5)
+    # poll with a deadline: the async compile-and-swap and the decode
+    # thread's first block both race a fixed window under load
     peak = 0.0
-    for _ in range(30):
+    deadline = time.time() + 15.0
+    while peak <= 0.3 and time.time() < deadline:
         eng.tick_once()
         pipe = eng.monitor_pipe(p.ModuleId(2))
         while True:
