@@ -332,12 +332,18 @@ class Engine:
             self._aux = old_patch.prepare_aux(self.ws)
             return
         if old_patch is not None and self._thread is not None:
-            # realtime: warm the new program off-thread, swap when ready
+            # realtime: warm the new program off-thread, swap when ready.
+            # Snapshot the warm inputs HERE, on the engine thread, against
+            # the workspace this patch was compiled from — the worker must
+            # never read the live ws (a later edit could delete a module
+            # mid-warm and crash the job with a spurious KeyError)
+            warm_args = (patch.prepare_aux(self.ws),
+                         patch.init_state(self.ws), patch.host_aux(0))
             with self._pending_lock:
                 self._compile_gen += 1
                 gen = self._compile_gen
                 self._pending_patch = None  # superseded by this edit
-            self._compile_q.put((patch, gen))
+            self._compile_q.put((patch, gen, warm_args))
             if self._compile_worker is None or not self._compile_worker.is_alive():
                 self._compile_worker = threading.Thread(
                     target=self._compile_loop, daemon=True, name="compile"
@@ -359,7 +365,7 @@ class Engine:
                     job = self._compile_q.get_nowait()
                 except queue.Empty:
                     break
-            patch, gen = job
+            patch, gen, warm_args = job
             with self._pending_lock:
                 if gen != self._compile_gen:
                     continue  # superseded while queued
@@ -370,8 +376,9 @@ class Engine:
             from mixlab_tpu.utils.devhost import device_call
 
             try:
-                ok = device_call(lambda: self._warm_and_stage(patch, gen),
-                                 timeout=300.0)
+                ok = device_call(
+                    lambda: self._warm_and_stage(patch, gen, warm_args),
+                    timeout=300.0)
             except TimeoutError:
                 log.error("compile job stalled >300 s; device host "
                           "unresponsive — edit not adopted")
@@ -385,17 +392,15 @@ class Engine:
                 if not superseded and not self._stop.is_set():
                     log.warning("swap for gen %d will retry in 15 s", gen)
                     self._stop.wait(15.0)
-                    self._compile_q.put((patch, gen))
+                    self._compile_q.put((patch, gen, warm_args))
 
-    def _warm_and_stage(self, patch: CompiledPatch, gen: int):
+    def _warm_and_stage(self, patch: CompiledPatch, gen: int, warm_args):
         try:
             import jax
 
-            # small host->device transfers: serialize vs the engine thread
-            with self._device_lock:
-                aux = patch.prepare_aux(self.ws)
-                state = patch.init_state(self.ws)
-                host_aux = patch.host_aux(0)
+            # warm inputs were snapshotted on the engine thread at edit
+            # time (consistent with the compiled graph)
+            aux, state, host_aux = warm_args
             # compile + first execution under the lock.  Deliberately the
             # plain jit call, NOT jax AOT (.lower().compile()): executables
             # produced by the AOT path never fulfil their output futures on

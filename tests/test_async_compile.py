@@ -82,10 +82,10 @@ def test_edit_storm_never_adopts_stale_patch(monkeypatch):
     # flight when newer edits land.
     orig_warm = Engine._warm_and_stage
 
-    def slow_warm(self, patch, gen):
+    def slow_warm(self, patch, gen, warm_args):
         time.sleep(0.05)
         latest = self._compile_gen
-        orig_warm(self, patch, gen)
+        orig_warm(self, patch, gen, warm_args)
         # a stale warm must never stage
         if gen != latest:
             assert self._pending_patch is None or self._pending_patch[1] == latest
