@@ -336,9 +336,12 @@ class Engine:
             # Snapshot the warm inputs HERE, on the engine thread, against
             # the workspace this patch was compiled from — the worker must
             # never read the live ws (a later edit could delete a module
-            # mid-warm and crash the job with a spurious KeyError)
-            warm_args = (patch.prepare_aux(self.ws),
-                         patch.init_state(self.ws), patch.host_aux(0))
+            # mid-warm and crash the job with a spurious KeyError).  Any
+            # small array creation stays under the device lock, as the
+            # worker's version of this block was.
+            with self._device_lock:
+                warm_args = (patch.prepare_aux(self.ws),
+                             patch.init_state(self.ws), patch.host_aux(0))
             with self._pending_lock:
                 self._compile_gen += 1
                 gen = self._compile_gen
