@@ -69,7 +69,8 @@ def main():
 
         try:
             while not stop.is_set():
-                if len(churn_ids) < 6 or rng.random() < 0.5:
+                if len(churn_ids) < 6 or (len(churn_ids) < 12
+                                          and rng.random() < 0.5):
                     r = eng.update(sid, p.WorkspaceMessage(nxt(), p.CreateModule(
                         p.ModuleParams("Amplifier",
                                        p.AmplifierParams(0.5, 1.0)),
