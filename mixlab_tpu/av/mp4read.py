@@ -349,13 +349,15 @@ class Mp4Reader:
                     ver, _, ps = _full(d, elst[0])
                     (n,) = struct.unpack_from(">I", d, ps)
                     ps += 4
+                    entry = 20 if ver == 1 else 12
                     for _i in range(min(n, 8)):
+                        if ps + entry > elst[1]:
+                            raise Mp4Error("elst entries exceed box")
                         if ver == 1:
                             _dur, mt = struct.unpack_from(">Qq", d, ps)
-                            ps += 20
                         else:
                             _dur, mt = struct.unpack_from(">Ii", d, ps)
-                            ps += 12
+                        ps += entry
                         if mt >= 0:  # first real edit (-1 = empty edit)
                             t.edit_media_time = mt
                             break

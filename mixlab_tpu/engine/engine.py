@@ -336,12 +336,14 @@ class Engine:
             # Snapshot the warm inputs HERE, on the engine thread, against
             # the workspace this patch was compiled from — the worker must
             # never read the live ws (a later edit could delete a module
-            # mid-warm and crash the job with a spurious KeyError).  Any
-            # small array creation stays under the device lock, as the
-            # worker's version of this block was.
-            with self._device_lock:
-                warm_args = (patch.prepare_aux(self.ws),
-                             patch.init_state(self.ws), patch.host_aux(0))
+            # mid-warm and crash the job with a spurious KeyError).
+            # Deliberately LOCK-FREE: the engine thread's tiny jnp scalar
+            # creations are the long-proven param-edit precedent (line
+            # above in the param-only branch), and taking DEVICE_LOCK here
+            # unbounded would stall ticking behind a worker's minutes-long
+            # warm (the tick path survives that case via bounded acquires).
+            warm_args = (patch.prepare_aux(self.ws),
+                         patch.init_state(self.ws), patch.host_aux(0))
             with self._pending_lock:
                 self._compile_gen += 1
                 gen = self._compile_gen

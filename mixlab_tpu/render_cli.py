@@ -45,6 +45,15 @@ def _render_mp4(project_path: str, cfg, n_ticks: int, out_path: str):
         pipeline = eng._monitor_pipelines[mon]
         sub = pipeline.broadcast.subscribe()
         segments = []
+        # MediaPlayer decode threads are wall-clock paced (MediaThrottle),
+        # so a project with media sources must export at realtime; pure
+        # synthesis projects tick as fast as the codec allows
+        has_media = any(e.params.kind == "MediaSource"
+                        for e in eng.ws.modules.values())
+        if has_media:
+            print("project has media sources: exporting at realtime pace")
+        t_start = time.monotonic()
+        tick_period = 1.0 / cfg.ticks_per_second
 
         def drain():
             while True:
@@ -56,11 +65,22 @@ def _render_mp4(project_path: str, cfg, n_ticks: int, out_path: str):
                 if b'"segment"' in header:
                     segments.append(body)
 
-        for _ in range(n_ticks):
+        for i in range(n_ticks):
             # offline back-pressure: never outrun the codec queue (the
-            # live path drops on lag instead — monitor.rs:164-176)
+            # live path drops on lag instead — monitor.rs:164-176); a dead
+            # codec thread must fail the export, not hang it
+            bp_deadline = time.monotonic() + 30.0
             while not pipe.q.empty():
+                if not pipeline.is_alive():
+                    raise SystemExit("monitor codec thread died mid-export")
+                if time.monotonic() > bp_deadline:
+                    raise SystemExit("monitor codec stalled >30 s")
                 time.sleep(0.001)
+            if has_media:
+                target = t_start + i * tick_period
+                delay = target - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
             eng.tick_once()
             drain()
         deadline = time.time() + 10.0

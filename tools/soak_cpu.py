@@ -67,25 +67,31 @@ def main():
     def storm():
         from mixlab_tpu.engine.engine import Busy
 
+        # ids are assigned sequentially by the engine's module_seq; the
+        # storm is the only creator after the 2-module core, so it can
+        # track its own counter instead of reading the live (engine-owned)
+        # workspace — and deletes are FIFO-ordered behind their creates
+        next_id = 2
         try:
             while not stop.is_set():
-                if len(churn_ids) < 6 or (len(churn_ids) < 12
-                                          and rng.random() < 0.5):
-                    r = eng.update(sid, p.WorkspaceMessage(nxt(), p.CreateModule(
-                        p.ModuleParams("Amplifier",
-                                       p.AmplifierParams(0.5, 1.0)),
-                        p.WindowGeometry())))
-                    mid = getattr(r, "module_id", None)
-                    # engine assigns ids sequentially; track via workspace
-                    ids = sorted(m.value for m in eng.ws.modules)
-                    churn_ids.append(ids[-1])
-                elif churn_ids:
-                    victim = churn_ids.pop(rng.integers(0, len(churn_ids)))
-                    eng.update(sid, p.WorkspaceMessage(
-                        nxt(), p.DeleteModule(p.ModuleId(victim))))
+                try:
+                    if len(churn_ids) < 6 or (len(churn_ids) < 12
+                                              and rng.random() < 0.5):
+                        eng.update(sid, p.WorkspaceMessage(
+                            nxt(), p.CreateModule(
+                                p.ModuleParams("Amplifier",
+                                               p.AmplifierParams(0.5, 1.0)),
+                                p.WindowGeometry())))
+                        next_id += 1
+                        churn_ids.append(next_id)
+                    elif churn_ids:
+                        victim = churn_ids.pop(
+                            rng.integers(0, len(churn_ids)))
+                        eng.update(sid, p.WorkspaceMessage(
+                            nxt(), p.DeleteModule(p.ModuleId(victim))))
+                except Busy:
+                    time.sleep(0.2)  # queue full: expected backpressure
                 time.sleep(0.1)
-        except Busy:
-            time.sleep(0.2)  # queue full under storm: expected backpressure
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
