@@ -1,0 +1,131 @@
+"""Property-based round trips (hypothesis) over the byte-exact layers.
+
+Each property has an exact oracle (identity, or a twin implementation),
+so randomized inputs probe the state machines far beyond the
+hand-picked cases: FLAC lossless round trip at arbitrary lengths and
+block sizes (including spec-legal short final blocks), fMP4 mux->demux
+payload identity over arbitrary frame schedules, the three bit-identical
+CAVLC encoders against each other, and WS masking.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+import jax.numpy as jnp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 5000),
+    block=st.sampled_from([256, 1024, 4096]),
+    amp=st.integers(1, 32767),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_flac_roundtrip_lossless(n, block, amp, seed):
+    from mixlab_tpu.av.flacdec import FlacDecoder
+    from mixlab_tpu.av.flacenc import FlacEncoder
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-amp, amp, (n, 2)).astype(np.int16)
+    enc = FlacEncoder(44100, 2, block)
+    frames = []
+    at = 0
+    while at < n:
+        frames.append(enc.encode_frame(pcm[at : at + block]))
+        at += block
+    dec = FlacDecoder(enc.stream_header())
+    out = []
+    for f in frames:
+        got, used = dec.decode_frame(f)
+        assert used == len(f)
+        out.append(got)
+    back = np.concatenate(out).astype(np.int16)
+    assert np.array_equal(back, pcm)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    schedule=st.lists(
+        st.tuples(st.sampled_from(["a", "v"]), st.integers(1, 4096),
+                  st.booleans()),
+        min_size=1, max_size=12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_mp4_mux_demux_payload_identity(schedule, seed):
+    from mixlab_tpu.av import mp4
+    from mixlab_tpu.av.mp4read import Mp4Reader
+    from mixlab_tpu.utils.mtime import MediaDuration
+
+    rng = np.random.default_rng(seed)
+    params = mp4.Mp4Params(
+        timescale=48000, width=64, height=48,
+        dcr=b"\x01\x42\xc0\x28\xff\xe1\x00\x02\x67\x42\x01\x00\x01\x68",
+        sample_rate=48000, channels=2, audio_codec="flac",
+        flac_streaminfo_block=bytes(34))
+    mux, blob = mp4.Mp4Mux.create(params)
+    blob = bytearray(blob)
+    sent = {"a": [], "v": []}
+    for kind, size, key in schedule:
+        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        if kind == "a":
+            blob += mux.write_track(MediaDuration.new(1024, 48000),
+                                    mp4.FlacFrame(payload))
+        else:
+            blob += mux.write_track(
+                MediaDuration.new(1, 30),
+                mp4.AvcFrame(key, MediaDuration.new(0, 1), payload))
+        sent[kind].append((payload, key))
+
+    r = Mp4Reader(bytes(blob))
+    at = r.audio_track()
+    vt = r.video_track()
+    got_a = [r.sample_data(s) for s in at.samples] if at else []
+    got_v = [(r.sample_data(s), s.key) for s in vt.samples] if vt else []
+    assert got_a == [pl for pl, _ in sent["a"]]
+    assert got_v == sent["v"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 80),
+    h=st.integers(1, 64),
+    qp=st.integers(10, 48),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_cavlc_encoders_bit_identical(w, h, qp, seed):
+    from mixlab_tpu.av.h264cavlc import CavlcIntraEncoder
+    from mixlab_tpu.av.h264cavlc_fast import (
+        FastCavlcIntraEncoder,
+        NativeCavlcIntraEncoder,
+    )
+    from mixlab_tpu.video.frame import Picture, PictureSettings
+
+    w, h = w - w % 2 or 2, h - h % 2 or 2
+    rng = np.random.default_rng(seed)
+    pic = Picture(PictureSettings(w, h), {
+        "y": jnp.asarray(rng.integers(0, 256, (h, w), dtype=np.uint8)),
+        "u": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2),
+                                      dtype=np.uint8)),
+        "v": jnp.asarray(rng.integers(0, 256, (h // 2, w // 2),
+                                      dtype=np.uint8))})
+    scalar = CavlcIntraEncoder(qp).encode_frame(pic)
+    fast = FastCavlcIntraEncoder(qp).encode_frame(pic)
+    assert scalar == fast
+    try:
+        native = NativeCavlcIntraEncoder(qp).encode_frame(pic)
+    except RuntimeError:
+        return  # no compiler: two-way equality already checked
+    assert native == scalar
+
+
+@settings(max_examples=30, deadline=None)
+@given(payload=st.binary(min_size=0, max_size=4096),
+       mask=st.binary(min_size=4, max_size=4))
+def test_ws_mask_roundtrip(payload, mask):
+    from mixlab_tpu.native import ws_unmask
+
+    once = ws_unmask(payload, mask)
+    assert ws_unmask(once, mask) == payload
+    # oracle: per-byte xor
+    want = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    assert once == want
