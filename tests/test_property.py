@@ -129,3 +129,79 @@ def test_ws_mask_roundtrip(payload, mask):
     # oracle: per-byte xor
     want = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
     assert once == want
+
+
+def _finite_floats():
+    return st.floats(allow_nan=False, allow_infinity=False,
+                     min_value=-1e9, max_value=1e9, width=32)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_wire_roundtrip_randomized_params(data):
+    """Protocol wire round trip with randomized field values (existing
+    tests cover defaults; this probes extremes, unicode mountpoints,
+    optionals, and channel tuples)."""
+    from mixlab_tpu import protocol as p
+    from mixlab_tpu.protocol import wire
+
+    f = _finite_floats()
+    kind = data.draw(st.sampled_from(sorted(p.ModuleParams.KINDS)))
+    if kind == "Oscillator":
+        params = p.OscillatorParams(data.draw(f),
+                                    data.draw(st.sampled_from(list(p.Waveform))))
+    elif kind == "Amplifier":
+        params = p.AmplifierParams(data.draw(f), data.draw(f))
+    elif kind == "Envelope":
+        params = p.EnvelopeParams(data.draw(f), data.draw(f), data.draw(f),
+                                  data.draw(f))
+    elif kind == "EqThree":
+        params = p.EqThreeParams(p.Decibel(data.draw(f)),
+                                 p.Decibel(data.draw(f)),
+                                 p.Decibel(data.draw(f)))
+    elif kind == "FmSine":
+        params = p.FmSineParams(data.draw(f), data.draw(f))
+    elif kind == "Mixer":
+        params = p.MixerParams(tuple(
+            p.MixerChannelParams(p.Decibel(data.draw(f)), data.draw(f),
+                                 data.draw(st.booleans()))
+            for _ in range(data.draw(st.integers(0, 8)))))
+    elif kind == "MediaSource":
+        mid = data.draw(st.one_of(st.none(), st.integers(0, 2**31 - 1)))
+        params = p.MediaSourceParams(
+            media_id=p.MediaId(mid) if mid is not None else None)
+    elif kind == "OutputDevice":
+        params = p.OutputDeviceParams(
+            device=data.draw(st.one_of(st.none(), st.text(max_size=40))),
+            left=data.draw(st.one_of(st.none(), st.integers(0, 64))),
+            right=data.draw(st.one_of(st.none(), st.integers(0, 64))))
+    elif kind == "StreamInput":
+        params = p.StreamInputParams(
+            data.draw(st.one_of(st.none(),
+                                st.sampled_from(list(p.StreamProtocol)))),
+            data.draw(st.one_of(st.none(), st.text(max_size=60))))
+    elif kind == "StreamOutput":
+        params = p.StreamOutputParams(
+            seq=data.draw(st.integers(0, 2**31 - 1)),
+            connect_seq=data.draw(st.integers(0, 2**31 - 1)),
+            disconnect_seq=data.draw(st.integers(0, 2**31 - 1)),
+            rtmp_url=data.draw(st.text(max_size=80)),
+            rtmp_stream_key=data.draw(st.text(max_size=80)))
+    elif kind == "Trigger":
+        params = data.draw(st.sampled_from(list(p.GateState)))
+    elif kind == "VideoMixer":
+        params = p.VideoMixerParams(
+            a=data.draw(st.one_of(st.none(), st.integers(0, 3))),
+            b=data.draw(st.one_of(st.none(), st.integers(0, 3))),
+            fader=data.draw(f))
+    else:  # Monitor / Plotter / StereoPanner / StereoSplitter
+        params = None
+
+    mp = p.ModuleParams(kind, params)
+    msg = p.WorkspaceMessage(
+        data.draw(st.integers(0, 2**31 - 1)),
+        p.CreateModule(mp, p.WindowGeometry(
+            p.Coords(data.draw(st.integers(-10000, 10000)),
+                     data.draw(st.integers(-10000, 10000))),
+            data.draw(st.integers(0, 1000)))))
+    assert wire.loads(wire.dumps(msg)) == msg
