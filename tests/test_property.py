@@ -205,3 +205,50 @@ def test_wire_roundtrip_randomized_params(data):
                      data.draw(st.integers(-10000, 10000))),
             data.draw(st.integers(0, 1000)))))
     assert wire.loads(wire.dumps(msg)) == msg
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(8, 200),
+    h=st.integers(8, 160),
+    quality=st.integers(30, 95),
+    subsampling=st.sampled_from([0, 1, 2]),
+    progressive=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_decode_matches_pillow(w, h, quality, subsampling,
+                                    progressive, seed):
+    """Random geometry/quality/subsampling, baseline AND progressive:
+    our decode stays within 1 LSB of Pillow's native-YCbCr decode of the
+    same bytes (IDCT rounding), and progressive equals baseline exactly
+    on coefficient-identical encodings."""
+    import io
+
+    PIL = __import__("pytest").importorskip("PIL")
+    from PIL import Image
+
+    from mixlab_tpu.av.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # smooth it a little so quantization stays in sane ranges
+    rgb = ((rgb.astype(np.uint16) + np.roll(rgb, 1, 0) + np.roll(rgb, 1, 1)
+            + np.roll(rgb, 2, 1)) // 4).astype(np.uint8)
+
+    def enc(prog):
+        buf = io.BytesIO()
+        Image.fromarray(rgb).save(buf, "JPEG", quality=quality,
+                                  progressive=prog, subsampling=subsampling)
+        return buf.getvalue()
+
+    data = enc(progressive)
+    y, u, v = decode_jpeg(data)
+    img = Image.open(io.BytesIO(data))
+    img.draft("YCbCr", img.size)
+    ycc = np.asarray(img, np.uint8)
+    dy = np.abs(y[:h, :w].astype(int) - ycc[..., 0].astype(int))
+    assert dy.max() <= 1, (w, h, quality, subsampling, progressive, dy.max())
+    if progressive:
+        yb, ub, vb = decode_jpeg(enc(False))
+        assert np.array_equal(y, yb) and np.array_equal(u, ub)
+        assert np.array_equal(v, vb)
