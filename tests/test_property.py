@@ -252,3 +252,27 @@ def test_jpeg_decode_matches_pillow(w, h, quality, subsampling,
         yb, ub, vb = decode_jpeg(enc(False))
         assert np.array_equal(y, yb) and np.array_equal(u, ub)
         assert np.array_equal(v, vb)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    packets=st.lists(st.binary(min_size=0, max_size=2000),
+                     min_size=1, max_size=10),
+    chunk=st.integers(1, 4096),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ogg_writer_reader_roundtrip(packets, chunk, seed):
+    """RFC 3533 framing round trip: arbitrary packet sizes (including
+    empty, and >255-segment page-spanning ones) through our writer come
+    back intact from our packet reassembler, fed in arbitrary chunk
+    sizes."""
+    from mixlab_tpu.av.ogg import PacketReader, write_ogg_stream
+
+    blob = write_ogg_stream((pkt, i) for i, pkt in enumerate(packets))
+    reader = PacketReader()
+    got = []
+    at = 0
+    while at < len(blob):
+        got += reader.feed(blob[at : at + chunk])
+        at += chunk
+    assert [pkt for _, pkt in got] == packets
