@@ -1,26 +1,33 @@
 """Pure-Python CAVLC intra H.264 decoder (zero dependencies).
 
-The inverse of the zero-dep encoder tier (av/h264cavlc.py + av/h264enc.py):
-IDR I-slices, CAVLC entropy coding, Intra_16x16 macroblocks with DC
-prediction, plus I_PCM — exactly the stream shapes the pure encoders emit
-(and the monitor/stream profiles use: all-key-frames,
-``src/module/monitor.rs:21-22``).  Two jobs:
+The inverse of the zero-dep encoder tier (av/h264cavlc.py + av/h264enc.py)
+and a real-world intra decoder: IDR I-slices, CAVLC entropy coding, the
+FULL intra toolset — I_4x4 macroblocks with all nine 4x4 prediction modes,
+Intra_16x16 with all four modes, all four chroma modes, chained
+``mb_qp_delta``, I_PCM, and the §8.7 in-loop deblocking filter.  That is
+the complete coding surface of baseline-profile intra streams, so this
+tier decodes what third-party encoders (x264 at profile=baseline, intra
+only) actually emit — not just our own encoder's output.  Three jobs:
 
   * an in-tree round-trip oracle for the pure encoder that is independent
     of libavcodec (tests decode our own streams and compare against the
-    encoder's decoder-exact reconstruction, spec 8.5), and
+    encoder's decoder-exact reconstruction, spec 8.5),
   * zero-dependency RTMP video ingest: ``PureH264Decoder`` is duck-type
     compatible with ``native/avshim.VideoDecoder`` (rtmp/mod.rs:260-338
     uses ffmpeg here; this build falls back to the pure tier on images
-    with no codec libraries).
+    with no codec libraries), and
+  * differential validation against libavcodec on real x264 streams
+    (tests/test_h264dec_intra_full.py): bit-exact planes across QP sweeps,
+    deblock on/off, and adaptive-quant per-MB deltas.
 
 Out of scope (rejected with a typed error, never mis-decoded): CABAC,
-inter prediction, I_4x4/I_8x8 macroblocks, non-DC Intra_16x16 prediction
-modes, fields, and slices with deblocking enabled — the general case is
-what the libavcodec shim is for.
+inter prediction, I_8x8 (transform_8x8), scaling matrices, fields, and
+multi-slice pictures — the general case is what the libavcodec shim is
+for.
 
 Spec references: ITU-T H.264 §7.3 (syntax), §8.3 (intra prediction),
-§8.5 (transform/dequant), §9.1/9.2 (Exp-Golomb, CAVLC).
+§8.5 (transform/dequant), §8.7 (deblocking), §9.1/9.2 (Exp-Golomb,
+CAVLC).
 """
 
 from __future__ import annotations
@@ -235,9 +242,16 @@ class _Pps:
         self.pic_init_qp = 26 + r.se()
         r.se()  # pic_init_qs
         self.chroma_qp_offset = r.se()
+        self.chroma_qp_offset2 = self.chroma_qp_offset  # Cr (7.4.2.2)
         self.deblocking_control = r.bit()
         r.bit()  # constrained_intra_pred
         r.bit()  # redundant_pic_cnt_present
+        if r.more_rbsp_data():  # PPS extension (7.3.2.2)
+            if r.bit():
+                raise H264DecodeError("transform_8x8 streams unsupported")
+            if r.bit():
+                raise H264DecodeError("scaling matrices unsupported")
+            self.chroma_qp_offset2 = r.se()
 
 
 class _SpsExt:
@@ -332,6 +346,264 @@ def _dc_pred_chroma(recon, y0, x0, has_top, has_left) -> np.ndarray:
     return pred
 
 
+# coded_block_pattern me(v) mapping for intra MBs (Table 9-4,
+# ChromaArrayType=1): codeNum -> cbp
+_CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+              8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+# luma (bx, by) -> decode-order index (inverse of _BLK_POS)
+_Z_OF = {pos: i for i, pos in enumerate(_BLK_POS)}
+
+
+def _pred4x4(recon, y0, x0, mode, has_top, has_left, has_tr) -> np.ndarray:
+    """Intra_4x4 prediction (spec 8.3.1.2); ``recon`` is the int64 luma
+    plane, (y0, x0) the block's top-left sample."""
+    top = left = None
+    corner = 0
+    if has_top:
+        top = recon[y0 - 1, x0 : x0 + 4].astype(np.int64)
+        if has_tr:
+            tr = recon[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            # p[4..7,-1] unavailable -> substitute p[3,-1] (8.3.1.2 note)
+            tr = np.full(4, top[3], np.int64)
+        t = np.concatenate([top, tr])  # t[i] = p[i,-1], i 0..7
+    if has_left:
+        left = recon[y0 : y0 + 4, x0 - 1].astype(np.int64)
+    if has_top and has_left:
+        corner = int(recon[y0 - 1, x0 - 1])
+
+    pred = np.empty((4, 4), np.int64)
+    if mode == 2:  # DC
+        if has_top and has_left:
+            pred[:] = (int(top.sum()) + int(left.sum()) + 4) >> 3
+        elif has_top:
+            pred[:] = (int(top.sum()) + 2) >> 2
+        elif has_left:
+            pred[:] = (int(left.sum()) + 2) >> 2
+        else:
+            pred[:] = 128
+        return pred
+    if mode == 0:  # Vertical
+        if not has_top:
+            raise H264DecodeError("intra4x4 V without top")
+        pred[:] = top[None, :]
+        return pred
+    if mode == 1:  # Horizontal
+        if not has_left:
+            raise H264DecodeError("intra4x4 H without left")
+        pred[:] = left[:, None]
+        return pred
+    if mode == 3:  # Diagonal-Down-Left
+        if not has_top:
+            raise H264DecodeError("intra4x4 DDL without top")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    pred[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    i = x + y
+                    pred[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return pred
+    if mode == 7:  # Vertical-Left
+        if not has_top:
+            raise H264DecodeError("intra4x4 VL without top")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    pred[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    pred[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return pred
+    if mode == 8:  # Horizontal-Up
+        if not has_left:
+            raise H264DecodeError("intra4x4 HU without left")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z in (0, 2, 4):
+                    i = y + (x >> 1)
+                    pred[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z in (1, 3):
+                    i = y + (x >> 1)
+                    pred[y, x] = (
+                        left[i] + 2 * left[i + 1] + left[i + 2] + 2
+                    ) >> 2
+                elif z == 5:
+                    pred[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                else:
+                    pred[y, x] = left[3]
+        return pred
+    # remaining modes need top, left and the corner
+    if not (has_top and has_left):
+        raise H264DecodeError(f"intra4x4 mode {mode} without neighbors")
+    if mode == 4:  # Diagonal-Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    pred[y, x] = (
+                        t[x - y - 2] + 2 * t[x - y - 1] + t[x - y] + 2
+                    ) >> 2 if x - y >= 2 else (
+                        corner + 2 * t[0] + t[1] + 2
+                    ) >> 2 if x - y == 1 else 0
+                elif x < y:
+                    pred[y, x] = (
+                        left[y - x - 2] + 2 * left[y - x - 1] + left[y - x]
+                        + 2
+                    ) >> 2 if y - x >= 2 else (
+                        corner + 2 * left[0] + left[1] + 2
+                    ) >> 2 if y - x == 1 else 0
+                else:
+                    pred[y, x] = (t[0] + 2 * corner + left[0] + 2) >> 2
+        return pred
+    if mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z in (0, 2, 4, 6):
+                    a = corner if i - 1 < 0 else t[i - 1]
+                    pred[y, x] = (a + t[i] + 1) >> 1
+                elif z in (1, 3, 5):
+                    a = corner if i - 2 < 0 else t[i - 2]
+                    b = corner if i - 1 < 0 else t[i - 1]
+                    pred[y, x] = (a + 2 * b + t[i] + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (left[0] + 2 * corner + t[0] + 2) >> 2
+                else:  # -2, -3: (x,y) = (0,2) or (0,3); y-3 == -1 -> corner
+                    c = corner if y - 3 < 0 else left[y - 3]
+                    pred[y, x] = (
+                        left[y - 1] + 2 * left[y - 2] + c + 2
+                    ) >> 2
+        return pred
+    if mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z in (0, 2, 4, 6):
+                    a = corner if i - 1 < 0 else left[i - 1]
+                    pred[y, x] = (a + left[i] + 1) >> 1
+                elif z in (1, 3, 5):
+                    a = corner if i - 2 < 0 else left[i - 2]
+                    b = corner if i - 1 < 0 else left[i - 1]
+                    pred[y, x] = (a + 2 * b + left[i] + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (left[0] + 2 * corner + t[0] + 2) >> 2
+                else:  # -2, -3: (x,y) = (2,0) or (3,0); x-3 == -1 -> corner
+                    c = corner if x - 3 < 0 else t[x - 3]
+                    pred[y, x] = (
+                        t[x - 1] + 2 * t[x - 2] + c + 2
+                    ) >> 2
+        return pred
+    raise H264DecodeError(f"intra4x4 prediction mode {mode} invalid")
+
+
+# ---------------------------------------------------------------------------
+# deblocking filter (spec 8.7) — intra-only pictures: bS = 4 on macroblock
+# edges, 3 on internal transform edges
+# ---------------------------------------------------------------------------
+
+_ALPHA = np.array(
+    [0] * 16
+    + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28, 32, 36,
+       40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182, 203,
+       226, 255, 255],
+    np.int64,
+)
+_BETA = np.array(
+    [0] * 16
+    + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11,
+       11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
+    np.int64,
+)
+# Table 8-17: tc0 for bS 1..3 per indexA
+_TC0 = np.array(
+    [[0, 0, 0]] * 18
+    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1], [1, 1, 1],
+       [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2], [1, 1, 2],
+       [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3], [2, 2, 4], [2, 3, 4],
+       [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7], [4, 5, 8],
+       [4, 6, 9], [5, 7, 10], [6, 8, 11], [6, 8, 13], [7, 10, 14],
+       [8, 11, 16], [9, 12, 18], [10, 13, 20], [11, 15, 23], [13, 17, 25]],
+    np.int64,
+)
+
+
+def _edge_filter(plane, y0, x0, n, vertical, bS, idx_a, idx_b, chroma):
+    """Filter one deblocking edge of ``n`` lines in-place.  The edge lies
+    between column x0-1|x0 (vertical) or row y0-1|y0 (horizontal)."""
+    alpha = int(_ALPHA[idx_a])
+    beta = int(_BETA[idx_b])
+    if alpha == 0:
+        return
+    if vertical:
+        def g(i):
+            return plane[y0 : y0 + n, x0 + i].astype(np.int64)
+
+        def s(i, v):
+            plane[y0 : y0 + n, x0 + i] = v
+    else:
+        def g(i):
+            return plane[y0 + i, x0 : x0 + n].astype(np.int64)
+
+        def s(i, v):
+            plane[y0 + i, x0 : x0 + n] = v
+
+    p0, p1, q0, q1 = g(-1), g(-2), g(0), g(1)
+    fm = (
+        (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    if not fm.any():
+        return
+    if not chroma:
+        p2, q2 = g(-3), g(2)
+        ap = np.abs(p2 - p0) < beta
+        aq = np.abs(q2 - q0) < beta
+
+    if bS == 4:  # strong filter (8.7.2.4)
+        if chroma:
+            s(-1, np.where(fm, (2 * p1 + p0 + q1 + 2) >> 2, p0))
+            s(0, np.where(fm, (2 * q1 + q0 + p1 + 2) >> 2, q0))
+            return
+        p3, q3 = g(-4), g(3)
+        small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+        sp = fm & small & ap
+        s(-1, np.where(
+            sp, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+            np.where(fm, (2 * p1 + p0 + q1 + 2) >> 2, p0)))
+        s(-2, np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1))
+        s(-3, np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2))
+        sq = fm & small & aq
+        s(0, np.where(
+            sq, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+            np.where(fm, (2 * q1 + q0 + p1 + 2) >> 2, q0)))
+        s(1, np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1))
+        s(2, np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2))
+        return
+
+    # normal filter (8.7.2.3)
+    tc0 = int(_TC0[idx_a, bS - 1])
+    if chroma:
+        tc = tc0 + 1
+        delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+        s(-1, np.where(fm, np.clip(p0 + delta, 0, 255), p0))
+        s(0, np.where(fm, np.clip(q0 - delta, 0, 255), q0))
+        return
+    tc = tc0 + ap.astype(np.int64) + aq.astype(np.int64)
+    delta = np.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    s(-1, np.where(fm, np.clip(p0 + delta, 0, 255), p0))
+    s(0, np.where(fm, np.clip(q0 - delta, 0, 255), q0))
+    dp1 = np.clip((p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1, -tc0, tc0)
+    s(-2, np.where(fm & ap, p1 + dp1, p1))
+    dq1 = np.clip((q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1, -tc0, tc0)
+    s(1, np.where(fm & aq, q1 + dq1, q1))
+
+
 class _SliceDecoder:
     def __init__(self, sps: _SpsExt, pps: _Pps):
         self.sps = sps
@@ -344,6 +616,11 @@ class _SliceDecoder:
         self.nnz_y = np.zeros((mbh * 4, mbw * 4), np.int16)
         self.nnz_u = np.zeros((mbh * 2, mbw * 2), np.int16)
         self.nnz_v = np.zeros((mbh * 2, mbw * 2), np.int16)
+        # per-MB luma QP (deblocking) and per-4x4 intra mode map
+        # (-1 = unavailable; non-I_4x4 MBs record DC=2, spec 8.3.1.1)
+        self.qp_map = np.zeros((mbh, mbw), np.int64)
+        self.i4_modes = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        self.qp_prev = 26
 
     def _nC(self, nnz, mx, my, bx, by, grid) -> int:
         def lookup(tx, ty):
@@ -371,6 +648,9 @@ class _SliceDecoder:
     def decode_slice(self, r: BitReader, nal_unit_type: int):
         sps, pps = self.sps, self.pps
         first_mb = r.ue()
+        if first_mb != 0:
+            # intra-pred availability would need slice-boundary tracking
+            raise H264DecodeError("multi-slice pictures unsupported")
         slice_type = r.ue()
         if slice_type % 5 != 2:
             raise H264DecodeError(f"non-I slice {slice_type} unsupported")
@@ -384,23 +664,38 @@ class _SliceDecoder:
             r.bit()  # no_output_of_prior_pics
             r.bit()  # long_term_reference
         qp = pps.pic_init_qp + r.se()
+        self.qp_prev = qp
+        disable_idc = 0
+        off_a = off_b = 0
         if pps.deblocking_control:
-            if r.ue() != 1:
-                # the pure recon path has no deblocking filter; decoding a
-                # filtered stream would silently drift
-                raise H264DecodeError("deblocking-enabled slice unsupported")
+            disable_idc = r.ue()
+            if disable_idc > 2:
+                raise H264DecodeError("bad disable_deblocking_filter_idc")
+            if disable_idc != 1:
+                off_a = 2 * r.se()  # slice_alpha_c0_offset_div2
+                off_b = 2 * r.se()  # slice_beta_offset_div2
+        # idc 2 (don't cross slice boundaries) == idc 0 for our
+        # single-slice pictures
 
         mb_addr = first_mb
         n_mbs = self.mbw * self.mbh
         while mb_addr < n_mbs and r.more_rbsp_data():
-            self._decode_mb(r, mb_addr % self.mbw, mb_addr // self.mbw, qp)
+            self._decode_mb(r, mb_addr % self.mbw, mb_addr // self.mbw)
             mb_addr += 1
         if mb_addr != n_mbs:
             raise H264DecodeError(
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks"
             )
+        if disable_idc != 1:
+            self._deblock(off_a, off_b)
 
-    def _decode_mb(self, r: BitReader, mx: int, my: int, qp: int):
+    def _qpc(self, qp: int, comp: int) -> int:
+        off = (self.pps.chroma_qp_offset if comp == 0
+               else self.pps.chroma_qp_offset2)
+        qpc_i = int(np.clip(qp + off, 0, 51))
+        return qpc_i if qpc_i < 30 else _QPC[qpc_i - 30]
+
+    def _decode_mb(self, r: BitReader, mx: int, my: int):
         mb_type = r.ue()
         y0, x0 = my * 16, mx * 16
         cy0, cx0 = my * 8, mx * 8
@@ -417,24 +712,31 @@ class _SliceDecoder:
             self.nnz_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
             self.nnz_u[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
             self.nnz_v[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+            self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+            # QPY of an I_PCM macroblock is 0 (spec 8.7 qPp derivation;
+            # QPY_prev chains from it, matching libavcodec)
+            self.qp_map[my, mx] = 0
+            self.qp_prev = 0
+            return
+        if mb_type == 0:
+            self._decode_i4_mb(r, mx, my)
             return
         if not 1 <= mb_type <= 24:
             raise H264DecodeError(
-                f"mb_type {mb_type} unsupported (Intra_16x16/I_PCM only)"
+                f"mb_type {mb_type} unsupported (intra only)"
             )
         code = mb_type - 1
         pred_mode = code % 4
         cbp_chroma = (code // 4) % 3
         cbp_luma = 15 if code >= 12 else 0
-        if pred_mode != 2:
-            raise H264DecodeError(
-                f"Intra_16x16 prediction mode {pred_mode} unsupported (DC only)"
-            )
-        if r.ue() != 0:
-            raise H264DecodeError("chroma prediction mode != DC unsupported")
-        qp = qp + r.se()  # mb_qp_delta (per-MB scope is fine intra-only)
-        qpc_i = int(np.clip(qp + self.pps.chroma_qp_offset, 0, 51))
-        qpc = qpc_i if qpc_i < 30 else _QPC[qpc_i - 30]
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise H264DecodeError("bad intra_chroma_pred_mode")
+        delta = r.se()  # mb_qp_delta (always present for Intra_16x16)
+        qp = (self.qp_prev + delta + 52) % 52
+        self.qp_prev = qp
+        self.qp_map[my, mx] = qp
+        self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
         has_top, has_left = my > 0, mx > 0
 
         # ---- luma DC coefficients ----------------------------------------
@@ -460,7 +762,105 @@ class _SliceDecoder:
                     np.count_nonzero(scan)
                 )
 
-        # ---- chroma coefficients -----------------------------------------
+        CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+
+        # ---- reconstruction (identical math to the encoder's recon) ------
+        qp6, rem = divmod(qp, 6)
+        FD = _H4 @ ZD @ _H4
+        if qp >= 12:
+            dcY = (FD * _V_A[rem]) << (qp6 - 2)
+        else:
+            dcY = (FD * _V_A[rem] + (1 << (1 - qp6))) >> (2 - qp6)
+        DQ = dequant4x4(ZA, qp)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            DQ[i, 0, 0] = dcY[by, bx]
+        pred = self._pred16(pred_mode, y0, x0, has_top, has_left)
+        res = (idct4x4(DQ) + 32) >> 6
+        mb = np.empty((16, 16), np.int64)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            mb[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = res[i]
+        self.ry[y0 : y0 + 16, x0 : x0 + 16] = np.clip(mb + pred, 0, 255)
+
+        self._recon_chroma(mx, my, qp, chroma_mode, CZD, CZA)
+
+    # ---- I_4x4 macroblocks (spec 7.3.5.1, 8.3.1) ----------------------
+
+    def _tr_avail(self, mx: int, my: int, bx: int, by: int) -> bool:
+        """Top-right sample availability for 4x4 block (bx,by) of MB
+        (mx,my): the block holding p[4..7,-1] must be decoded already."""
+        gx, gy = mx * 4 + bx, my * 4 + by
+        if gy == 0 or gx + 1 >= self.mbw * 4:
+            return False
+        nx, ny = gx + 1, gy - 1
+        nmx, nmy = nx // 4, ny // 4
+        if nmy < my or (nmy == my and nmx < mx):
+            return True
+        if nmy == my and nmx == mx:
+            return _Z_OF[(nx % 4, ny % 4)] < _Z_OF[(bx, by)]
+        return False
+
+    def _decode_i4_mb(self, r: BitReader, mx: int, my: int):
+        gy0, gx0 = my * 4, mx * 4
+        modes: List[int] = []
+        for bx, by in _BLK_POS:
+            gx, gy = gx0 + bx, gy0 + by
+            ma = int(self.i4_modes[gy, gx - 1]) if gx > 0 else -1
+            mb_ = int(self.i4_modes[gy - 1, gx]) if gy > 0 else -1
+            pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+            if r.bit():  # prev_intra4x4_pred_mode_flag
+                mode = pm
+            else:
+                rem = r.bits(3)
+                mode = rem if rem < pm else rem + 1
+            self.i4_modes[gy, gx] = mode
+            modes.append(mode)
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise H264DecodeError("bad intra_chroma_pred_mode")
+        cbp_code = r.ue()
+        if cbp_code >= len(_CBP_INTRA):
+            raise H264DecodeError("bad coded_block_pattern")
+        cbp = _CBP_INTRA[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (self.qp_prev + r.se() + 52) % 52
+            self.qp_prev = qp
+        else:
+            qp = self.qp_prev
+        self.qp_map[my, mx] = qp
+
+        # ---- residual (entropy order: 16 luma blocks, then chroma) -------
+        self.nnz_y[gy0 : gy0 + 4, gx0 : gx0 + 4] = 0
+        Z = np.zeros((16, 4, 4), np.int64)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            if not (cbp_luma >> (i >> 2)) & 1:
+                continue
+            nC = self._nC(self.nnz_y, mx, my, bx, by, 4)
+            scan = read_cavlc_block(r, nC, 16)
+            flat = np.zeros(16, np.int64)
+            for k, z in enumerate(ZIGZAG):
+                flat[z] = scan[k]
+            Z[i] = flat.reshape(4, 4)
+            self.nnz_y[gy0 + by, gx0 + bx] = int(np.count_nonzero(scan))
+        CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+
+        # ---- reconstruction: Z-order, each block predicts from recon ----
+        res = (idct4x4(dequant4x4(Z, qp)) + 32) >> 6
+        for i, (bx, by) in enumerate(_BLK_POS):
+            yb, xb = my * 16 + 4 * by, mx * 16 + 4 * bx
+            pred = _pred4x4(
+                self.ry, yb, xb, modes[i],
+                (gy0 + by) > 0, (gx0 + bx) > 0,
+                self._tr_avail(mx, my, bx, by),
+            )
+            self.ry[yb : yb + 4, xb : xb + 4] = np.clip(
+                pred + res[i], 0, 255
+            )
+        self._recon_chroma(mx, my, qp, chroma_mode, CZD, CZA)
+
+    # ---- shared chroma residual + reconstruction ----------------------
+
+    def _read_chroma(self, r: BitReader, mx: int, my: int, cbp_chroma: int):
         CZD = [np.zeros((2, 2), np.int64), np.zeros((2, 2), np.int64)]
         CZA = [np.zeros((4, 4, 4), np.int64), np.zeros((4, 4, 4), np.int64)]
         if cbp_chroma:
@@ -483,28 +883,17 @@ class _SliceDecoder:
                     nnz_c[my * 2 + i // 2, mx * 2 + i % 2] = int(
                         np.count_nonzero(scan)
                     )
+        return CZD, CZA
 
-        # ---- reconstruction (identical math to the encoder's recon) ------
-        qp6, rem = divmod(qp, 6)
-        FD = _H4 @ ZD @ _H4
-        if qp >= 12:
-            dcY = (FD * _V_A[rem]) << (qp6 - 2)
-        else:
-            dcY = (FD * _V_A[rem] + (1 << (1 - qp6))) >> (2 - qp6)
-        DQ = dequant4x4(ZA, qp)
-        for i, (bx, by) in enumerate(_BLK_POS):
-            DQ[i, 0, 0] = dcY[by, bx]
-        pred = _dc_pred16(self.ry, y0, x0, has_top, has_left)
-        res = (idct4x4(DQ) + 32) >> 6
-        mb = np.empty((16, 16), np.int64)
-        for i, (bx, by) in enumerate(_BLK_POS):
-            mb[4 * by : 4 * by + 4, 4 * bx : 4 * bx + 4] = res[i]
-        self.ry[y0 : y0 + 16, x0 : x0 + 16] = np.clip(mb + pred, 0, 255)
-
-        cqp6, crem = divmod(qpc, 6)
+    def _recon_chroma(self, mx, my, qp, chroma_mode, CZD, CZA):
+        cy0, cx0 = my * 8, mx * 8
+        has_top, has_left = my > 0, mx > 0
         for comp in range(2):
             recon = self.ru if comp == 0 else self.rv
-            cpred = _dc_pred_chroma(recon, cy0, cx0, has_top, has_left)
+            qpc = self._qpc(qp, comp)
+            cqp6, crem = divmod(qpc, 6)
+            cpred = self._predc(recon, chroma_mode, cy0, cx0,
+                                has_top, has_left)
             CF2 = _H2 @ CZD[comp] @ _H2
             dcC = ((CF2 * _V_A[crem]) << cqp6) >> 1
             CDQ = dequant4x4(CZA[comp], qpc)
@@ -518,6 +907,107 @@ class _SliceDecoder:
             recon[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
                 cmb + cpred, 0, 255
             )
+
+    # ---- full-size intra prediction dispatch (spec 8.3.2 / 8.3.4) ------
+
+    def _pred16(self, mode, y0, x0, has_top, has_left):
+        ry = self.ry
+        if mode == 2:
+            return _dc_pred16(ry, y0, x0, has_top, has_left)
+        if mode == 0:  # Vertical
+            if not has_top:
+                raise H264DecodeError("Intra_16x16 V without top")
+            return ry[y0 - 1, x0 : x0 + 16][None, :].astype(np.int64)
+        if mode == 1:  # Horizontal
+            if not has_left:
+                raise H264DecodeError("Intra_16x16 H without left")
+            return ry[y0 : y0 + 16, x0 - 1][:, None].astype(np.int64)
+        # mode 3: Plane
+        if not (has_top and has_left):
+            raise H264DecodeError("Intra_16x16 Plane without neighbors")
+        t = ry[y0 - 1, x0 - 1 : x0 + 16].astype(np.int64)  # t[1+x]=p[x,-1]
+        lf = ry[y0 - 1 : y0 + 16, x0 - 1].astype(np.int64)
+        h = sum((x + 1) * (int(t[9 + x]) - int(t[7 - x])) for x in range(8))
+        v = sum((y + 1) * (int(lf[9 + y]) - int(lf[7 - y]))
+                for y in range(8))
+        a = 16 * (int(lf[16]) + int(t[16]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        xs = np.arange(16, dtype=np.int64)
+        return np.clip(
+            (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5,
+            0, 255,
+        )
+
+    def _predc(self, recon, mode, cy0, cx0, has_top, has_left):
+        if mode == 0:
+            return _dc_pred_chroma(recon, cy0, cx0, has_top, has_left)
+        if mode == 1:  # Horizontal
+            if not has_left:
+                raise H264DecodeError("chroma H prediction without left")
+            return recon[cy0 : cy0 + 8, cx0 - 1][:, None].astype(np.int64)
+        if mode == 2:  # Vertical
+            if not has_top:
+                raise H264DecodeError("chroma V prediction without top")
+            return recon[cy0 - 1, cx0 : cx0 + 8][None, :].astype(np.int64)
+        if not (has_top and has_left):
+            raise H264DecodeError("chroma Plane prediction w/o neighbors")
+        t = recon[cy0 - 1, cx0 - 1 : cx0 + 8].astype(np.int64)
+        lf = recon[cy0 - 1 : cy0 + 8, cx0 - 1].astype(np.int64)
+        h = sum((x + 1) * (int(t[5 + x]) - int(t[3 - x])) for x in range(4))
+        v = sum((y + 1) * (int(lf[5 + y]) - int(lf[3 - y]))
+                for y in range(4))
+        a = 16 * (int(lf[8]) + int(t[8]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        xs = np.arange(8, dtype=np.int64)
+        return np.clip(
+            (a + b * (xs[None, :] - 3) + c * (xs[:, None] - 3) + 16) >> 5,
+            0, 255,
+        )
+
+    # ---- deblocking (spec 8.7): MBs in raster order, all vertical
+    # edges of an MB left-to-right, then all horizontal top-to-bottom ----
+
+    def _deblock(self, off_a: int, off_b: int):
+        qpm = self.qp_map
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                qq = int(qpm[my, mx])
+                y0, x0 = my * 16, mx * 16
+                cy0, cx0 = my * 8, mx * 8
+                for vertical in (True, False):
+                    for xr in (0, 4, 8, 12):
+                        if xr == 0:
+                            if (mx if vertical else my) == 0:
+                                continue
+                            bs = 4
+                            qp_p = int(qpm[my, mx - 1] if vertical
+                                       else qpm[my - 1, mx])
+                        else:
+                            bs = 3  # internal edge of an intra MB
+                            qp_p = qq
+                        qav = (qp_p + qq + 1) >> 1
+                        ia = int(np.clip(qav + off_a, 0, 51))
+                        ib = int(np.clip(qav + off_b, 0, 51))
+                        if vertical:
+                            _edge_filter(self.ry, y0, x0 + xr, 16, True,
+                                         bs, ia, ib, False)
+                        else:
+                            _edge_filter(self.ry, y0 + xr, x0, 16, False,
+                                         bs, ia, ib, False)
+                        if xr in (0, 8):
+                            for comp, plane in ((0, self.ru), (1, self.rv)):
+                                cq = (self._qpc(qp_p, comp)
+                                      + self._qpc(qq, comp) + 1) >> 1
+                                ia = int(np.clip(cq + off_a, 0, 51))
+                                ib = int(np.clip(cq + off_b, 0, 51))
+                                if vertical:
+                                    _edge_filter(plane, cy0, cx0 + xr // 2,
+                                                 8, True, bs, ia, ib, True)
+                                else:
+                                    _edge_filter(plane, cy0 + xr // 2, cx0,
+                                                 8, False, bs, ia, ib, True)
 
 
 # ---------------------------------------------------------------------------
@@ -596,13 +1086,24 @@ class PureH264Decoder:
 
             if os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
                 dec = _SliceDecoder(self.sps, self.pps)
+                dec.decode_slice(BitReader(rbsp), nal_type)
             else:
-                # vectorized two-pass decoder (bit-exact vs this scalar
-                # oracle; tests/test_h264dec_fast.py)
+                # vectorized two-pass decoder (bit-exact vs the scalar
+                # oracle; tests/test_h264dec_fast.py) for the fast-path
+                # stream shapes; full-intra streams (I_4x4, non-DC modes,
+                # deblocking — what third-party encoders emit) fall back
+                # to the scalar decoder, which covers the whole intra
+                # toolset
                 from mixlab_tpu.av.h264dec_fast import FastSliceDecoder
 
-                dec = FastSliceDecoder(self.sps, self.pps)
-            dec.decode_slice(BitReader(rbsp), nal_type)
+                try:
+                    dec = FastSliceDecoder(self.sps, self.pps)
+                    dec.decode_slice(BitReader(rbsp), nal_type)
+                except H264DecodeError as e:
+                    if "unsupported" not in str(e):
+                        raise
+                    dec = _SliceDecoder(self.sps, self.pps)
+                    dec.decode_slice(BitReader(rbsp), nal_type)
             w, h = self.sps.info.width, self.sps.info.height
             y = np.clip(dec.ry, 0, 255).astype(np.uint8)[:h, :w]
             u = np.clip(dec.ru, 0, 255).astype(np.uint8)[: h // 2, : w // 2]
