@@ -166,19 +166,24 @@ def forward4x4(blocks: np.ndarray) -> np.ndarray:
 
 def idct4x4(d: np.ndarray) -> np.ndarray:
     """Spec 8.5.12.2 inverse core transform on [..., 4, 4] int arrays;
-    returns residual BEFORE the (x+32)>>6."""
-    d0, d1, d2, d3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
+    returns residual BEFORE the (x+32)>>6.
+
+    Pass order matters: the spec transforms each ROW first (e/f, 8-338)
+    then each column (g/h, 8-340) — the ``>>1`` floors make the order
+    observable for large coefficients at low QP, and libavcodec
+    (rows-first) is the conformance reference we must match bit-exactly."""
+    d0, d1, d2, d3 = d[..., :, 0], d[..., :, 1], d[..., :, 2], d[..., :, 3]
     e0 = d0 + d2
     e1 = d0 - d2
     e2 = (d1 >> 1) - d3
     e3 = d1 + (d3 >> 1)
-    g = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
-    g0, g1, g2, g3 = g[..., 0], g[..., 1], g[..., 2], g[..., 3]
-    h0 = g0 + g2
-    h1 = g0 - g2
-    h2 = (g1 >> 1) - g3
-    h3 = g1 + (g3 >> 1)
-    return np.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    f0, f1, f2, f3 = f[..., 0, :], f[..., 1, :], f[..., 2, :], f[..., 3, :]
+    g0 = f0 + f2
+    g1 = f0 - f2
+    g2 = (f1 >> 1) - f3
+    g3 = f1 + (f3 >> 1)
+    return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=-2)
 
 
 def quant4x4(W: np.ndarray, qp: int, dc_offset=False) -> np.ndarray:

@@ -63,6 +63,16 @@ class H264DecodeError(Exception):
     pass
 
 
+class H264Unsupported(H264DecodeError):
+    """Stream shape outside a decoder tier's scope — NOT corruption.
+
+    Raised by ``FastSliceDecoder`` when a legitimate stream uses tools
+    only the scalar full-intra decoder implements (I_4x4, non-DC
+    prediction, deblocking, first_mb != 0); ``PureH264Decoder`` falls
+    back to the scalar tier on exactly this type, never on message
+    text."""
+
+
 # ---------------------------------------------------------------------------
 # bit reading
 # ---------------------------------------------------------------------------
@@ -152,6 +162,9 @@ def read_cavlc_block(r: BitReader, nC: int, max_coeff: int) -> List[int]:
         cls = 0 if nC < 2 else 1 if nC < 4 else 2 if nC < 8 else 3
         idx = _read_prefix(r, _COEFF_TOKEN_DEC[cls], 16)
     total, t1s = idx // 4, idx % 4
+    if total > max_coeff:
+        raise H264DecodeError(
+            f"coeff_token total {total} exceeds block size {max_coeff}")
     coeffs = [0] * max_coeff
     if total == 0:
         return coeffs
@@ -201,6 +214,9 @@ def read_cavlc_block(r: BitReader, nC: int, max_coeff: int) -> List[int]:
             tz = _read_prefix(r, _TOTAL_ZEROS_DEC[total - 1], 16)
     else:
         tz = 0
+    if total + tz > max_coeff:
+        raise H264DecodeError(
+            f"total_zeros {tz} + total {total} exceeds block size {max_coeff}")
 
     # positions, highest-frequency coefficient first
     pos = [0] * total
@@ -209,6 +225,9 @@ def read_cavlc_block(r: BitReader, nC: int, max_coeff: int) -> List[int]:
     for k in range(total - 1, 0, -1):
         if zeros_left > 0:
             run = _read_prefix(r, _RUN_DEC[min(zeros_left, 7) - 1], 16)
+            if run > zeros_left:
+                raise H264DecodeError(
+                    f"run_before {run} exceeds zeros_left {zeros_left}")
         else:
             run = 0
         pos[k - 1] = pos[k] - run - 1
@@ -290,6 +309,13 @@ class _SpsExt:
         r.bit()
         self.mb_width = r.ue() + 1
         self.mb_height = r.ue() + 1
+        # cap allocations on untrusted input (RTMP ingest): same ceiling
+        # as native/avshim.VideoDecoder max_pixels; a corrupted SPS must
+        # raise the typed error, not attempt a monster plane allocation
+        if self.mb_width * self.mb_height * 256 > 4096 * 2304:
+            raise H264DecodeError(
+                f"picture {self.mb_width * 16}x{self.mb_height * 16} "
+                "exceeds the decoder pixel cap")
         if not r.bit():
             raise H264DecodeError("interlaced streams unsupported")
 
@@ -519,10 +545,12 @@ _BETA = np.array(
        11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18],
     np.int64,
 )
-# Table 8-17: tc0 for bS 1..3 per indexA
+# Table 8-17: tc0 for bS 1..3 per indexA (zero for indexA <= 16;
+# indexA 17..20 are all (0,0,1) — ffmpeg/x264 tc0_table agrees)
 _TC0 = np.array(
-    [[0, 0, 0]] * 18
-    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1], [1, 1, 1],
+    [[0, 0, 0]] * 17
+    + [[0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1],
+       [1, 1, 1],
        [1, 1, 1], [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2], [1, 1, 2],
        [1, 1, 2], [1, 2, 3], [1, 2, 3], [2, 2, 3], [2, 2, 4], [2, 3, 4],
        [2, 3, 4], [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7], [4, 5, 8],
@@ -713,10 +741,11 @@ class _SliceDecoder:
             self.nnz_u[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
             self.nnz_v[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
             self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
-            # QPY of an I_PCM macroblock is 0 (spec 8.7 qPp derivation;
-            # QPY_prev chains from it, matching libavcodec)
+            # Deblocking qPp of an I_PCM macroblock is 0 (spec 8.7.2), but
+            # the mb_qp_delta chain is NOT reset: the next coded MB chains
+            # from the qp before the I_PCM MB (verified against libavcodec
+            # by tests/test_h264dec_intra_full.py ipcm-chain tests)
             self.qp_map[my, mx] = 0
-            self.qp_prev = 0
             return
         if mb_type == 0:
             self._decode_i4_mb(r, mx, my)
@@ -1074,7 +1103,12 @@ class PureH264Decoder:
         nal_type = unit[0] & 0x1F
         rbsp = unit[1:]
         if nal_type == 7:
-            self.sps = _SpsExt(rbsp)
+            from mixlab_tpu.av.sps import SpsError
+
+            try:
+                self.sps = _SpsExt(rbsp)
+            except SpsError as e:  # typed error at the ingest boundary
+                raise H264DecodeError(f"bad SPS: {e}") from e
             return None
         if nal_type == 8:
             self.pps = _Pps(rbsp)
@@ -1088,22 +1122,31 @@ class PureH264Decoder:
                 dec = _SliceDecoder(self.sps, self.pps)
                 dec.decode_slice(BitReader(rbsp), nal_type)
             else:
-                # vectorized two-pass decoder (bit-exact vs the scalar
-                # oracle; tests/test_h264dec_fast.py) for the fast-path
-                # stream shapes; full-intra streams (I_4x4, non-DC modes,
-                # deblocking — what third-party encoders emit) fall back
-                # to the scalar decoder, which covers the whole intra
-                # toolset
-                from mixlab_tpu.av.h264dec_fast import FastSliceDecoder
+                # tier 1: C++ full baseline-intra decoder (all modes +
+                # deblocking; tests/test_h264dec_intra_full.py).
+                # tier 2 (no native lib): vectorized two-pass Python
+                # decoder for the fast-path stream shapes
+                # (tests/test_h264dec_fast.py), falling back on the typed
+                # H264Unsupported to
+                # tier 3: the scalar oracle, which covers the whole intra
+                # toolset.
+                from mixlab_tpu.av.h264dec_fast import (
+                    FastSliceDecoder,
+                    NativeFullSliceDecoder,
+                )
 
-                try:
-                    dec = FastSliceDecoder(self.sps, self.pps)
-                    dec.decode_slice(BitReader(rbsp), nal_type)
-                except H264DecodeError as e:
-                    if "unsupported" not in str(e):
-                        raise
-                    dec = _SliceDecoder(self.sps, self.pps)
-                    dec.decode_slice(BitReader(rbsp), nal_type)
+                dec = None
+                if os.environ.get("MIXLAB_PURE_H264_PYFULL", "0") != "1":
+                    nd = NativeFullSliceDecoder(self.sps, self.pps)
+                    if nd.decode_slice(BitReader(rbsp), nal_type):
+                        dec = nd
+                if dec is None:
+                    try:
+                        dec = FastSliceDecoder(self.sps, self.pps)
+                        dec.decode_slice(BitReader(rbsp), nal_type)
+                    except H264Unsupported:
+                        dec = _SliceDecoder(self.sps, self.pps)
+                        dec.decode_slice(BitReader(rbsp), nal_type)
             w, h = self.sps.info.width, self.sps.info.height
             y = np.clip(dec.ry, 0, 255).astype(np.uint8)[:h, :w]
             u = np.clip(dec.ru, 0, 255).astype(np.uint8)[: h // 2, : w // 2]

@@ -52,6 +52,7 @@ from mixlab_tpu.av.h264dec import (
     _TOTAL_ZEROS_DEC,
     BitReader,
     H264DecodeError,
+    H264Unsupported,
     _Pps,
     _SpsExt,
 )
@@ -108,14 +109,22 @@ _NATIVE_ERRORS = {
 }
 
 
-def _native_error(code: int, detail: int) -> str:
+def _native_error(code: int, detail: int) -> H264DecodeError:
+    """Map a native parse error code to the typed exception to raise.
+
+    Codes -4/-5/-6 are fast-tier SHAPE rejections (the scalar decoder
+    handles those streams) -> H264Unsupported so the caller falls back;
+    the rest are stream corruption -> plain H264DecodeError."""
     if code == -4:
-        return f"mb_type {detail} unsupported (Intra_16x16/I_PCM only)"
+        return H264Unsupported(
+            f"mb_type {detail} unsupported (Intra_16x16/I_PCM only)")
     if code == -5:
-        return (f"Intra_16x16 prediction mode {detail} unsupported (DC only)")
+        return H264Unsupported(
+            f"Intra_16x16 prediction mode {detail} unsupported (DC only)")
     if code == -6:
-        return "chroma prediction mode != DC unsupported"
-    return _NATIVE_ERRORS.get(code, f"native parse error {code}")
+        return H264Unsupported("chroma prediction mode != DC unsupported")
+    return H264DecodeError(
+        _NATIVE_ERRORS.get(code, f"native parse error {code}"))
 
 # count-leading-zeros over a 16-bit window (16 for the all-zero window)
 _CLZ16_NP = np.full(1 << 16, 16, np.uint8)
@@ -269,6 +278,9 @@ def _read_block_fast(r: _FastBits, nC: int, max_coeff: int,
         tz = 0
 
     p = total - 1 + tz
+    if p >= max_coeff:
+        raise H264DecodeError(
+            f"total_zeros {tz} + total {total} exceeds block size {max_coeff}")
     zeros_left = tz
     out[p] = levels[0]
     for k in range(total - 1, 0, -1):
@@ -285,10 +297,104 @@ def _read_block_fast(r: _FastBits, nC: int, max_coeff: int,
         else:
             run = 0
         p = p - run - 1
+        if p < 0:
+            raise H264DecodeError("corrupt run_before codes")
         out[p] = levels[total - k]
         zeros_left -= run
     r.pos = pos
     return total
+
+
+# ---------------------------------------------------------------------------
+# full-surface native decoder (C++ h264_decode_islice)
+# ---------------------------------------------------------------------------
+
+_NATIVE_FULL_ERRORS = dict(_NATIVE_ERRORS)
+
+
+def _native_full_error(code: int, detail: int) -> H264DecodeError:
+    if code == -4:
+        return H264DecodeError(f"mb_type {detail} unsupported (intra only)")
+    if code == -9:
+        return H264DecodeError("bad intra_chroma_pred_mode")
+    if code == -10:
+        return H264DecodeError("bad coded_block_pattern")
+    if code == -11:
+        return H264DecodeError(
+            f"intra prediction without required neighbors (site {detail})")
+    return H264DecodeError(
+        _NATIVE_FULL_ERRORS.get(code, f"native decode error {code}"))
+
+
+class NativeFullSliceDecoder:
+    """Drop-in for h264dec._SliceDecoder backed by the C++ FULL
+    baseline-intra decoder (mixlab_native.cpp h264_decode_islice):
+    I_4x4 all nine modes, Intra_16x16 V/H/DC/Plane, chroma DC/H/V/Plane,
+    chained mb_qp_delta, I_PCM, spec 8.7 deblocking.  Bit-exact vs the
+    scalar oracle AND libavcodec (tests/test_h264dec_intra_full.py);
+    ~2 orders of magnitude faster than the scalar Python tier on
+    third-party x264 streams (the RTMP ingest path)."""
+
+    def __init__(self, sps: _SpsExt, pps: _Pps):
+        self.sps = sps
+        self.pps = pps
+        mbw, mbh = sps.mb_width, sps.mb_height
+        self.mbw, self.mbh = mbw, mbh
+        self.ry = np.zeros((mbh * 16, mbw * 16), np.uint8)
+        self.ru = np.zeros((mbh * 8, mbw * 8), np.uint8)
+        self.rv = np.zeros((mbh * 8, mbw * 8), np.uint8)
+
+    def decode_slice(self, r, nal_unit_type: int) -> bool:
+        """Returns False when the native library is unavailable (caller
+        falls back to the Python tiers); raises on stream errors."""
+        from mixlab_tpu import native
+
+        if isinstance(r, (bytes, bytearray)):
+            r = BitReader(bytes(r))
+        sps, pps = self.sps, self.pps
+        first_mb = r.ue()
+        if first_mb != 0:
+            raise H264DecodeError("multi-slice pictures unsupported")
+        slice_type = r.ue()
+        if slice_type % 5 != 2:
+            raise H264DecodeError(f"non-I slice {slice_type} unsupported")
+        r.ue()  # pps id
+        r.bits(sps.log2_max_frame_num)
+        if nal_unit_type == 5:
+            r.ue()  # idr_pic_id
+        if sps.poc_type == 0:
+            r.bits(sps.log2_max_poc_lsb)
+        if nal_unit_type == 5:
+            r.bits(1)
+            r.bits(1)
+        qp = pps.pic_init_qp + r.se()
+        disable_idc = 0
+        off_a = off_b = 0
+        if pps.deblocking_control:
+            disable_idc = r.ue()
+            if disable_idc > 2:
+                raise H264DecodeError("bad disable_deblocking_filter_idc")
+            if disable_idc != 1:
+                off_a = 2 * r.se()
+                off_b = 2 * r.se()
+
+        state = np.zeros(3, np.int64)
+        code = native.h264_decode_islice(
+            bytes(r.data) + b"\0" * 8, len(r.data), r.pos,
+            self.mbw, self.mbh, qp,
+            pps.chroma_qp_offset, pps.chroma_qp_offset2,
+            disable_idc, off_a, off_b, _TABLES_PACKED,
+            self.ry, self.ru, self.rv, state)
+        if code is None:
+            return False
+        if code != 0:
+            raise _native_full_error(code, int(state[2]))
+        n_total = self.mbw * self.mbh
+        if int(state[1]) != n_total:
+            raise H264DecodeError(
+                f"slice ended after {int(state[1])}/{n_total} macroblocks")
+        r.pos = int(state[0])
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +432,9 @@ class FastSliceDecoder:
         sps, pps = self.sps, self.pps
 
         first_mb = r.ue()
+        if first_mb != 0:
+            # slice-boundary intra-pred availability is scalar-tier work
+            raise H264Unsupported("first_mb != 0 unsupported (fast tier)")
         slice_type = r.ue()
         if slice_type % 5 != 2:
             raise H264DecodeError(f"non-I slice {slice_type} unsupported")
@@ -339,9 +448,16 @@ class FastSliceDecoder:
             r.bits(1)
             r.bits(1)
         qp = pps.pic_init_qp + r.se()
-        if pps.deblocking_control:
-            if r.ue() != 1:
-                raise H264DecodeError("deblocking-enabled slice unsupported")
+        # Deblocking: with no slice-level control flag in the PPS the
+        # filter is implicitly ON (disable_deblocking_filter_idc defaults
+        # to 0, spec 7.4.3); the fast tier never filters, so anything but
+        # an explicit idc=1 must route to the scalar decoder.
+        if not pps.deblocking_control:
+            raise H264Unsupported(
+                "deblocking-enabled slice unsupported (fast tier)")
+        if r.ue() != 1:
+            raise H264Unsupported(
+                "deblocking-enabled slice unsupported (fast tier)")
 
         mbw, mbh = self.mbw, self.mbh
         n_total = mbw * mbh
@@ -392,7 +508,7 @@ class FastSliceDecoder:
         if code is None:
             return None
         if code != 0:
-            raise H264DecodeError(_native_error(code, int(state[2])))
+            raise _native_error(code, int(state[2]))
         r.pos = int(state[0])
         for i in np.nonzero(kinds)[0]:
             raw = pcm[i].astype(np.int64)
@@ -439,6 +555,8 @@ class FastSliceDecoder:
                     raise H264DecodeError("truncated I_PCM")
                 fb.pos += 384 * 8
                 kinds[i] = 1
+                # the mb_qp_delta chain is NOT reset by I_PCM (verified
+                # against libavcodec; see h264dec._decode_mb)
                 pcm_y[i] = raw[:256].reshape(16, 16)
                 pcm_c[i] = raw[256:].reshape(2, 8, 8)
                 for ty in range(my * 4, my * 4 + 4):
@@ -451,7 +569,7 @@ class FastSliceDecoder:
                 mb_addr += 1
                 continue
             if not 1 <= mb_type <= 24:
-                raise H264DecodeError(
+                raise H264Unsupported(
                     f"mb_type {mb_type} unsupported (Intra_16x16/I_PCM only)"
                 )
             code = mb_type - 1
@@ -459,15 +577,17 @@ class FastSliceDecoder:
             cbp_chroma = (code // 4) % 3
             cbp_luma = 15 if code >= 12 else 0
             if pred_mode != 2:
-                raise H264DecodeError(
+                raise H264Unsupported(
                     f"Intra_16x16 prediction mode {pred_mode} unsupported "
                     "(DC only)"
                 )
             if fb.ue() != 0:
-                raise H264DecodeError(
+                raise H264Unsupported(
                     "chroma prediction mode != DC unsupported"
                 )
-            qp = qp + fb.se()
+            # mb_qp_delta chains mod 52 (spec 7.4.5; scalar oracle at
+            # h264dec._decode_mb)
+            qp = (qp + fb.se() + 52) % 52
             qps[i] = qp
 
             # luma DC
@@ -568,8 +688,9 @@ class FastSliceDecoder:
 
         # ---- pass 2b: DC prediction + reconstruction ----------------------
         # native sequential recon when available (mixlab_native.cpp
-        # h264_dc_recon, mirrors the scalar oracle; handles any first_mb);
-        # otherwise the Python anti-diagonal wavefront below
+        # h264_dc_recon, mirrors the scalar oracle); otherwise the Python
+        # anti-diagonal wavefront below.  first_mb is always 0 here —
+        # decode_slice rejects anything else with H264Unsupported.
         if os.environ.get("MIXLAB_PURE_H264_PYPARSE", "") != "1":
             from mixlab_tpu import native
 
@@ -584,13 +705,6 @@ class FastSliceDecoder:
 
         # DC prediction consumes only neighbor-edge SUMS, so carry running
         # bottom-row/right-col sums per MB and batch each anti-diagonal.
-        if first_mb != 0:
-            # slices not starting at MB 0 fall back to the scalar decoder's
-            # geometry assumptions; handle by sequential loop (rare path)
-            self._sequential_store(first_mb, N, kinds, mb_y, mb_c, pcm_y,
-                                   pcm_c)
-            return
-
         rec_y = np.empty((N, 16, 16), np.int64)
         rec_c = np.empty((N, 2, 8, 8), np.int64)
         if pcm_idx.size:
@@ -670,30 +784,3 @@ class FastSliceDecoder:
         self.ru[:, :] = cc[0]
         self.rv[:, :] = cc[1]
 
-    def _sequential_store(self, first_mb, N, kinds, mb_y, mb_c, pcm_y,
-                          pcm_c):
-        """Rare path (first_mb != 0): per-MB sequential prediction, exactly
-        the scalar decoder's order."""
-        from mixlab_tpu.av.h264dec import _dc_pred16, _dc_pred_chroma
-
-        mbw = self.mbw
-        for i in range(N):
-            addr = first_mb + i
-            mx, my = addr % mbw, addr // mbw
-            y0, x0 = my * 16, mx * 16
-            cy0, cx0 = my * 8, mx * 8
-            if kinds[i]:
-                self.ry[y0 : y0 + 16, x0 : x0 + 16] = pcm_y[i]
-                self.ru[cy0 : cy0 + 8, cx0 : cx0 + 8] = pcm_c[i][0]
-                self.rv[cy0 : cy0 + 8, cx0 : cx0 + 8] = pcm_c[i][1]
-                continue
-            has_top, has_left = my > 0, mx > 0
-            pred = _dc_pred16(self.ry, y0, x0, has_top, has_left)
-            self.ry[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                mb_y[i] + pred, 0, 255
-            )
-            for comp, recon in ((0, self.ru), (1, self.rv)):
-                cpred = _dc_pred_chroma(recon, cy0, cx0, has_top, has_left)
-                recon[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(
-                    mb_c[i, comp] + cpred, 0, 255
-                )

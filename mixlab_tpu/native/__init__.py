@@ -80,6 +80,13 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_int64] * 4
         + [ctypes.c_void_p] * 3
     )
+    lib.h264_decode_islice.restype = ctypes.c_int64
+    lib.h264_decode_islice.argtypes = (
+        [ctypes.c_char_p]               # data (padded RBSP)
+        + [ctypes.c_int64] * 10         # n_bytes..off_b
+        + [ctypes.c_char_p]             # tables
+        + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
+    )
     lib.h264_encode_frame.restype = ctypes.c_int64
     lib.h264_encode_frame.argtypes = (
         [ctypes.c_void_p] * 3           # py, pu, pv
@@ -213,6 +220,27 @@ def h264_dc_recon(mb_y: np.ndarray, mb_c: np.ndarray, kinds: np.ndarray,
         pcm.ctypes.data, len(kinds), first_mb, mbw, mbh,
         ry.ctypes.data, ru.ctypes.data, rv.ctypes.data)
     return True
+
+
+def h264_decode_islice(padded: bytes, n_bytes: int, start_pos: int,
+                       mbw: int, mbh: int, slice_qp: int,
+                       chroma_qp_off: int, chroma_qp_off2: int,
+                       disable_idc: int, off_a: int, off_b: int,
+                       tables: bytes, ry: np.ndarray, ru: np.ndarray,
+                       rv: np.ndarray,
+                       out_state: np.ndarray) -> Optional[int]:
+    """FULL baseline-intra slice decode: macroblock layer + deblocking into
+    the uint8 planes (see mixlab_native.cpp h264_decode_islice).  Returns
+    the C error code (0 = ok), or None when the native library is
+    unavailable (caller falls back to the Python tiers)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.h264_decode_islice(
+        padded, n_bytes, start_pos, mbw, mbh, slice_qp,
+        chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b, tables,
+        ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
+        out_state.ctypes.data))
 
 
 def h264_encode_frame(py: np.ndarray, pu: np.ndarray, pv: np.ndarray,

@@ -226,7 +226,12 @@ class VideoEncoder:
             raise ShimError(f"venc_send: {rc}")
 
     def flush(self):
-        self._lib.avshim_venc_flush(self._h)
+        # avcodec_send_frame(NULL) returns EAGAIN while packets are
+        # pending; drain and retry or the last frame is silently dropped
+        rc = self._lib.avshim_venc_flush(self._h)
+        if rc == -11:
+            self._pending.extend(self._receive_raw())
+            self._lib.avshim_venc_flush(self._h)
 
     def receive(self) -> List[Tuple[int, int, bool, bytes]]:
         """[(pts, dts, is_key, annexb_payload)]"""
@@ -306,7 +311,11 @@ class AacEncoder:
             self._pending.extend(self._receive_raw())
 
     def flush(self):
-        self._lib.avshim_aenc_flush(self._h)
+        # see VideoEncoder.flush: EAGAIN means drain first, then re-flush
+        rc = self._lib.avshim_aenc_flush(self._h)
+        if rc == -11:
+            self._pending.extend(self._receive_raw())
+            self._lib.avshim_aenc_flush(self._h)
 
     def receive(self) -> List[Tuple[int, bytes]]:
         """[(pts_samples, raw_frame)] — no framing; wrap via av/aac.py."""

@@ -406,6 +406,8 @@ int64_t h264_parse_slice(const uint8_t* data, int64_t n_bytes,
                         nnz_u.at(ty, tx) = 16;
                         nnz_v.at(ty, tx) = 16;
                     }
+                // the mb_qp_delta chain is NOT reset by I_PCM (verified
+                // against libavcodec; see h264dec._decode_mb)
                 mb_addr++;
                 continue;
             }
@@ -416,7 +418,8 @@ int64_t h264_parse_slice(const uint8_t* data, int64_t n_bytes,
             int cbp_luma = code >= 12 ? 15 : 0;
             if (pred_mode != 2) throw ParseErr{-5, pred_mode};
             if (r.ue() != 0) throw ParseErr{-6, 0};
-            qp = qp + r.se();
+            // mb_qp_delta chains mod 52 (spec 7.4.5)
+            qp = ((qp + r.se()) % 52 + 52) % 52;
             qps[i] = qp;
 
             // luma DC
@@ -588,28 +591,31 @@ static void forward4x4(const int64_t* x, int64_t* w) {
     }
 }
 
-// spec 8.5.12.2 inverse core transform, residual BEFORE (x+32)>>6
+// spec 8.5.12.2 inverse core transform, residual BEFORE (x+32)>>6.
+// Pass order matters: the spec does each ROW first (e/f) then columns
+// (g/h); the >>1 floors make the order observable, and libavcodec
+// (rows-first) is the conformance reference (see h264cavlc.idct4x4).
 static void idct4x4(const int64_t* d, int64_t* r) {
-    int64_t g[16];
-    for (int j = 0; j < 4; j++) {
-        const int64_t d0 = d[0 * 4 + j], d1 = d[1 * 4 + j];
-        const int64_t d2 = d[2 * 4 + j], d3 = d[3 * 4 + j];
+    int64_t f[16];
+    for (int i = 0; i < 4; i++) {
+        const int64_t d0 = d[i * 4 + 0], d1 = d[i * 4 + 1];
+        const int64_t d2 = d[i * 4 + 2], d3 = d[i * 4 + 3];
         const int64_t e0 = d0 + d2, e1 = d0 - d2;
         const int64_t e2 = (d1 >> 1) - d3, e3 = d1 + (d3 >> 1);
-        g[0 * 4 + j] = e0 + e3;
-        g[1 * 4 + j] = e1 + e2;
-        g[2 * 4 + j] = e1 - e2;
-        g[3 * 4 + j] = e0 - e3;
+        f[i * 4 + 0] = e0 + e3;
+        f[i * 4 + 1] = e1 + e2;
+        f[i * 4 + 2] = e1 - e2;
+        f[i * 4 + 3] = e0 - e3;
     }
-    for (int i = 0; i < 4; i++) {
-        const int64_t g0 = g[i * 4 + 0], g1 = g[i * 4 + 1];
-        const int64_t g2 = g[i * 4 + 2], g3 = g[i * 4 + 3];
-        const int64_t h0 = g0 + g2, h1 = g0 - g2;
-        const int64_t h2 = (g1 >> 1) - g3, h3 = g1 + (g3 >> 1);
-        r[i * 4 + 0] = h0 + h3;
-        r[i * 4 + 1] = h1 + h2;
-        r[i * 4 + 2] = h1 - h2;
-        r[i * 4 + 3] = h0 - h3;
+    for (int j = 0; j < 4; j++) {
+        const int64_t f0 = f[0 * 4 + j], f1 = f[1 * 4 + j];
+        const int64_t f2 = f[2 * 4 + j], f3 = f[3 * 4 + j];
+        const int64_t g0 = f0 + f2, g1 = f0 - f2;
+        const int64_t g2 = (f1 >> 1) - f3, g3 = f1 + (f3 >> 1);
+        r[0 * 4 + j] = g0 + g3;
+        r[1 * 4 + j] = g1 + g2;
+        r[2 * 4 + j] = g1 - g2;
+        r[3 * 4 + j] = g0 - g3;
     }
 }
 
@@ -1156,6 +1162,862 @@ void h264_dc_recon(const int64_t* mb_y, const int64_t* mb_c,
                 }
         }
     }
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FULL baseline-intra H.264 slice decoder (native twin of av/h264dec.py
+// _SliceDecoder): I_4x4 with all nine prediction modes, Intra_16x16
+// V/H/DC/Plane, chroma DC/H/V/Plane, chained mb_qp_delta, I_PCM, and the
+// spec 8.7 in-loop deblocking filter.  Statement-for-statement port of the
+// Python scalar oracle so third-party x264 streams (RTMP ingest,
+// rtmp/mod.rs:260-338 in the reference) decode at native speed in the
+// zero-dependency tier; bit-exactness vs BOTH the scalar oracle and
+// libavcodec is asserted by tests/test_h264dec_intra_full.py.
+// Python keeps NAL/SPS/PPS/slice-header parsing; this decodes the
+// macroblock layer + deblocking into caller-provided uint8 planes.
+// ---------------------------------------------------------------------------
+
+namespace h264full {
+
+using h264::Bits;
+using h264::NnzGrid;
+using h264::ParseErr;
+using h264::kBlkX;
+using h264::kBlkY;
+using h264enc::idct4x4;
+using h264enc::kVA;
+using h264enc::kZigzag;
+using h264enc::v_at;
+
+// Table 9-4 (ChromaArrayType=1), intra column: codeNum -> coded_block_pattern
+constexpr int kCbpIntra[48] = {
+    47, 31, 15, 0,  23, 27, 29, 30, 7,  11, 13, 14, 39, 43, 45, 46,
+    16, 3,  5,  10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1,  2,  4,
+    8,  17, 18, 20, 24, 6,  9,  22, 25, 32, 33, 34, 36, 40, 38, 41};
+
+// Table 8-15 (offset 0): QPc for qPi >= 30
+constexpr int kQpc30[22] = {29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+                            36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39};
+
+inline int qpc_of(int qp, int off) {
+    int q = qp + off;
+    q = q < 0 ? 0 : q > 51 ? 51 : q;
+    return q < 30 ? q : kQpc30[q - 30];
+}
+
+// deblocking tables (Table 8-16/8-17); see h264dec.py _ALPHA/_BETA/_TC0
+constexpr int kAlpha[52] = {
+    0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,   0,   0,   0,   0,   0,
+    4,  4,  5,  6,  7,  8,  9,  10, 12, 13, 15,  17,  20,  22,  25,  28,
+    32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144, 162, 182,
+    203, 226, 255, 255};
+constexpr int kBeta[52] = {
+    0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,  0,
+    2,  2,  2,  3,  3,  3,  3,  4,  4,  4,  6,  6,  7,  7,  8,  8,
+    9,  9,  10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+    17, 17, 18, 18};
+constexpr int kTc0[52][3] = {
+    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
+    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0},
+    {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 0}, {0, 0, 1},
+    {0, 0, 1}, {0, 0, 1}, {0, 0, 1}, {0, 1, 1}, {0, 1, 1}, {1, 1, 1},
+    {1, 1, 1}, {1, 1, 1}, {1, 1, 1}, {1, 1, 2}, {1, 1, 2}, {1, 1, 2},
+    {1, 1, 2}, {1, 2, 3}, {1, 2, 3}, {2, 2, 3}, {2, 2, 4}, {2, 3, 4},
+    {2, 3, 4}, {3, 3, 5}, {3, 4, 6}, {3, 4, 6}, {4, 5, 7}, {4, 5, 8},
+    {4, 6, 9}, {5, 7, 10}, {6, 8, 11}, {6, 8, 13}, {7, 10, 14},
+    {8, 11, 16}, {9, 12, 18}, {10, 13, 20}, {11, 15, 23}, {13, 17, 25}};
+
+// decode-order index of the 4x4 block at position (bx, by) — inverse of
+// (kBlkX, kBlkY), for top-right availability (h264dec._tr_avail)
+constexpr int kZOf[4][4] = {  // [by][bx]
+    {0, 1, 4, 5}, {2, 3, 6, 7}, {8, 9, 12, 13}, {10, 11, 14, 15}};
+
+inline int clip255(int64_t v) { return v < 0 ? 0 : v > 255 ? 255 : (int)v; }
+inline int64_t clip3(int64_t lo, int64_t hi, int64_t v) {
+    return v < lo ? lo : v > hi ? hi : v;
+}
+
+struct Dec {
+    int mbw, mbh;
+    uint8_t *ry, *ru, *rv;  // [mbh*16, mbw*16], [mbh*8, mbw*8] x2
+    int yw, cw;             // plane widths
+    NnzGrid nnz_y, nnz_u, nnz_v;
+    std::vector<int8_t> i4m;    // [mbh*4][mbw*4] intra4x4 mode map, -1 unset
+    std::vector<int8_t> qpmap;  // [mbh][mbw]
+    int qp_prev;
+    int qp_off_u, qp_off_v;
+    const uint8_t* tables;
+
+    Dec(int w, int h, uint8_t* y, uint8_t* u, uint8_t* v, int offu, int offv,
+        const uint8_t* tab)
+        : mbw(w), mbh(h), ry(y), ru(u), rv(v), yw(w * 16), cw(w * 8),
+          nnz_y(h * 4, w * 4), nnz_u(h * 2, w * 2), nnz_v(h * 2, w * 2),
+          i4m((size_t)h * 4 * w * 4, -1), qpmap((size_t)h * w, 0),
+          qp_prev(26), qp_off_u(offu), qp_off_v(offv), tables(tab) {}
+
+    inline int8_t& i4mode(int gy, int gx) { return i4m[(size_t)gy * mbw * 4 + gx]; }
+
+    // ---- residual helpers ------------------------------------------------
+
+    // read one CAVLC block and place it in FREQUENCY order (row-major 4x4)
+    // via the zigzag; max_coeff 16 (full) or 15 (AC, DC slot untouched)
+    int read_freq_block(Bits& r, int nC, int max_coeff, int64_t* freq16) {
+        int64_t scan[16] = {0};
+        int total = h264::read_block(r, nC, max_coeff, scan, tables);
+        const int base = max_coeff == 15 ? 1 : 0;
+        for (int k = 0; k < max_coeff; k++)
+            freq16[kZigzag[base + k]] = scan[k];
+        return total;
+    }
+
+    static void dequant(const int64_t* z, int qp, int64_t* d) {
+        const int q6 = qp / 6, rem = qp % 6;
+        for (int i = 0; i < 16; i++) d[i] = (z[i] * v_at(rem, i)) << q6;
+    }
+
+    // ---- intra prediction (spec 8.3) --------------------------------------
+
+    int dc_pred16(int y0, int x0, bool ht, bool hl) {
+        int64_t ts = 0, ls = 0;
+        if (ht) for (int x = 0; x < 16; x++) ts += ry[(y0 - 1) * yw + x0 + x];
+        if (hl) for (int y = 0; y < 16; y++) ls += ry[(y0 + y) * yw + x0 - 1];
+        if (ht && hl) return (int)((ts + ls + 16) >> 5);
+        if (ht) return (int)((ts + 8) >> 4);
+        if (hl) return (int)((ls + 8) >> 4);
+        return 128;
+    }
+
+    // pred16 -> pred[256] row-major
+    void pred16(int mode, int y0, int x0, bool ht, bool hl, int64_t* pred) {
+        if (mode == 2) {
+            const int v = dc_pred16(y0, x0, ht, hl);
+            for (int i = 0; i < 256; i++) pred[i] = v;
+            return;
+        }
+        if (mode == 0) {  // Vertical
+            if (!ht) throw ParseErr{-11, 0};
+            for (int y = 0; y < 16; y++)
+                for (int x = 0; x < 16; x++)
+                    pred[y * 16 + x] = ry[(y0 - 1) * yw + x0 + x];
+            return;
+        }
+        if (mode == 1) {  // Horizontal
+            if (!hl) throw ParseErr{-11, 1};
+            for (int y = 0; y < 16; y++)
+                for (int x = 0; x < 16; x++)
+                    pred[y * 16 + x] = ry[(y0 + y) * yw + x0 - 1];
+            return;
+        }
+        // mode 3: Plane
+        if (!(ht && hl)) throw ParseErr{-11, 3};
+        int64_t t[17], lf[17];
+        for (int i = 0; i < 17; i++) {
+            t[i] = ry[(y0 - 1) * yw + x0 - 1 + i];
+            lf[i] = ry[(y0 - 1 + i) * yw + x0 - 1];
+        }
+        int64_t hsum = 0, vsum = 0;
+        for (int x = 0; x < 8; x++) hsum += (x + 1) * (t[9 + x] - t[7 - x]);
+        for (int y = 0; y < 8; y++) vsum += (y + 1) * (lf[9 + y] - lf[7 - y]);
+        const int64_t a = 16 * (lf[16] + t[16]);
+        const int64_t b = (5 * hsum + 32) >> 6;
+        const int64_t c = (5 * vsum + 32) >> 6;
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++)
+                pred[y * 16 + x] =
+                    clip255((a + b * (x - 7) + c * (y - 7) + 16) >> 5);
+    }
+
+    // chroma prediction -> pred[64] row-major (8x8)
+    void predc(uint8_t* plane, int mode, int cy0, int cx0, bool ht, bool hl,
+               int64_t* pred) {
+        if (mode == 0) {  // DC per 4x4 quadrant (spec 8.3.4.1)
+            for (int sy = 0; sy <= 4; sy += 4)
+                for (int sx = 0; sx <= 4; sx += 4) {
+                    int64_t ts = 0, ls = 0;
+                    if (ht)
+                        for (int x = 0; x < 4; x++)
+                            ts += plane[(cy0 - 1) * cw + cx0 + sx + x];
+                    if (hl)
+                        for (int y = 0; y < 4; y++)
+                            ls += plane[(cy0 + sy + y) * cw + cx0 - 1];
+                    int64_t v;
+                    const bool corner =
+                        (sx == 0 && sy == 0) || (sx == 4 && sy == 4);
+                    if (corner && ht && hl) v = (ts + ls + 4) >> 3;
+                    else if (sx == 4 && sy == 0)
+                        v = ht ? (ts + 2) >> 2 : hl ? (ls + 2) >> 2 : 128;
+                    else if (sx == 0 && sy == 4)
+                        v = hl ? (ls + 2) >> 2 : ht ? (ts + 2) >> 2 : 128;
+                    else
+                        v = (ht && hl) ? (ts + ls + 4) >> 3
+                            : ht       ? (ts + 2) >> 2
+                            : hl       ? (ls + 2) >> 2
+                                       : 128;
+                    for (int y = 0; y < 4; y++)
+                        for (int x = 0; x < 4; x++)
+                            pred[(sy + y) * 8 + sx + x] = v;
+                }
+            return;
+        }
+        if (mode == 1) {  // Horizontal
+            if (!hl) throw ParseErr{-11, 11};
+            for (int y = 0; y < 8; y++)
+                for (int x = 0; x < 8; x++)
+                    pred[y * 8 + x] = plane[(cy0 + y) * cw + cx0 - 1];
+            return;
+        }
+        if (mode == 2) {  // Vertical
+            if (!ht) throw ParseErr{-11, 12};
+            for (int y = 0; y < 8; y++)
+                for (int x = 0; x < 8; x++)
+                    pred[y * 8 + x] = plane[(cy0 - 1) * cw + cx0 + x];
+            return;
+        }
+        // mode 3: Plane
+        if (!(ht && hl)) throw ParseErr{-11, 13};
+        int64_t t[9], lf[9];
+        for (int i = 0; i < 9; i++) {
+            t[i] = plane[(cy0 - 1) * cw + cx0 - 1 + i];
+            lf[i] = plane[(cy0 - 1 + i) * cw + cx0 - 1];
+        }
+        int64_t hsum = 0, vsum = 0;
+        for (int x = 0; x < 4; x++) hsum += (x + 1) * (t[5 + x] - t[3 - x]);
+        for (int y = 0; y < 4; y++) vsum += (y + 1) * (lf[5 + y] - lf[3 - y]);
+        const int64_t a = 16 * (lf[8] + t[8]);
+        const int64_t b = (17 * hsum + 16) >> 5;
+        const int64_t c = (17 * vsum + 16) >> 5;
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++)
+                pred[y * 8 + x] =
+                    clip255((a + b * (x - 3) + c * (y - 3) + 16) >> 5);
+    }
+
+    // Intra_4x4 prediction (spec 8.3.1.2); mirrors h264dec._pred4x4
+    void pred4x4(int yb, int xb, int mode, bool ht, bool hl, bool htr,
+                 int64_t* pred) {
+        int64_t t[8], left[4];
+        int64_t corner = 0;
+        if (ht) {
+            for (int i = 0; i < 4; i++) t[i] = ry[(yb - 1) * yw + xb + i];
+            if (htr)
+                for (int i = 0; i < 4; i++)
+                    t[4 + i] = ry[(yb - 1) * yw + xb + 4 + i];
+            else
+                for (int i = 0; i < 4; i++) t[4 + i] = t[3];
+        }
+        if (hl)
+            for (int i = 0; i < 4; i++) left[i] = ry[(yb + i) * yw + xb - 1];
+        if (ht && hl) corner = ry[(yb - 1) * yw + xb - 1];
+
+        switch (mode) {
+        case 2: {  // DC
+            int64_t v;
+            if (ht && hl) {
+                int64_t s = 0;
+                for (int i = 0; i < 4; i++) s += t[i] + left[i];
+                v = (s + 4) >> 3;
+            } else if (ht) {
+                v = (t[0] + t[1] + t[2] + t[3] + 2) >> 2;
+            } else if (hl) {
+                v = (left[0] + left[1] + left[2] + left[3] + 2) >> 2;
+            } else {
+                v = 128;
+            }
+            for (int i = 0; i < 16; i++) pred[i] = v;
+            return;
+        }
+        case 0:  // Vertical
+            if (!ht) throw ParseErr{-11, 20};
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) pred[y * 4 + x] = t[x];
+            return;
+        case 1:  // Horizontal
+            if (!hl) throw ParseErr{-11, 21};
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) pred[y * 4 + x] = left[y];
+            return;
+        case 3:  // Diagonal-Down-Left
+            if (!ht) throw ParseErr{-11, 23};
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    if (x == 3 && y == 3)
+                        pred[y * 4 + x] = (t[6] + 3 * t[7] + 2) >> 2;
+                    else {
+                        const int i = x + y;
+                        pred[y * 4 + x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2;
+                    }
+                }
+            return;
+        case 7:  // Vertical-Left
+            if (!ht) throw ParseErr{-11, 27};
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int i = x + (y >> 1);
+                    if (y % 2 == 0)
+                        pred[y * 4 + x] = (t[i] + t[i + 1] + 1) >> 1;
+                    else
+                        pred[y * 4 + x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2;
+                }
+            return;
+        case 8:  // Horizontal-Up
+            if (!hl) throw ParseErr{-11, 28};
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int z = x + 2 * y;
+                    if (z == 0 || z == 2 || z == 4) {
+                        const int i = y + (x >> 1);
+                        pred[y * 4 + x] = (left[i] + left[i + 1] + 1) >> 1;
+                    } else if (z == 1 || z == 3) {
+                        const int i = y + (x >> 1);
+                        pred[y * 4 + x] =
+                            (left[i] + 2 * left[i + 1] + left[i + 2] + 2) >> 2;
+                    } else if (z == 5) {
+                        pred[y * 4 + x] = (left[2] + 3 * left[3] + 2) >> 2;
+                    } else {
+                        pred[y * 4 + x] = left[3];
+                    }
+                }
+            return;
+        default:
+            break;
+        }
+        if (!(ht && hl)) throw ParseErr{-11, 30 + mode};
+        switch (mode) {
+        case 4:  // Diagonal-Down-Right
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    if (x > y) {
+                        const int d = x - y;
+                        pred[y * 4 + x] =
+                            d >= 2 ? (t[d - 2] + 2 * t[d - 1] + t[d] + 2) >> 2
+                                   : (corner + 2 * t[0] + t[1] + 2) >> 2;
+                    } else if (x < y) {
+                        const int d = y - x;
+                        pred[y * 4 + x] =
+                            d >= 2 ? (left[d - 2] + 2 * left[d - 1] + left[d] + 2) >> 2
+                                   : (corner + 2 * left[0] + left[1] + 2) >> 2;
+                    } else {
+                        pred[y * 4 + x] = (t[0] + 2 * corner + left[0] + 2) >> 2;
+                    }
+                }
+            return;
+        case 5:  // Vertical-Right
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int z = 2 * x - y;
+                    const int i = x - (y >> 1);
+                    if (z >= 0 && z % 2 == 0) {
+                        const int64_t a = i - 1 < 0 ? corner : t[i - 1];
+                        pred[y * 4 + x] = (a + t[i] + 1) >> 1;
+                    } else if (z >= 1 && z % 2 == 1) {
+                        const int64_t a = i - 2 < 0 ? corner : t[i - 2];
+                        const int64_t b = i - 1 < 0 ? corner : t[i - 1];
+                        pred[y * 4 + x] = (a + 2 * b + t[i] + 2) >> 2;
+                    } else if (z == -1) {
+                        pred[y * 4 + x] = (left[0] + 2 * corner + t[0] + 2) >> 2;
+                    } else {  // z == -2, -3
+                        const int64_t c = y - 3 < 0 ? corner : left[y - 3];
+                        pred[y * 4 + x] = (left[y - 1] + 2 * left[y - 2] + c + 2) >> 2;
+                    }
+                }
+            return;
+        case 6:  // Horizontal-Down
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int z = 2 * y - x;
+                    const int i = y - (x >> 1);
+                    if (z >= 0 && z % 2 == 0) {
+                        const int64_t a = i - 1 < 0 ? corner : left[i - 1];
+                        pred[y * 4 + x] = (a + left[i] + 1) >> 1;
+                    } else if (z >= 1 && z % 2 == 1) {
+                        const int64_t a = i - 2 < 0 ? corner : left[i - 2];
+                        const int64_t b = i - 1 < 0 ? corner : left[i - 1];
+                        pred[y * 4 + x] = (a + 2 * b + left[i] + 2) >> 2;
+                    } else if (z == -1) {
+                        pred[y * 4 + x] = (left[0] + 2 * corner + t[0] + 2) >> 2;
+                    } else {  // z == -2, -3
+                        const int64_t c = x - 3 < 0 ? corner : t[x - 3];
+                        pred[y * 4 + x] = (t[x - 1] + 2 * t[x - 2] + c + 2) >> 2;
+                    }
+                }
+            return;
+        default:
+            throw ParseErr{-11, 40 + mode};
+        }
+    }
+
+    // top-right availability for 4x4 block (bx, by) of MB (mx, my)
+    bool tr_avail(int mx, int my, int bx, int by) {
+        const int gx = mx * 4 + bx, gy = my * 4 + by;
+        if (gy == 0 || gx + 1 >= mbw * 4) return false;
+        const int nx = gx + 1, ny = gy - 1;
+        const int nmx = nx / 4, nmy = ny / 4;
+        if (nmy < my || (nmy == my && nmx < mx)) return true;
+        if (nmy == my && nmx == mx)
+            return kZOf[ny % 4][nx % 4] < kZOf[by][bx];
+        return false;
+    }
+
+    // ---- shared chroma residual + reconstruction --------------------------
+
+    void read_chroma(Bits& r, int mx, int my, int cbp_chroma,
+                     int64_t czd[2][4], int64_t cza[2][4][16]) {
+        for (int c = 0; c < 2; c++) {
+            for (int i = 0; i < 4; i++) czd[c][i] = 0;
+            for (int i = 0; i < 4; i++)
+                for (int k = 0; k < 16; k++) cza[c][i][k] = 0;
+        }
+        if (cbp_chroma) {
+            for (int comp = 0; comp < 2; comp++) {
+                int64_t scan[4] = {0};
+                h264::read_block(r, -1, 4, scan, tables);
+                for (int i = 0; i < 4; i++) czd[comp][i] = scan[i];
+            }
+        }
+        for (int comp = 0; comp < 2; comp++) {
+            NnzGrid& nnz_c = comp == 0 ? nnz_u : nnz_v;
+            for (int ty = my * 2; ty < my * 2 + 2; ty++)
+                for (int tx = mx * 2; tx < mx * 2 + 2; tx++)
+                    nnz_c.at(ty, tx) = 0;
+            if (cbp_chroma == 2) {
+                for (int i = 0; i < 4; i++) {
+                    const int bx = i % 2, by = i / 2;
+                    const int nC = h264::nc_of(nnz_c, mx, my, bx, by, 2);
+                    int64_t scan[15] = {0};
+                    int tot =
+                        h264::read_block(r, nC, 15, scan, tables);
+                    for (int k = 0; k < 15; k++)
+                        cza[comp][i][kZigzag[1 + k]] = scan[k];
+                    nnz_c.at(my * 2 + by, mx * 2 + bx) =
+                        static_cast<int16_t>(tot);
+                }
+            }
+        }
+    }
+
+    void recon_chroma(int mx, int my, int qp, int chroma_mode,
+                      int64_t czd[2][4], int64_t cza[2][4][16]) {
+        const int cy0 = my * 8, cx0 = mx * 8;
+        const bool ht = my > 0, hl = mx > 0;
+        for (int comp = 0; comp < 2; comp++) {
+            uint8_t* plane = comp == 0 ? ru : rv;
+            const int qpc = qpc_of(qp, comp == 0 ? qp_off_u : qp_off_v);
+            const int cq6 = qpc / 6, crem = qpc % 6;
+            int64_t pred[64];
+            predc(plane, chroma_mode, cy0, cx0, ht, hl, pred);
+            // CF2 = H2 CZD H2 on the 2x2 (row-major czd: [0 1; 2 3])
+            const int64_t a = czd[comp][0], b = czd[comp][1];
+            const int64_t c = czd[comp][2], d = czd[comp][3];
+            int64_t cf2[4] = {a + b + c + d, a - b + c - d,
+                              a + b - c - d, a - b - c + d};
+            int64_t dcc[4];
+            for (int i = 0; i < 4; i++)
+                dcc[i] = ((cf2[i] * kVA[crem]) << cq6) >> 1;
+            for (int i = 0; i < 4; i++) {
+                int64_t dq[16], res[16];
+                dequant(cza[comp][i], qpc, dq);
+                dq[0] = dcc[i];
+                idct4x4(dq, res);
+                const int sy = 4 * (i / 2), sx = 4 * (i % 2);
+                for (int y = 0; y < 4; y++)
+                    for (int x = 0; x < 4; x++) {
+                        const int64_t o =
+                            ((res[y * 4 + x] + 32) >> 6) + pred[(sy + y) * 8 + sx + x];
+                        plane[(cy0 + sy + y) * cw + cx0 + sx + x] =
+                            static_cast<uint8_t>(clip255(o));
+                    }
+            }
+        }
+    }
+
+    // ---- macroblocks -------------------------------------------------------
+
+    void decode_mb_i16(Bits& r, int mx, int my, int64_t mb_type) {
+        const int y0 = my * 16, x0 = mx * 16;
+        const int64_t code = mb_type - 1;
+        const int pred_mode = static_cast<int>(code % 4);
+        const int cbp_chroma = static_cast<int>((code / 4) % 3);
+        const int cbp_luma = code >= 12 ? 15 : 0;
+        const int64_t chroma_mode = r.ue();
+        if (chroma_mode > 3) throw ParseErr{-9, chroma_mode};
+        const int64_t delta = r.se();
+        const int qp = static_cast<int>(((qp_prev + delta) % 52 + 52) % 52);
+        qp_prev = qp;
+        qpmap[(size_t)my * mbw + mx] = static_cast<int8_t>(qp);
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++) i4mode(ty, tx) = 2;
+        const bool ht = my > 0, hl = mx > 0;
+
+        // luma DC
+        int nC = h264::nc_of(nnz_y, mx, my, 0, 0, 4);
+        int64_t zd[16] = {0};
+        read_freq_block(r, nC, 16, zd);
+
+        // luma AC
+        int64_t za[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) za[i][k] = 0;
+        if (cbp_luma) {
+            for (int i = 0; i < 16; i++) {
+                const int bx = kBlkX[i], by = kBlkY[i];
+                nC = h264::nc_of(nnz_y, mx, my, bx, by, 4);
+                int64_t scan[15] = {0};
+                const int tot = h264::read_block(r, nC, 15, scan, tables);
+                for (int k = 0; k < 15; k++)
+                    za[i][kZigzag[1 + k]] = scan[k];
+                nnz_y.at(my * 4 + by, mx * 4 + bx) = static_cast<int16_t>(tot);
+            }
+        } else {
+            for (int ty = my * 4; ty < my * 4 + 4; ty++)
+                for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                    nnz_y.at(ty, tx) = 0;
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma(r, mx, my, cbp_chroma, czd, cza);
+
+        // ---- reconstruction ----
+        const int q6 = qp / 6, rem = qp % 6;
+        // FD = H4 ZD H4 (H4 symmetric)
+        static const int h4[4][4] = {
+            {1, 1, 1, 1}, {1, 1, -1, -1}, {1, -1, -1, 1}, {1, -1, 1, -1}};
+        int64_t tmp[16], fd[16];
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+                int64_t s = 0;
+                for (int k = 0; k < 4; k++) s += h4[i][k] * zd[k * 4 + j];
+                tmp[i * 4 + j] = s;
+            }
+        for (int i = 0; i < 4; i++)
+            for (int j = 0; j < 4; j++) {
+                int64_t s = 0;
+                for (int k = 0; k < 4; k++) s += tmp[i * 4 + k] * h4[k][j];
+                fd[i * 4 + j] = s;
+            }
+        int64_t dcy[16];
+        if (qp >= 12) {
+            for (int i = 0; i < 16; i++)
+                dcy[i] = (fd[i] * kVA[rem]) << (q6 - 2);
+        } else {
+            const int64_t f = (int64_t)1 << (1 - q6);
+            for (int i = 0; i < 16; i++)
+                dcy[i] = (fd[i] * kVA[rem] + f) >> (2 - q6);
+        }
+        int64_t pred[256];
+        pred16(pred_mode, y0, x0, ht, hl, pred);
+        for (int i = 0; i < 16; i++) {
+            const int bx = kBlkX[i], by = kBlkY[i];
+            int64_t dq[16], res[16];
+            dequant(za[i], qp, dq);
+            dq[0] = dcy[by * 4 + bx];
+            idct4x4(dq, res);
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int64_t o = ((res[y * 4 + x] + 32) >> 6) +
+                                      pred[(4 * by + y) * 16 + 4 * bx + x];
+                    ry[(y0 + 4 * by + y) * yw + x0 + 4 * bx + x] =
+                        static_cast<uint8_t>(clip255(o));
+                }
+        }
+        recon_chroma(mx, my, qp, static_cast<int>(chroma_mode), czd, cza);
+    }
+
+    void decode_mb_i4(Bits& r, int mx, int my) {
+        const int gy0 = my * 4, gx0 = mx * 4;
+        int modes[16];
+        for (int i = 0; i < 16; i++) {
+            const int bx = kBlkX[i], by = kBlkY[i];
+            const int gx = gx0 + bx, gy = gy0 + by;
+            const int ma = gx > 0 ? i4mode(gy, gx - 1) : -1;
+            const int mb_ = gy > 0 ? i4mode(gy - 1, gx) : -1;
+            const int pm = (ma < 0 || mb_ < 0) ? 2 : (ma < mb_ ? ma : mb_);
+            int mode;
+            if (r.read(1)) {
+                mode = pm;
+            } else {
+                const int rem = static_cast<int>(r.read(3));
+                mode = rem < pm ? rem : rem + 1;
+            }
+            i4mode(gy, gx) = static_cast<int8_t>(mode);
+            modes[i] = mode;
+        }
+        const int64_t chroma_mode = r.ue();
+        if (chroma_mode > 3) throw ParseErr{-9, chroma_mode};
+        const int64_t cbp_code = r.ue();
+        if (cbp_code >= 48) throw ParseErr{-10, cbp_code};
+        const int cbp = kCbpIntra[cbp_code];
+        const int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+        int qp;
+        if (cbp) {
+            qp = static_cast<int>(((qp_prev + r.se()) % 52 + 52) % 52);
+            qp_prev = qp;
+        } else {
+            qp = qp_prev;
+        }
+        qpmap[(size_t)my * mbw + mx] = static_cast<int8_t>(qp);
+
+        // residual: 16 luma blocks (full 16-coeff), then chroma
+        for (int ty = gy0; ty < gy0 + 4; ty++)
+            for (int tx = gx0; tx < gx0 + 4; tx++) nnz_y.at(ty, tx) = 0;
+        int64_t z[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) z[i][k] = 0;
+        for (int i = 0; i < 16; i++) {
+            if (!((cbp_luma >> (i >> 2)) & 1)) continue;
+            const int bx = kBlkX[i], by = kBlkY[i];
+            const int nC = h264::nc_of(nnz_y, mx, my, bx, by, 4);
+            int64_t scan[16] = {0};
+            const int tot = h264::read_block(r, nC, 16, scan, tables);
+            for (int k = 0; k < 16; k++) z[i][kZigzag[k]] = scan[k];
+            nnz_y.at(gy0 + by, gx0 + bx) = static_cast<int16_t>(tot);
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma(r, mx, my, cbp_chroma, czd, cza);
+
+        // reconstruction: Z-order, each block predicts from live recon
+        for (int i = 0; i < 16; i++) {
+            const int bx = kBlkX[i], by = kBlkY[i];
+            const int yb = my * 16 + 4 * by, xb = mx * 16 + 4 * bx;
+            int64_t dq[16], res[16], pred[16];
+            dequant(z[i], qp, dq);
+            idct4x4(dq, res);
+            pred4x4(yb, xb, modes[i], (gy0 + by) > 0, (gx0 + bx) > 0,
+                    tr_avail(mx, my, bx, by), pred);
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int64_t o =
+                        ((res[y * 4 + x] + 32) >> 6) + pred[y * 4 + x];
+                    ry[(yb + y) * yw + xb + x] =
+                        static_cast<uint8_t>(clip255(o));
+                }
+        }
+        recon_chroma(mx, my, qp, static_cast<int>(chroma_mode), czd, cza);
+    }
+
+    void decode_mb_ipcm(Bits& r, int mx, int my, const uint8_t* data,
+                        int64_t n_bytes) {
+        r.pos = (r.pos + 7) & ~static_cast<int64_t>(7);
+        int64_t at = r.pos >> 3;
+        if (at + 384 > n_bytes) throw ParseErr{-3, 0};
+        const uint8_t* p = data + at;
+        const int y0 = my * 16, x0 = mx * 16;
+        for (int y = 0; y < 16; y++)
+            for (int x = 0; x < 16; x++)
+                ry[(y0 + y) * yw + x0 + x] = *p++;
+        const int cy0 = my * 8, cx0 = mx * 8;
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) ru[(cy0 + y) * cw + cx0 + x] = *p++;
+        for (int y = 0; y < 8; y++)
+            for (int x = 0; x < 8; x++) rv[(cy0 + y) * cw + cx0 + x] = *p++;
+        r.pos += 384 * 8;
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++) {
+                nnz_y.at(ty, tx) = 16;
+                i4mode(ty, tx) = 2;
+            }
+        for (int ty = my * 2; ty < my * 2 + 2; ty++)
+            for (int tx = mx * 2; tx < mx * 2 + 2; tx++) {
+                nnz_u.at(ty, tx) = 16;
+                nnz_v.at(ty, tx) = 16;
+            }
+        // deblocking qPp of I_PCM is 0; the qp chain is NOT reset
+        qpmap[(size_t)my * mbw + mx] = 0;
+    }
+
+    // ---- deblocking (spec 8.7; mirrors h264dec._deblock/_edge_filter) -----
+
+    void edge_filter(uint8_t* plane, int stride, int y0, int x0, int n,
+                     bool vertical, int bS, int idx_a, int idx_b,
+                     bool chroma) {
+        const int alpha = kAlpha[idx_a];
+        const int beta = kBeta[idx_b];
+        if (alpha == 0) return;
+        for (int i = 0; i < n; i++) {
+            uint8_t* base = vertical ? plane + (y0 + i) * stride + x0
+                                     : plane + y0 * stride + x0 + i;
+            const int step = vertical ? 1 : stride;
+            auto G = [&](int k) -> int { return base[k * step]; };
+            auto S = [&](int k, int v) { base[k * step] = (uint8_t)v; };
+            const int p0 = G(-1), p1 = G(-2), q0 = G(0), q1 = G(1);
+            const bool fm = (p0 - q0 < alpha && q0 - p0 < alpha) &&
+                            (p1 - p0 < beta && p0 - p1 < beta) &&
+                            (q1 - q0 < beta && q0 - q1 < beta);
+            if (!fm) continue;
+            if (bS == 4) {  // strong filter (8.7.2.4)
+                if (chroma) {
+                    S(-1, (2 * p1 + p0 + q1 + 2) >> 2);
+                    S(0, (2 * q1 + q0 + p1 + 2) >> 2);
+                    continue;
+                }
+                const int p2 = G(-3), q2 = G(2), p3 = G(-4), q3 = G(3);
+                const bool ap = (p2 - p0 < beta && p0 - p2 < beta);
+                const bool aq = (q2 - q0 < beta && q0 - q2 < beta);
+                const bool small =
+                    (p0 - q0 < (alpha >> 2) + 2 && q0 - p0 < (alpha >> 2) + 2);
+                if (small && ap) {
+                    S(-1, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+                    S(-2, (p2 + p1 + p0 + q0 + 2) >> 2);
+                    S(-3, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+                } else {
+                    S(-1, (2 * p1 + p0 + q1 + 2) >> 2);
+                }
+                if (small && aq) {
+                    S(0, (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3);
+                    S(1, (q2 + q1 + q0 + p0 + 2) >> 2);
+                    S(2, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3);
+                } else {
+                    S(0, (2 * q1 + q0 + p1 + 2) >> 2);
+                }
+                continue;
+            }
+            // normal filter (8.7.2.3)
+            const int tc0 = kTc0[idx_a][bS - 1];
+            if (chroma) {
+                const int tc = tc0 + 1;
+                const int delta = (int)clip3(
+                    -tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3);
+                S(-1, clip255(p0 + delta));
+                S(0, clip255(q0 - delta));
+                continue;
+            }
+            const int p2 = G(-3), q2 = G(2);
+            const bool ap = (p2 - p0 < beta && p0 - p2 < beta);
+            const bool aq = (q2 - q0 < beta && q0 - q2 < beta);
+            const int tc = tc0 + (ap ? 1 : 0) + (aq ? 1 : 0);
+            const int delta = (int)clip3(
+                -tc, tc, (((q0 - p0) << 2) + (p1 - q1) + 4) >> 3);
+            S(-1, clip255(p0 + delta));
+            S(0, clip255(q0 - delta));
+            if (ap) {
+                const int dp1 = (int)clip3(
+                    -tc0, tc0, (p2 + ((p0 + q0 + 1) >> 1) - (p1 << 1)) >> 1);
+                S(-2, p1 + dp1);
+            }
+            if (aq) {
+                const int dq1 = (int)clip3(
+                    -tc0, tc0, (q2 + ((p0 + q0 + 1) >> 1) - (q1 << 1)) >> 1);
+                S(1, q1 + dq1);
+            }
+        }
+    }
+
+    void deblock(int off_a, int off_b) {
+        for (int my = 0; my < mbh; my++)
+            for (int mx = 0; mx < mbw; mx++) {
+                const int qq = qpmap[(size_t)my * mbw + mx];
+                const int y0 = my * 16, x0 = mx * 16;
+                const int cy0 = my * 8, cx0 = mx * 8;
+                for (int vi = 1; vi >= 0; vi--) {
+                    const bool vertical = vi == 1;
+                    for (int xr = 0; xr <= 12; xr += 4) {
+                        int bs, qp_p;
+                        if (xr == 0) {
+                            if ((vertical ? mx : my) == 0) continue;
+                            bs = 4;
+                            qp_p = vertical ? qpmap[(size_t)my * mbw + mx - 1]
+                                            : qpmap[(size_t)(my - 1) * mbw + mx];
+                        } else {
+                            bs = 3;
+                            qp_p = qq;
+                        }
+                        const int qav = (qp_p + qq + 1) >> 1;
+                        const int ia = (int)clip3(0, 51, qav + off_a);
+                        const int ib = (int)clip3(0, 51, qav + off_b);
+                        if (vertical)
+                            edge_filter(ry, yw, y0, x0 + xr, 16, true, bs, ia,
+                                        ib, false);
+                        else
+                            edge_filter(ry, yw, y0 + xr, x0, 16, false, bs,
+                                        ia, ib, false);
+                        if (xr == 0 || xr == 8) {
+                            for (int comp = 0; comp < 2; comp++) {
+                                uint8_t* plane = comp == 0 ? ru : rv;
+                                const int off =
+                                    comp == 0 ? qp_off_u : qp_off_v;
+                                const int cq = (qpc_of(qp_p, off) +
+                                                qpc_of(qq, off) + 1) >> 1;
+                                const int cia = (int)clip3(0, 51, cq + off_a);
+                                const int cib = (int)clip3(0, 51, cq + off_b);
+                                if (vertical)
+                                    edge_filter(plane, cw, cy0, cx0 + xr / 2,
+                                                8, true, bs, cia, cib, true);
+                                else
+                                    edge_filter(plane, cw, cy0 + xr / 2, cx0,
+                                                8, false, bs, cia, cib, true);
+                            }
+                        }
+                    }
+                }
+            }
+    }
+};
+
+}  // namespace h264full
+
+extern "C" {
+
+// Decode the macroblock layer + deblocking of one full baseline-intra
+// I-slice.  data: unescaped RBSP padded with >= 8 zero bytes; start_pos:
+// bit position after the slice header; slice_qp: qp after the header;
+// disable_idc/off_a/off_b: deblocking slice-header fields (idc 1 = off).
+// ry/ru/rv: caller-zeroed uint8 planes [mbh*16,mbw*16] / [mbh*8,mbw*8].
+// out_state: {end_pos, mb_addr, err_detail}.  Returns 0 or a negative
+// error code (see _NATIVE_FULL_ERRORS in av/h264dec_fast.py).
+int64_t h264_decode_islice(const uint8_t* data, int64_t n_bytes,
+                           int64_t start_pos, int64_t mbw, int64_t mbh,
+                           int64_t slice_qp, int64_t chroma_qp_off,
+                           int64_t chroma_qp_off2, int64_t disable_idc,
+                           int64_t off_a, int64_t off_b,
+                           const uint8_t* tables, uint8_t* ry, uint8_t* ru,
+                           uint8_t* rv, int64_t* out_state) {
+    using h264::Bits;
+    using h264::ParseErr;
+
+    Bits r{data, n_bytes * 8, start_pos};
+    int64_t stop = -1;
+    for (int64_t b = n_bytes - 1; b >= 0; b--) {
+        if (data[b]) {
+            stop = b * 8 + (7 - __builtin_ctz(data[b]));
+            break;
+        }
+    }
+
+    h264full::Dec dec(static_cast<int>(mbw), static_cast<int>(mbh), ry, ru,
+                      rv, static_cast<int>(chroma_qp_off),
+                      static_cast<int>(chroma_qp_off2), tables);
+    dec.qp_prev = static_cast<int>(slice_qp);
+
+    const int64_t n_total = mbw * mbh;
+    int64_t mb_addr = 0;
+    try {
+        while (mb_addr < n_total && r.pos < stop) {
+            const int mx = static_cast<int>(mb_addr % mbw);
+            const int my = static_cast<int>(mb_addr / mbw);
+            const int64_t mb_type = r.ue();
+            if (mb_type == 25) {
+                dec.decode_mb_ipcm(r, mx, my, data, n_bytes);
+            } else if (mb_type == 0) {
+                dec.decode_mb_i4(r, mx, my);
+            } else if (mb_type >= 1 && mb_type <= 24) {
+                dec.decode_mb_i16(r, mx, my, mb_type);
+            } else {
+                throw ParseErr{-4, mb_type};
+            }
+            mb_addr++;
+        }
+        if (mb_addr == n_total && disable_idc != 1)
+            dec.deblock(static_cast<int>(off_a), static_cast<int>(off_b));
+    } catch (const ParseErr& e) {
+        out_state[0] = r.pos;
+        out_state[1] = mb_addr;
+        out_state[2] = e.detail;
+        return e.code;
+    }
+    out_state[0] = r.pos;
+    out_state[1] = mb_addr;
+    out_state[2] = 0;
+    return 0;
 }
 
 }  // extern "C"
