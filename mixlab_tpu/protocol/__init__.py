@@ -459,6 +459,10 @@ class PerformanceInfo:
     accounts: List[Tuple[PerformanceAccount, PerformanceMetric]] = field(
         default_factory=list
     )
+    # fraction of ticks in the report window that finished on schedule
+    # (extension beyond the reference wire shape; ``realtime`` is true only
+    # when this is 1.0 — see engine/timing.py)
+    realtime_fraction: Optional[float] = None
 
 
 # ---------------------------------------------------------------------------
