@@ -58,25 +58,35 @@ def stem_parallel_step(
     mesh: Mesh,
     monitor_key: str,
     axis: str = "stems",
+    n_stems: int | None = None,
 ):
-    """Build a jitted multi-chip step over ``n_stems = mesh size`` stems.
+    """Build a jitted multi-chip step over ``n_stems`` stems (default: one
+    per device).
 
-    Returns (fn, make_args) where fn(aux, host_aux, state) ->
-    (state', master [S,2] mixdown summed across stems via psum).
+    ``n_stems`` need not divide the mesh: the stem axis is padded up to the
+    next multiple of the device count and the pad stems are masked out of
+    the mixdown (they still run — static shapes — but contribute exact
+    zeros, so master equals the unpadded sum).
+
+    Returns (fn, make_args, patch) where fn(aux, host_aux, state, mask) ->
+    (state', master [T, spt, 2] mixdown summed across stems via psum).
     """
     patch = compile_patch(ws, cfg, block, jit=False)
     program = patch._fn
-    n_stems = mesh.shape[axis]
+    n_dev = mesh.shape[axis]
+    n_stems = n_dev if n_stems is None else n_stems
+    n_padded = -(-n_stems // n_dev) * n_dev  # ceil to a device multiple
 
-    def per_device(aux, host_aux, state):
+    def per_device(aux, host_aux, state, mask):
         # each device holds a [local_stems, ...] shard; vmap over local stems
         st, taps = jax.vmap(program)(aux, host_aux, state)
-        # stereo taps are channel-major (L, R) pairs; mix each channel down
-        # across local stems, psum across chips, then interleave once for
-        # the host-facing [T, spt, 2] master
+        # stereo taps are channel-major (L, R) pairs; mask pad stems, mix
+        # each channel down across local stems, psum across chips (ICI),
+        # then interleave once for the host-facing [T, spt, 2] master
         l, r = taps[monitor_key]["audio"]
-        master_l = jax.lax.psum(l.sum(axis=0), axis)  # cross-chip mixdown (ICI)
-        master_r = jax.lax.psum(r.sum(axis=0), axis)
+        m = mask[:, None, None]
+        master_l = jax.lax.psum((l * m).sum(axis=0), axis)
+        master_r = jax.lax.psum((r * m).sum(axis=0), axis)
         return st, jnp.stack([master_l, master_r], axis=-1)
 
     stem_specs = P(axis)
@@ -85,39 +95,56 @@ def stem_parallel_step(
         jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(stem_specs, stem_specs, stem_specs),
+            in_specs=(stem_specs, stem_specs, stem_specs, stem_specs),
             out_specs=(stem_specs, P()),
             check_vma=False,
         )
     )
 
     def make_args(t0: int = 0):
-        aux = stack_for_stems(patch.prepare_aux(ws), n_stems)
-        host_aux = stack_for_stems(patch.host_aux(t0), n_stems)
-        state = stack_for_stems(patch.init_state(ws), n_stems)
-        return aux, host_aux, state
+        aux = stack_for_stems(patch.prepare_aux(ws), n_padded)
+        host_aux = stack_for_stems(patch.host_aux(t0), n_padded)
+        state = stack_for_stems(patch.init_state(ws), n_padded)
+        mask = jnp.asarray(
+            np.arange(n_padded) < n_stems, dtype=jnp.float32
+        )
+        return aux, host_aux, state, mask
 
     return fn, make_args, patch
 
 
 def row_sharded_blend(mesh: Mesh, axis: str = "stems"):
-    """Return a jitted crossfade over row-sharded planes."""
+    """Return a jitted crossfade over row-sharded planes.
+
+    Plane heights need not divide the mesh: rows are zero-padded up to a
+    device multiple before sharding and sliced back after — the blend is
+    elementwise, so pad rows never leak into real output."""
 
     def blend(a, b, fade):
         return crossfade_xla(a, b, fade)
 
+    n_dev = mesh.shape[axis]
+    sharded = jax.jit(
+        jax.shard_map(
+            blend,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P()),
+            out_specs=P(axis, None),
+            check_vma=False,
+        )
+    )
+
     def apply(a, b, fade):
+        h = a.shape[0]
+        h_pad = -(-h // n_dev) * n_dev
+        if h_pad != h:
+            pad = ((0, h_pad - h), (0, 0))
+            a = np.pad(np.asarray(a), pad)
+            b = np.pad(np.asarray(b), pad)
         sharding = NamedSharding(mesh, P(axis, None))
         a = jax.device_put(a, sharding)
         b = jax.device_put(b, sharding)
-        return jax.jit(
-            jax.shard_map(
-                blend,
-                mesh=mesh,
-                in_specs=(P(axis, None), P(axis, None), P()),
-                out_specs=P(axis, None),
-                check_vma=False,
-            )
-        )(a, b, jnp.asarray(fade, dtype=jnp.uint8))
+        out = sharded(a, b, jnp.asarray(fade, dtype=jnp.uint8))
+        return out[:h] if h_pad != h else out
 
     return apply

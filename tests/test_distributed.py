@@ -41,11 +41,11 @@ cfg = EngineConfig(sample_rate=48_000)
 block = BlockSpec(4)
 fn, make_args, patch = distributed_stems_step(ws, cfg, block, mesh,
                                               str(mon.value))
-aux, host_aux, state = make_args()
+aux, host_aux, state, mask = make_args()
 
 # each host contributes ITS 4 stems of the global 8-stem batch
 import jax.tree_util as jtu
-local = jtu.tree_map(lambda x: np.asarray(x)[pid * 4 : pid * 4 + 4], (aux, host_aux, state))
+local = jtu.tree_map(lambda x: np.asarray(x)[pid * 4 : pid * 4 + 4], (aux, host_aux, state, mask))
 gargs = jtu.tree_map(lambda x: host_local_to_global(x, mesh), local,
                      is_leaf=lambda x: isinstance(x, np.ndarray))
 st, master = fn(*gargs)
