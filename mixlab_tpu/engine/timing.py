@@ -56,6 +56,11 @@ class EngineStat:
     window_on_schedule: int = 0
     total_ticks: int = 0
     total_on_schedule: int = 0
+    # worst lateness vs the absolute schedule (negative = headroom).  A
+    # block later than one block period can underrun double-buffered
+    # output; anything inside that bound cannot, even when the strict
+    # "every deadline met" fraction dips (bench.py realtime flag).
+    total_max_late_s: float = float("-inf")
 
     @property
     def tick_budget_us(self) -> int:
@@ -68,6 +73,9 @@ class EngineStat:
         result = fn(ts)
         end = time.monotonic()
         self.is_realtime = end < scheduled_tick_end
+        late_s = end - scheduled_tick_end
+        if late_s > self.total_max_late_s:
+            self.total_max_late_s = late_s
         self.window_ticks += 1
         self.total_ticks += 1
         if self.is_realtime:

@@ -93,8 +93,8 @@ def test_fleet_spawn_route_migrate_recover(tmp_path):
         # ---- drive a session on alpha: create an oscillator ----
         port = int(route["url"].rsplit(":", 1)[1])
         reader, writer = await ws_connect("127.0.0.1", port, "/session")
-        await asyncio.wait_for(ws_recv(reader), 15)  # WorkspaceState
-        await asyncio.wait_for(ws_recv(reader), 15)  # MediaLibrary
+        await asyncio.wait_for(ws_recv(reader), 60)  # WorkspaceState
+        await asyncio.wait_for(ws_recv(reader), 60)  # MediaLibrary
         msg = p.WorkspaceMessage(1, p.CreateModule(
             p.ModuleParams("Oscillator",
                            p.OscillatorParams(440.0, p.Waveform.SINE)),
@@ -104,7 +104,7 @@ def test_fleet_spawn_route_migrate_recover(tmp_path):
         await writer.drain()
         # wait for the Sync echo so the edit is persisted
         for _ in range(6):
-            _, payload = await asyncio.wait_for(ws_recv(reader), 15)
+            _, payload = await asyncio.wait_for(ws_recv(reader), 60)
             kind, body_ = wire.parse_envelope(payload)
             if kind == "Sync":
                 break
@@ -141,7 +141,7 @@ def test_fleet_spawn_route_migrate_recover(tmp_path):
         # the migrated worker carries the workspace: oscillator is there
         port2 = int(route2["url"].rsplit(":", 1)[1])
         reader, writer = await ws_connect("127.0.0.1", port2, "/session")
-        _, payload = await asyncio.wait_for(ws_recv(reader), 15)
+        _, payload = await asyncio.wait_for(ws_recv(reader), 60)
         kind, state = wire.parse_envelope(payload)
         assert kind == "WorkspaceState"
         kinds = [params["kind"] for _, params in state["modules"]]

@@ -60,6 +60,15 @@ def main():
         y2 = crossfade_xla(y1, jnp.roll(y1, 1, axis=0), 128)
         return y2, u, v
 
+    def stage_full_fused(i):
+        # the algebraically folded path (video/fused.py): roll+crossfade
+        # pre-blended into the row-resize matrix
+        from mixlab_tpu.video.fused import resize_crossfade_roll
+
+        y, u, v = stage_yuv(i)
+        y2 = resize_crossfade_roll(y, 1080, 1920, 128)
+        return y2, resize_plane(u, 540, 960), resize_plane(v, 540, 960)
+
     def bench(stage, reps):
         def make(n):
             def whole(_):
@@ -80,30 +89,68 @@ def main():
         # n = content-seconds of 1080p30
         return timed_slope(make, 2, 10, reps=reps)
 
+    def cost(stage):
+        """XLA's own cost analysis (flops / bytes accessed) for one
+        30-frame batch of the stage pipeline — the VERDICT r3 ask: show
+        where config5's time goes in the compiler's accounting, not just
+        wall deltas."""
+        ts = jnp.arange(FRAMES, dtype=jnp.int32)
+
+        def batch(ts):
+            outs = jax.vmap(stage)(ts)
+            return sum(jnp.sum(o.astype(jnp.uint32)) for o in outs)
+
+        ca = jax.jit(batch).lower(ts).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        return (
+            float(ca.get("flops", 0.0)) / FRAMES,
+            float(ca.get("bytes accessed", 0.0)) / FRAMES,
+        )
+
+    PEAK_FLOPS, PEAK_HBM = 197e12, 819e9  # v5e bf16 MXU, HBM B/s
+
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     stages = [
         ("pattern", stage_pattern),
         ("+rgb2yuv", stage_yuv),
         ("+resize", stage_resize),
         ("+xfade(full)", stage_full),
+        ("FUSED full", stage_full_fused),
         ("xfade-no-resize", stage_xfade_only),
     ]
-    results = {}
+    results, costs = {}, {}
     for name, fn in stages:
         s = bench(fn, reps)
-        results[name] = s
+        fl, by = cost(fn)
+        results[name], costs[name] = s, (fl, by)
         print(
             f"{name:18s} {1e6 * s:9.1f} us/content-s  "
-            f"({1e6 * s / FRAMES:7.2f} us/frame, {1.0/s:7.0f} x)",
+            f"({1e6 * s / FRAMES:7.2f} us/frame, {1.0/s:7.0f} x)  "
+            f"[{fl/1e6:8.1f} Mflop {by/1e6:7.2f} MB accessed /frame]",
             flush=True,
         )
-    print("\nstage deltas (us/frame):")
+    print("\nper-stage attribution (per frame):")
+    print(f"  {'stage':14s} {'Δus':>8s} {'ΔMflop':>9s} {'ΔMB':>8s} "
+          f"{'roofline us':>12s} {'bound':>6s}")
     order = ["pattern", "+rgb2yuv", "+resize", "+xfade(full)"]
-    prev = 0.0
+    pt, pf, pb = 0.0, 0.0, 0.0
     for name in order:
         cur = 1e6 * results[name] / FRAMES
-        print(f"  {name:14s} +{cur - prev:7.2f}")
-        prev = cur
+        fl, by = costs[name]
+        dt, df, db = cur - pt, fl - pf, by - pb
+        roof_f, roof_b = df / PEAK_FLOPS * 1e6, db / PEAK_HBM * 1e6
+        bound = "MXU" if roof_f > roof_b else "HBM"
+        print(f"  {name:14s} {dt:8.2f} {df/1e6:9.1f} {db/1e6:8.2f} "
+              f"{max(roof_f, roof_b):12.2f} {bound:>6s}")
+        pt, pf, pb = cur, fl, by
+
+    sf, sb = costs["+xfade(full)"]
+    ff, fb = costs["FUSED full"]
+    print(f"\nseparate vs fused whole pipeline (per frame): "
+          f"flops {sf/1e6:.1f} -> {ff/1e6:.1f} Mflop, "
+          f"bytes {sb/1e6:.2f} -> {fb/1e6:.2f} MB, "
+          f"time {1e6*results['+xfade(full)']/FRAMES:.2f} -> "
+          f"{1e6*results['FUSED full']/FRAMES:.2f} us")
 
 
 if __name__ == "__main__":
