@@ -48,6 +48,7 @@ struct ADec {
     AVFrame* frame = nullptr;
     AVPacket* pkt = nullptr;
     SwrContext* swr = nullptr;
+    SwrContext* swr_f = nullptr;  // float-output path (oracle/extraction)
     int out_rate = 0;
 };
 
@@ -174,8 +175,11 @@ void avshim_venc_close(void* h) {
 // audio encoder (AAC; video/encode.rs:146-222 AudioCtx analogue)
 // ---------------------------------------------------------------------------
 
-void* avshim_aenc_open(const char* codec_name, int sample_rate, int channels,
-                       int bitrate) {
+// opts: av_dict_parse_string "k=v,k=v" codec options (e.g. the ffmpeg aac
+// encoder's aac_pns/aac_tns/aac_ms/aac_is tool switches — used by the
+// pure-tier AAC decoder's differential tests to target one tool at a time)
+void* avshim_aenc_open2(const char* codec_name, int sample_rate, int channels,
+                        int bitrate, const char* opts) {
     const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
     if (!codec) return nullptr;
     AEnc* e = new AEnc();
@@ -201,7 +205,11 @@ void* avshim_aenc_open(const char* codec_name, int sample_rate, int channels,
     if (bitrate > 0) e->ctx->bit_rate = bitrate;
     e->ctx->time_base = AVRational{1, sample_rate};
     e->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // ASC in extradata
-    if (avcodec_open2(e->ctx, codec, nullptr) < 0) {
+    AVDictionary* d = nullptr;
+    if (opts && *opts) av_dict_parse_string(&d, opts, "=", ",", 0);
+    int rc = avcodec_open2(e->ctx, codec, &d);
+    av_dict_free(&d);
+    if (rc < 0) {
         avcodec_free_context(&e->ctx);
         delete e;
         return nullptr;
@@ -211,6 +219,12 @@ void* avshim_aenc_open(const char* codec_name, int sample_rate, int channels,
     e->fifo_cap = e->ctx->frame_size * 8 + 65536;
     e->fifo = new float[(size_t)e->fifo_cap * channels];
     return e;
+}
+
+void* avshim_aenc_open(const char* codec_name, int sample_rate, int channels,
+                       int bitrate) {
+    return avshim_aenc_open2(codec_name, sample_rate, channels, bitrate,
+                             nullptr);
 }
 
 int avshim_aenc_frame_size(void* h) { return ((AEnc*)h)->ctx->frame_size; }
@@ -318,8 +332,12 @@ void avshim_aenc_close(void* h) {
 // audio decoder (rtmp/mod.rs:192-258 AAC ingest analogue)
 // ---------------------------------------------------------------------------
 
-void* avshim_adec_open(const char* codec_name, const uint8_t* extradata,
-                       int extradata_len) {
+// strict != 0 sets err_recognition EXPLODE|BITSTREAM|BUFFER: any bitstream
+// parse error fails the decode instead of being concealed.  Used by the
+// AAC table-extraction oracle (tools/extract_aac_tables.py), where
+// "did this frame parse" is the measurement.
+void* avshim_adec_open2(const char* codec_name, const uint8_t* extradata,
+                        int extradata_len, int strict) {
     const AVCodec* codec = avcodec_find_decoder_by_name(codec_name);
     if (!codec) return nullptr;
     ADec* d = new ADec();
@@ -330,6 +348,9 @@ void* avshim_adec_open(const char* codec_name, const uint8_t* extradata,
         memcpy(d->ctx->extradata, extradata, extradata_len);
         d->ctx->extradata_size = extradata_len;
     }
+    if (strict)
+        d->ctx->err_recognition =
+            AV_EF_EXPLODE | AV_EF_BITSTREAM | AV_EF_BUFFER;
     if (avcodec_open2(d->ctx, codec, nullptr) < 0) {
         avcodec_free_context(&d->ctx);
         delete d;
@@ -338,6 +359,11 @@ void* avshim_adec_open(const char* codec_name, const uint8_t* extradata,
     d->frame = av_frame_alloc();
     d->pkt = av_packet_alloc();
     return d;
+}
+
+void* avshim_adec_open(const char* codec_name, const uint8_t* extradata,
+                       int extradata_len) {
+    return avshim_adec_open2(codec_name, extradata, extradata_len, 0);
 }
 
 int avshim_adec_send(void* h, const uint8_t* data, int len, int64_t pts) {
@@ -380,12 +406,42 @@ int avshim_adec_receive(void* h, int16_t* buf, int max_frames, int* channels,
     return got;
 }
 
+// float-interleaved receive: no s16 quantization on the way out.  The AAC
+// extraction oracle inverts the filterbank on this output; 24 effective
+// mantissa bits keep quantized-coefficient recovery exact.
+int avshim_adec_receive_flt(void* h, float* buf, int max_frames,
+                            int* channels, int* sample_rate, int64_t* pts) {
+    ADec* d = (ADec*)h;
+    int rc = avcodec_receive_frame(d->ctx, d->frame);
+    if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+    if (rc < 0) return rc;
+    int ch = d->ctx->ch_layout.nb_channels;
+    int n = d->frame->nb_samples;
+    if (n > max_frames) n = max_frames;
+    if (!d->swr_f) {
+        swr_alloc_set_opts2(&d->swr_f, &d->ctx->ch_layout, AV_SAMPLE_FMT_FLT,
+                            d->ctx->sample_rate, &d->ctx->ch_layout,
+                            (AVSampleFormat)d->frame->format,
+                            d->ctx->sample_rate, 0, nullptr);
+        swr_init(d->swr_f);
+    }
+    uint8_t* out[1] = {(uint8_t*)buf};
+    int got = swr_convert(d->swr_f, out, n, (const uint8_t**)d->frame->data,
+                          d->frame->nb_samples);
+    *channels = ch;
+    *sample_rate = d->ctx->sample_rate;
+    *pts = d->frame->pts;
+    av_frame_unref(d->frame);
+    return got;
+}
+
 void avshim_adec_close(void* h) {
     ADec* d = (ADec*)h;
     avcodec_free_context(&d->ctx);
     av_frame_free(&d->frame);
     av_packet_free(&d->pkt);
     if (d->swr) swr_free(&d->swr);
+    if (d->swr_f) swr_free(&d->swr_f);
     delete d;
 }
 

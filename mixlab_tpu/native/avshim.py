@@ -88,6 +88,17 @@ def _sig(lib):
 
     lib.avshim_adec_open.restype = ctypes.c_void_p
     lib.avshim_adec_open.argtypes = [ctypes.c_char_p, c_u8p, ctypes.c_int]
+    lib.avshim_adec_open2.restype = ctypes.c_void_p
+    lib.avshim_adec_open2.argtypes = [ctypes.c_char_p, c_u8p, ctypes.c_int,
+                                      ctypes.c_int]
+    lib.avshim_adec_receive_flt.restype = ctypes.c_int
+    lib.avshim_adec_receive_flt.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        c_intp, c_intp, c_i64p]
+    lib.avshim_aenc_open2.restype = ctypes.c_void_p
+    lib.avshim_aenc_open2.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_char_p]
     lib.avshim_adec_send.restype = ctypes.c_int
     lib.avshim_adec_send.argtypes = [ctypes.c_void_p, c_u8p, ctypes.c_int,
                                      ctypes.c_int64]
@@ -275,12 +286,13 @@ class AacEncoder:
     """Native AAC-LC encoder (AudioCtx analogue, video/encode.rs:146-222)."""
 
     def __init__(self, sample_rate: int, channels: int = 2,
-                 bitrate: Optional[int] = None, codec: str = "aac"):
+                 bitrate: Optional[int] = None, codec: str = "aac",
+                 opts: str = ""):
         lib = _load()
         if lib is None:
             raise ShimError("avshim unavailable")
-        self._h = lib.avshim_aenc_open(codec.encode(), sample_rate, channels,
-                                       bitrate or 0)
+        self._h = lib.avshim_aenc_open2(codec.encode(), sample_rate, channels,
+                                        bitrate or 0, opts.encode())
         if not self._h:
             raise ShimError(f"{codec} open failed")
         self._lib = lib
@@ -351,18 +363,22 @@ class AacEncoder:
 class AudioDecoder:
     """AAC (and other) audio decode (rtmp/mod.rs:192-258 analogue)."""
 
-    def __init__(self, codec: str, extradata: bytes = b""):
+    def __init__(self, codec: str, extradata: bytes = b"", strict: bool = False):
+        """``strict``: bitstream errors fail the decode instead of being
+        concealed (err_recognition EXPLODE) — the AAC table-extraction
+        oracle's success/failure signal."""
         lib = _load()
         if lib is None:
             raise ShimError("avshim unavailable")
         ed = np.frombuffer(extradata, dtype=np.uint8) if extradata else None
-        self._h = lib.avshim_adec_open(
+        self._h = lib.avshim_adec_open2(
             codec.encode(), _u8(ed) if ed is not None else None,
-            len(extradata))
+            len(extradata), 1 if strict else 0)
         if not self._h:
             raise ShimError(f"decoder {codec} open failed")
         self._lib = lib
         self._buf = np.zeros(65536 * 8, dtype=np.int16)
+        self._fbuf = np.zeros(65536 * 8, dtype=np.float32)
 
     def decode(self, packet: bytes, pts: int = 0) -> List[Tuple[int, np.ndarray, int]]:
         """-> [(pts, pcm (frames, ch) i16, sample_rate)]"""
@@ -371,6 +387,31 @@ class AudioDecoder:
         if rc < 0:
             raise ShimError(f"adec_send: {rc}")
         return self._drain()
+
+    def decode_flt(self, packet: bytes, pts: int = 0) -> List[Tuple[int, np.ndarray, int]]:
+        """Like ``decode`` but float32 output (no s16 quantization).
+        Raises ShimError on send OR receive errors (with strict=True any
+        bitstream parse error surfaces here)."""
+        data = np.frombuffer(packet, dtype=np.uint8)
+        rc = self._lib.avshim_adec_send(self._h, _u8(data), len(packet), pts)
+        if rc < 0:
+            raise ShimError(f"adec_send: {rc}")
+        out = []
+        ch = ctypes.c_int()
+        rate = ctypes.c_int()
+        fpts = ctypes.c_int64()
+        while True:
+            n = self._lib.avshim_adec_receive_flt(
+                self._h, self._fbuf.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_float)),
+                len(self._fbuf) // 8, ctypes.byref(ch), ctypes.byref(rate),
+                ctypes.byref(fpts))
+            if n == 0:
+                return out
+            if n < 0:
+                raise ShimError(f"adec_receive: {n}")
+            pcm = self._fbuf[: n * ch.value].reshape(n, ch.value).copy()
+            out.append((fpts.value, pcm, rate.value))
 
     def _drain(self):
         out = []
