@@ -109,6 +109,7 @@ class MediaPlayer(threading.Thread):
         self.feed = feed
         self.cfg = cfg
         self._stop_evt = threading.Event()
+        self._warned_aac = False
 
     def stop(self):
         self._stop_evt.set()
@@ -375,12 +376,11 @@ class MediaPlayer(threading.Thread):
     def _run_mp4(self):
         """Codec-free MP4 playback: pure demux (av/mp4read.py) + pure
         decoders — H.264 video via av/h264dec.py, FLAC-in-MP4 audio via
-        av/flacdec.py.  The shim path handles MP4 whenever libavformat
-        exists; this is the zero-dependency fallback, covering the pure
-        encoder's own recordings end to end.  AAC audio is skipped with a
-        warning (its normative Huffman codebooks cannot be re-derived —
-        ROADMAP 'Capability'); out-of-scope H.264 shapes raise typed
-        errors, never mis-decode."""
+        av/flacdec.py, AAC-LC audio via av/aacdec.py (tables recovered
+        clean-room from the libavcodec oracle; differentially validated in
+        tests/test_aacdec.py).  The shim path handles MP4 whenever
+        libavformat exists; this is the zero-dependency fallback.
+        Out-of-scope shapes raise typed errors, never mis-decode."""
         from fractions import Fraction
 
         from mixlab_tpu.av.avc import AvcError
@@ -406,7 +406,7 @@ class MediaPlayer(threading.Thread):
         vt = r.video_track()
         at = r.audio_track()
         video_ok = vt is not None and vt.codec == "h264"
-        audio_ok = at is not None and at.codec == "flac"
+        audio_ok = at is not None and at.codec in ("flac", "aac")
         if at is not None and not audio_ok:
             log.warning(
                 "media_source: pure tier cannot decode %s audio "
@@ -437,19 +437,34 @@ class MediaPlayer(threading.Thread):
         if not events:
             return
 
+        is_aac = audio_ok and at.codec == "aac"
         try:
+            from mixlab_tpu.av.aac import AacError, AudioSpecificConfiguration
+            from mixlab_tpu.av.aacdec import AacDecodeError, AacLcDecoder
+
             vdec = PureH264Decoder(vt.dcr) if video_ok else None
-            fdec = FlacDecoder(at.streaminfo) if audio_ok else None
-        except (H264DecodeError, FlacError, AvcError, ValueError,
+            fdec = adec = asc = None
+            if is_aac:
+                asc = AudioSpecificConfiguration.parse(at.asc)
+                adec = AacLcDecoder(asc)
+            elif audio_ok:
+                fdec = FlacDecoder(at.streaminfo)
+        except (H264DecodeError, FlacError, AvcError, AacError, ValueError,
                 IndexError) as e:
-            # fuzzed/corrupt dcr (AvcError from the DCR parse) or
+            # fuzzed/corrupt dcr (AvcError from the DCR parse), ASC or
             # STREAMINFO: typed failure, not a dead thread
             log.warning("media_source: bad mp4 codec config: %s", e)
             return
-        a_rate = fdec.sample_rate if audio_ok else self.cfg.sample_rate
-        # full-scale divisor from the stream's bit depth (matches _run_flac:
-        # 24-bit FLAC-in-MP4 must not be scaled as if 16-bit)
-        a_scale = float(1 << (fdec.bps - 1)) if audio_ok else 32768.0
+        if is_aac:
+            from mixlab_tpu.av.aac import SAMPLING_FREQUENCIES
+
+            a_rate = SAMPLING_FREQUENCIES[asc.sampling_frequency_index]
+            a_scale = 1.0  # aacdec outputs float in [-1, 1]
+        else:
+            a_rate = fdec.sample_rate if audio_ok else self.cfg.sample_rate
+            # full-scale divisor from the stream's bit depth (matches
+            # _run_flac: 24-bit FLAC-in-MP4 must not be scaled as if 16-bit)
+            a_scale = float(1 << (fdec.bps - 1)) if audio_ok else 32768.0
         pusher = _PcmPusher(self, a_rate)
         throttle = MediaThrottle()
         epoch = Fraction(0)
@@ -464,7 +479,21 @@ class MediaPlayer(threading.Thread):
                 try:
                     payload = r.sample_data(s)
                     if kind == "audio":
-                        pcm32, _ = fdec.decode_frame(payload)
+                        if is_aac:
+                            try:
+                                pcm32 = adec.decode_raw(
+                                    payload, asc.sampling_frequency_index)
+                            except AacDecodeError as e:
+                                # one bad granule must not kill the video
+                                # track: skip it (typed, never mis-decoded)
+                                if not self._warned_aac:
+                                    self._warned_aac = True
+                                    log.warning(
+                                        "media_source: aac granule "
+                                        "skipped: %s", e)
+                                continue
+                        else:
+                            pcm32, _ = fdec.decode_frame(payload)
                         end = max(end, t0 + Fraction(len(pcm32), a_rate))
                         pusher.push(pcm32.astype(np.float32) / a_scale)
                     else:
@@ -482,7 +511,8 @@ class MediaPlayer(threading.Thread):
                                                         block=True,
                                                         timeout=0.25):
                                     break
-                except (H264DecodeError, FlacError, Mp4Error) as e:
+                except (H264DecodeError, FlacError, Mp4Error,
+                        AacDecodeError) as e:
                     # Mp4Error: sample offsets outside the file (corrupt
                     # moof/stco) surface here from sample_data
                     log.warning("media_source: pure mp4 decode failed: %s", e)

@@ -160,15 +160,16 @@ class ShimDecoder(MediaDecoder):
 
 class PureTierDecoder(MediaDecoder):
     """Zero-dependency ingest tier: H.264 video through the pure CAVLC
-    intra decoder (av/h264dec.py) — no codec libraries at all.  Audio has
-    no pure tier (AAC decode needs the licensed filterbank tables the
-    same way encode does); it is parsed but dropped with a warning, which
-    still beats the reference on a codec-less image (it simply fails to
-    build without ffmpeg/fdk, rtmp/mod.rs:277-287)."""
+    intra decoder (av/h264dec.py), AAC-LC audio through the pure decoder
+    (av/aacdec.py, tables recovered clean-room by
+    tools/extract_aac_tables.py) — no codec libraries at all.  The
+    reference simply fails to build without ffmpeg/fdk
+    (rtmp/mod.rs:192-338)."""
 
     def __init__(self):
         self._vdec = None
-        self._warned_audio = False
+        self._adec = None
+        self._asc = None
         self.video_duration_hint = None
 
     def set_video_config(self, dcr: DecoderConfigurationRecord):
@@ -176,11 +177,28 @@ class PureTierDecoder(MediaDecoder):
 
         self._vdec = PureH264Decoder(dcr.to_bytes())
 
+    def set_audio_config(self, asc: AudioSpecificConfiguration):
+        from mixlab_tpu.av.aacdec import AacLcDecoder
+
+        self._asc = asc
+        self._adec = AacLcDecoder(asc)
+
     def decode_audio(self, raw_aac: bytes):
-        if not self._warned_audio:
-            self._warned_audio = True
-            log.warning("rtmp: pure tier has no AAC decoder; audio dropped")
-        return None
+        if self._adec is None:
+            return None
+        from mixlab_tpu.av.aacdec import AacDecodeError
+
+        try:
+            pcm = self._adec.decode_raw(
+                raw_aac, self._asc.sampling_frequency_index
+            )
+        except AacDecodeError as e:
+            log.warning("rtmp: pure aac decode failed: %s", e)
+            return None
+        out = np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+        if out.shape[1] == 1:  # force stereo like the reference
+            out = np.repeat(out, 2, axis=1)
+        return out[:, :2]
 
     def decode_video(self, packet: flv.VideoPacket):
         if self._vdec is None:

@@ -1,0 +1,328 @@
+"""Differential + fuzz tests for the pure AAC-LC decoder (av/aacdec.py).
+
+The oracle is libavcodec via the shim: ffmpeg's own AAC encoder produces
+streams across the LC toolset (window switching, TNS, M/S, intensity,
+PNS), both decoders decode the same packets, and the outputs must agree
+to float32 precision — except PNS bands, where the spec leaves the noise
+generator implementation-defined (4.6.13), so PNS streams are compared
+by band energy instead of samples.
+
+Reference surface: the reference's AAC ingest is fdk-aac FFI
+(src/rtmp/mod.rs:192-258); its pure-Rust layer stops at headers
+(codec/src/aac/).  This decoder closes the zero-dep tier's last typed
+audio warning.
+"""
+
+import numpy as np
+import pytest
+
+from mixlab_tpu.av.aac import AudioSpecificConfiguration, adts_frame
+from mixlab_tpu.av.aacdec import AacDecodeError, AacLcDecoder
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def _shim():
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        pytest.skip("libavcodec shim unavailable (oracle)")
+    return avshim
+
+
+def _encode(signal, rate=44100, ch=1, opts="", bitrate=None):
+    avshim = _shim()
+    enc = avshim.AacEncoder(rate, ch, bitrate or 64_000 * ch, opts=opts)
+    enc.send(signal)
+    enc.flush()
+    pk = enc.receive()
+    asc = AudioSpecificConfiguration.parse(enc.extradata())
+    enc.close()
+    assert pk
+    return asc, [p for _pts, p in pk]
+
+
+def _diff(asc, payloads, nf=None):
+    """Max |ours - libavcodec| over the stream (float32 samples)."""
+    avshim = _shim()
+    ref = avshim.AudioDecoder("aac")
+    ours = AacLcDecoder()
+    worst = 0.0
+    try:
+        for payload in payloads[:nf]:
+            frame = adts_frame(payload, asc)
+            theirs = ref.decode_flt(frame)
+            mine = ours.decode_adts(frame)
+            assert len(theirs) == len(mine) == 1
+            worst = max(worst, float(np.max(np.abs(theirs[0][1] - mine[0]))))
+    finally:
+        ref.close()
+    return worst
+
+
+TOOLS_OFF = "aac_pns=0,aac_tns=0,aac_ms=0,aac_is=0"
+
+
+def _tone(rate, seconds=1.5, f=440.0, amp=12000):
+    t = np.arange(int(rate * seconds))
+    return (np.sin(2 * np.pi * f * t / rate) * amp).astype(np.int16).reshape(-1, 1)
+
+
+# ---------------------------------------------------------------------------
+# bit-exact differentials (PNS off)
+# ---------------------------------------------------------------------------
+
+
+def test_mono_tone_exact():
+    asc, pk = _encode(_tone(44100), opts=TOOLS_OFF)
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_mono_noise_exact():
+    rng = np.random.default_rng(1)
+    sig = (rng.standard_normal((66150, 1)) * 6000).astype(np.int16)
+    asc, pk = _encode(sig, opts=TOOLS_OFF)
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_transients_exercise_short_windows_exact():
+    """Clicks force EIGHT_SHORT + LONG_START/STOP transitions."""
+    t = np.arange(66150)
+    click = np.zeros((66150, 1), np.int16)
+    click[::4000] = 20000
+    sig = (_tone(44100, 1.5)[: len(click)] // 2 + click).astype(np.int16)
+    asc, pk = _encode(sig, opts=TOOLS_OFF)
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_stereo_exact():
+    t = np.arange(66150)
+    l = np.sin(2 * np.pi * 440 * t / 44100) * 11000
+    r = np.sin(2 * np.pi * 554 * t / 44100) * 9000
+    sig = np.stack([l, r], 1).astype(np.int16)
+    asc, pk = _encode(sig, ch=2, opts=TOOLS_OFF)
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_tns_exact():
+    """Swept bursts make the encoder emit TNS filters (4.6.9)."""
+    t = np.arange(88200)
+    sweep = np.sin(2 * np.pi * (200 + 3000 * (t / 88200) ** 2) * t / 44100) * 11000
+    burst = sweep * (1 + 0.8 * np.sign(np.sin(2 * np.pi * 7 * t / 44100)))
+    sig = (burst / 2).astype(np.int16).reshape(-1, 1)
+    asc, pk = _encode(sig, opts="aac_pns=0,aac_ms=0,aac_is=0")
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_ms_stereo_exact():
+    t = np.arange(66150)
+    l = np.sin(2 * np.pi * 440 * t / 44100) * 11000
+    r = l * 0.9 + np.sin(2 * np.pi * 660 * t / 44100) * 1500
+    sig = np.stack([l, r], 1).astype(np.int16)
+    asc, pk = _encode(sig, ch=2, opts="aac_pns=0,aac_tns=0,aac_is=0,aac_ms=1")
+    assert _diff(asc, pk) < 1e-6
+
+
+def test_intensity_stereo_exact():
+    t = np.arange(66150)
+    l = np.sin(2 * np.pi * 440 * t / 44100) * 11000
+    r = l * 0.9 + np.sin(2 * np.pi * 660 * t / 44100) * 1500
+    sig = np.stack([l, r], 1).astype(np.int16)
+    asc, pk = _encode(sig, ch=2, opts="aac_pns=0,aac_tns=0,aac_ms=0,aac_is=1")
+    assert _diff(asc, pk) < 1e-6
+
+
+@pytest.mark.parametrize("rate", [48000, 32000, 22050, 16000, 8000])
+def test_sample_rates_exact(rate):
+    rng = np.random.default_rng(rate)
+    n = rate
+    t = np.arange(n)
+    sig = (
+        np.sin(2 * np.pi * 440 * t / rate) * 9000 + rng.standard_normal(n) * 800
+    ).astype(np.int16).reshape(-1, 1)
+    asc, pk = _encode(sig, rate=rate, opts=TOOLS_OFF)
+    assert _diff(asc, pk) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# PNS: implementation-defined noise -> compare band energies
+# ---------------------------------------------------------------------------
+
+
+def test_pns_band_energies_match():
+    avshim = _shim()
+    rng = np.random.default_rng(2)
+    sig = (rng.standard_normal((88200, 1)) * 6000).astype(np.int16)
+    asc, pk = _encode(sig, opts="aac_tns=0,aac_ms=0,aac_is=0,aac_pns=1",
+                      bitrate=32_000)
+    ref = avshim.AudioDecoder("aac")
+    ours = AacLcDecoder()
+    worst = 0.0
+    checked = 0
+    prev_t = prev_m = None
+    for payload in pk:
+        frame = adts_frame(payload, asc)
+        theirs = ref.decode_flt(frame)[0][1][:, 0].astype(np.float64)
+        mine = ours.decode_adts(frame)[0][:, 0].astype(np.float64)
+        if prev_t is not None:
+            # frame energies via 256-sample windows (coarse band proxy);
+            # noise substitution preserves energy, not samples
+            for k in range(0, 1024, 256):
+                et = np.sqrt(np.mean(theirs[k:k + 256] ** 2))
+                em = np.sqrt(np.mean(mine[k:k + 256] ** 2))
+                if et > 1e-4:
+                    worst = max(worst, abs(em - et) / et)
+                    checked += 1
+        prev_t, prev_m = theirs, mine
+    ref.close()
+    assert checked > 50
+    assert worst < 0.35, worst  # chunk-level energy agreement
+
+
+# ---------------------------------------------------------------------------
+# default encoder settings: everything on at once (crash + sanity)
+# ---------------------------------------------------------------------------
+
+
+def test_default_settings_decode_sane():
+    t = np.arange(88200)
+    l = np.sin(2 * np.pi * 330 * t / 44100) * 10000
+    r = l * 0.8 + np.sin(2 * np.pi * 495 * t / 44100) * 2000
+    sig = np.stack([l, r], 1).astype(np.int16)
+    asc, pk = _encode(sig, ch=2)
+    avshim = _shim()
+    ref = avshim.AudioDecoder("aac")
+    ours = AacLcDecoder()
+    for payload in pk:
+        frame = adts_frame(payload, asc)
+        theirs = ref.decode_flt(frame)[0][1]
+        mine = ours.decode_adts(frame)[0]
+        nt, nm = np.linalg.norm(theirs), np.linalg.norm(mine)
+        if nt > 1e-3:
+            assert abs(nm - nt) / nt < 0.2  # PNS bands allowed to differ
+    ref.close()
+
+
+# ---------------------------------------------------------------------------
+# robustness: typed errors, never crashes
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_frame_typed_error():
+    asc, pk = _encode(_tone(44100, 0.5), opts=TOOLS_OFF)
+    frame = adts_frame(pk[3], asc)
+    for cut in (8, 9, 12, len(frame) - 1):
+        with pytest.raises((AacDecodeError, Exception)) as ei:
+            AacLcDecoder().decode_adts(frame[:cut])
+        assert isinstance(ei.value, (AacDecodeError,)), type(ei.value)
+
+
+def test_byte_mutation_fuzz_typed_errors():
+    """Mutated real streams either decode or raise AacDecodeError — no
+    IndexError/ValueError/crash (same harness discipline as
+    test_h264dec_fast.py / test_h264dec_intra_full.py)."""
+    asc, pk = _encode(_tone(44100, 0.5), opts="")
+    rng = np.random.default_rng(99)
+    base = adts_frame(pk[4], asc)
+    decoded = errored = 0
+    for _ in range(400):
+        buf = bytearray(base)
+        for _m in range(rng.integers(1, 4)):
+            buf[rng.integers(7, len(buf))] = rng.integers(0, 256)
+        try:
+            AacLcDecoder().decode_raw(bytes(buf[7:]), 4)
+            decoded += 1
+        except AacDecodeError:
+            errored += 1
+    assert decoded + errored == 400
+    assert errored > 0  # mutations do get caught
+
+
+def test_random_garbage_typed_errors():
+    rng = np.random.default_rng(7)
+    for n in (1, 3, 17, 200):
+        blob = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            AacLcDecoder().decode_raw(blob, 4)
+        except AacDecodeError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# integration: the zero-dep tier surfaces
+# ---------------------------------------------------------------------------
+
+
+def test_rtmp_pure_tier_decodes_aac_audio():
+    """PureTierDecoder now carries AAC audio (was: typed warning + drop)."""
+    from mixlab_tpu.io_host.rtmp.server import PureTierDecoder
+
+    asc, pk = _encode(_tone(44100, 0.5), opts=TOOLS_OFF)
+    dec = PureTierDecoder()
+    dec.set_audio_config(asc)
+    got = []
+    for payload in pk:
+        pcm = dec.decode_audio(payload)
+        if pcm is not None:
+            got.append(pcm)
+    out = np.concatenate(got)
+    assert out.dtype == np.int16 and out.shape[1] == 2
+    body = out[4096:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+    peak_hz = np.argmax(spec) * 44100 / len(body)
+    assert abs(peak_hz - 440.0) < 10.0, peak_hz
+
+
+def test_media_player_mp4_aac_plays_audio_pure(tmp_path, monkeypatch):
+    """MP4 + AAC plays AUDIO through the zero-dep tier (closes the
+    round-3 'video only' warning path for LC content)."""
+    from mixlab_tpu.av import mp4
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.feeds import MediaSourceFeed
+    from mixlab_tpu.engine.media_player import MediaPlayer
+    from mixlab_tpu.engine.project import open_or_create
+    from mixlab_tpu.native import avshim
+    from mixlab_tpu.utils.mtime import MediaDuration
+
+    SR = 44100
+    asc, pk = _encode(_tone(SR, 1.0), opts=TOOLS_OFF)
+
+    params = mp4.Mp4Params(timescale=SR, width=0, height=0, dcr=b"",
+                           sample_rate=SR, channels=1, audio_codec="aac")
+    mux, blob = mp4.Mp4Mux.create(params)
+    blob = bytearray(blob)
+    for payload in pk:
+        blob += mux.write_track(
+            MediaDuration.new(1024, SR),
+            mp4.AdtsFrame(adts_frame(payload, asc)),
+        )
+
+    monkeypatch.setattr(avshim, "available", lambda: False)
+    cfg = EngineConfig(sample_rate=SR)
+    proj = open_or_create(tmp_path / "aacpure.mixlab", cfg)
+    media_id = proj.upload_media("tone.mp4", "audio/mp4", [bytes(blob)])
+    stream = proj.base.open_media(media_id)
+    feed = MediaSourceFeed(cfg)
+    player = MediaPlayer(stream, feed, cfg)
+    player.start()
+    try:
+        chunks = []
+        import queue as _q
+
+        deadline = 20.0
+        while sum(len(c) for c in chunks) < SR // 2:
+            try:
+                pcm = feed.queue.get(timeout=deadline)
+            except _q.Empty:
+                break
+            chunks.append(np.asarray(pcm))
+        out = np.concatenate(chunks)
+        body = out[2048:, 0].astype(np.float64)
+        spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+        peak_hz = np.argmax(spec) * SR / len(body)
+        assert abs(peak_hz - 440.0) < 10.0, peak_hz
+    finally:
+        player.stop()
+        player.join(timeout=5)
+        proj.engine.stop()
+        proj.close()

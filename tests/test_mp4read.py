@@ -369,10 +369,11 @@ def test_negative_sample_offset_rejected():
         r.sample_data(s)
 
 
-def test_media_player_mp4_aac_audio_plays_video_only(tmp_path, monkeypatch):
-    """Pure tier cannot decode AAC (normative codebooks — ROADMAP): an MP4
-    with AAC audio + CAVLC video still plays its VIDEO codec-free; the
-    audio is skipped with a warning, never mis-decoded."""
+def test_media_player_mp4_garbage_aac_skipped_video_plays(tmp_path, monkeypatch):
+    """A corrupt AAC granule in an MP4 must not kill the video track: the
+    pure tier (av/aacdec.py since round 4) raises the typed
+    AacDecodeError, the player skips the granule, and the CAVLC video
+    still plays codec-free.  Garbage is never mis-decoded into PCM."""
     from mixlab_tpu.av.aac import AudioSpecificConfiguration, adts_frame
     from mixlab_tpu.av.h264enc import PureH264Stream
     from mixlab_tpu.engine.config import EngineConfig

@@ -473,6 +473,10 @@ def main():
         state = stage_sf(state)
     if stage in ("spectral", "all"):
         state = stage_spectral(state)
+    if stage in ("short", "all"):
+        for sfi in range(12):
+            if str(sfi) in (state.get("swb_long") or {}) and                     state["swb_long"][str(sfi)]:
+                state = stage_offsets_short(state, sfi)
     if stage in ("emit", "all"):
         from tools.emit_aac_tables import emit
 
@@ -480,6 +484,233 @@ def main():
     print(f"total probes: {PROBES['n']} in {time.time() - PROBES['t0']:.0f}s")
     return 0
 
+
+
+
+
+# ---------------------------------------------------------------------------
+# stage 4: swb offsets for SHORT (128-sample) windows
+#
+# PNS band-painting does not transfer to the 8x128 filterbank, so short
+# offsets use the spectral codebooks recovered in stage 3: a (1,0,0,0)
+# book-1 quad placed as band b's first quad puts a tone at spectral bin
+# swb_short[b] of every short window; the decoded tone frequency
+# (j + 0.5) * rate / 256 reveals j.  The probe rides the LEFT channel of
+# a CPE whose RIGHT channel is a long-window tone at a known bin — any
+# misparse of the left ICS shifts the right one, so a verified right
+# tone pins the left field's exact bit length (band width = 4 * quads
+# per window).
+# ---------------------------------------------------------------------------
+
+
+def _cw_for(book, symbol, state):
+    for field, q in state["spectral"][str(book)]["fields"].items():
+        dims = BOOK_DIMS[book]
+        vals = tuple(q[-dims:] if dims == 2 else q)
+        if vals == tuple(symbol):
+            return field  # book 1 is signed: field == codeword
+    raise RuntimeError(f"book {book}: no codeword for {symbol}")
+
+
+def _write_ics_long(w, sections, sf_bits, spec_bits):
+    w.u(0, 1); w.u(0, 2); w.u(0, 1)  # reserved, ONLY_LONG, sine
+    w.u(sections_max_sfb(sections), 6)
+    w.u(0, 1)  # predictor
+    for cb, ln in sections:
+        w.u(cb, 4)
+        n = ln
+        while n >= 31:
+            w.u(31, 5)
+            n -= 31
+        w.u(n, 5)
+    for v, n in sf_bits:
+        w.u(v, n)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    for v, n in spec_bits:
+        w.u(v, n)
+
+
+def sections_max_sfb(sections):
+    return sum(ln for _cb, ln in sections)
+
+
+def _write_ics_short(w, sections, sf_bits, spec_bits):
+    w.u(0, 1); w.u(2, 2); w.u(0, 1)  # reserved, EIGHT_SHORT, sine
+    w.u(sections_max_sfb(sections), 4)
+    w.u(0b1111111, 7)  # one group of 8 windows
+    for cb, ln in sections:
+        w.u(cb, 4)
+        n = ln
+        while n >= 7:
+            w.u(7, 3)
+            n -= 7
+        w.u(n, 3)
+    for v, n in sf_bits:
+        w.u(v, n)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    for v, n in spec_bits:
+        w.u(v, n)
+
+
+def _right_verifier_band(state, sfi):
+    """(band index, start bin, quads) for the long-window verifier tone,
+    sized from the stage-1 offsets (long sfb widths vary with the band)."""
+    offs = state["swb_long"][str(sfi)]
+    br = min(10, len(offs) - 2)
+    width = offs[br + 1] - offs[br]
+    assert width % 4 == 0
+    return br, offs[br], width // 4
+
+
+def craft_cpe_short_probe(state, sfi, b, quads_per_window):
+    """CPE: left = short-window probe at band b (tone quad + zero quads);
+    right = long verifier (single tone at a known band start)."""
+    cw1000 = _cw_for(1, (1, 0, 0, 0), state)
+    cw0 = state["spectral"]["1"]["zero"]
+    z, zl = sf0_code(state)
+    br, _jr, nqr = _right_verifier_band(state, sfi)
+    tone = _bits_of(cw1000)
+    zero = _bits_of(cw0)
+    w = BitWriter()
+    w.u(1, 3)   # id CPE
+    w.u(0, 4)   # tag
+    w.u(0, 1)   # common_window = 0
+    # left ICS: per window, the band's first quad is the tone
+    w.u(140, 8)
+    secs = ([(0, b)] if b else []) + [(1, 1)]
+    spec = ([tone] + [zero] * (quads_per_window - 1)) * 8
+    _write_ics_short(w, secs, [(z, zl)], spec)
+    # right ICS: long-window tone at a known band start
+    w.u(140, 8)
+    _write_ics_long(
+        w, [(0, br), (1, 1)], [(z, zl)],
+        [tone] + [zero] * (nqr - 1),
+    )
+    w.u(7, 3)
+    w.align_zero()
+    return bytes(w.buf)
+
+
+_SHORT_REFS = None
+
+
+def _short_refs():
+    """Steady output frames for a unit coefficient at each short-window
+    bin, synthesized with the decoder's own filterbank (aacdec).  A wrong
+    filterbank would correlate with nothing — asserted by callers."""
+    global _SHORT_REFS
+    if _SHORT_REFS is None:
+        from mixlab_tpu.av.aacdec import _Filterbank
+
+        refs = np.empty((128, 1024))
+        for j in range(128):
+            fb = _Filterbank()
+            coeffs = np.zeros(1024)
+            coeffs[np.arange(8) * 128 + j] = 1.0
+            fb.process(coeffs, 2, 0)
+            out = fb.process(coeffs, 2, 0)
+            refs[j] = out / np.linalg.norm(out)
+        _SHORT_REFS = refs
+    return _SHORT_REFS
+
+
+def _short_bin_of(x):
+    """Matched-filter bin detection on one steady output frame."""
+    o = x[-1024:]
+    n = np.linalg.norm(o)
+    if n <= 0:
+        return None, 0.0
+    corr = np.abs(_short_refs() @ (o / n))
+    j = int(np.argmax(corr))
+    return j, float(corr[j])
+
+
+def _adts_stereo(payload, sfi=4):
+    asc = AudioSpecificConfiguration(
+        object_type=AudioObjectType.LOW_COMPLEXITY,
+        sampling_frequency_index=sfi,
+        channel_configuration=2,
+    )
+    return adts_frame(payload, asc)
+
+
+def _probe_cpe(payload, sfi=4, nframes=6):
+    PROBES["n"] += 1
+    dec = avshim.AudioDecoder("aac", strict=True)
+    frame = _adts_stereo(payload, sfi)
+    outs = []
+    try:
+        for _ in range(nframes):
+            outs += dec.decode_flt(frame)
+    except avshim.ShimError:
+        return None
+    finally:
+        dec.close()
+    if len(outs) < nframes:
+        return None
+    return [o[1] for o in outs]  # [1024, 2] each
+
+
+def _tone_bin(x, n_fft, n_bins):
+    """Dominant spectral bin of a steady tone, on the n_bins grid."""
+    spec = np.abs(np.fft.rfft(x[-n_fft:] * np.hanning(n_fft)))
+    peak = np.argmax(spec[1:]) + 1
+    f = peak / n_fft  # cycles/sample
+    return f * 2 * n_bins - 0.5  # (j+0.5)/(2*n_bins) = f
+
+
+def stage_offsets_short(state, sfi=4):
+    key = str(sfi)
+    shorts = state.setdefault("swb_short", {})
+    if key in shorts:
+        return state
+    # num_swb: largest max_sfb accepted with all-zero short sections
+    from mixlab_tpu.av.h264enc import BitWriter
+
+    def zero_probe(m):
+        w = BitWriter()
+        w.u(1, 3); w.u(0, 4); w.u(0, 1)
+        w.u(140, 8)
+        _write_ics_short(w, [(0, m)], [], [])
+        w.u(140, 8)
+        _write_ics_long(w, [(0, 1)], [], [])
+        w.u(7, 3)
+        w.align_zero()
+        return _probe_cpe(bytes(w.buf), sfi, nframes=1)
+
+    num = 0
+    for m in range(1, 16):
+        if zero_probe(m) is not None:
+            num = m
+        else:
+            break
+    assert num > 0
+    offs = [0]
+    for b in range(num):
+        got = None
+        for nq in range(1, 20):
+            r = _probe_cpe(craft_cpe_short_probe(state, sfi, b, nq), sfi)
+            if r is None:
+                continue
+            # verify the right-channel long tone at its known bin
+            _br, jr_expect, _nqr = _right_verifier_band(state, sfi)
+            jr = _tone_bin(np.concatenate([f[:, 1] for f in r[2:]]), 4096, 1024)
+            if abs(jr - jr_expect) > 0.75:
+                continue
+            jl, corr = _short_bin_of(np.concatenate([f[:, 0] for f in r[2:]]))
+            got = (nq, jl, corr)
+            break
+        assert got is not None, (sfi, b, "no quad count parsed")
+        nq, j, corr = got
+        assert corr > 0.9, (b, j, corr)
+        assert j == offs[-1], (b, j, offs)
+        offs.append(offs[-1] + 4 * nq)
+        print(f"short sfi {sfi} band {b}: start {j} width {4 * nq}")
+    assert offs[-1] == 128, offs
+    shorts[key] = offs
+    save(state)
+    print(f"short sfi {sfi}: {num} bands, offsets {offs}")
+    return state
 
 if __name__ == "__main__":
     raise SystemExit(main())
