@@ -429,3 +429,43 @@ class ShimH264Stream:
 
     def close(self):
         self._enc.close()
+
+
+class PureAacStream:
+    """Zero-dependency AAC-LC encode (av/aacenc.py, round 4): the duck
+    type of ShimAacStream — feed interleaved i16, poll ADTS frames.
+    Makes pure-tier RTMP publish and fMP4 monitoring standards-compliant
+    where the reference cannot build at all (fdk-aac FFI,
+    src/video/encode.rs:146-222)."""
+
+    codec = "aac"
+
+    def __init__(self, sample_rate: int = 44100, channels: int = 2,
+                 bitrate: Optional[int] = None, quality: int = 60):
+        from mixlab_tpu.av.aacenc import AacLcEncoder
+
+        self._enc = AacLcEncoder(sample_rate, channels, quality=quality)
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.asc = self._enc.asc
+        self._buf = np.zeros((0, channels), dtype=np.int16)
+
+    def feed(self, pcm_i16: np.ndarray):
+        pcm = np.asarray(pcm_i16, dtype=np.int16).reshape(-1, self.channels)
+        self._buf = np.concatenate([self._buf, pcm]) if len(self._buf) else pcm
+
+    def poll_frames(self) -> List[bytes]:
+        from mixlab_tpu.av.aac import adts_frame
+
+        out = []
+        while len(self._buf) >= 1024:
+            raw = self._enc.encode_granule(self._buf[:1024])
+            self._buf = self._buf[1024:]
+            out.append(adts_frame(raw, self.asc))
+        return out
+
+    def configuration_data(self) -> bytes:
+        return self.asc.to_bytes()
+
+    def close(self):
+        pass

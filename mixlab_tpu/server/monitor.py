@@ -25,6 +25,7 @@ import queue
 import threading
 import uuid as uuid_mod
 from typing import Dict, Optional
+import os
 
 import numpy as np
 
@@ -177,13 +178,25 @@ class MonitorPipeline(threading.Thread):
                     MONITOR_PICTURE, fps=fps, profile="monitor"
                 )
             else:
-                from mixlab_tpu.av.flacenc import PureFlacStream
                 from mixlab_tpu.av.h264enc import PureH264Stream
 
-                self._aac = PureFlacStream(
-                    self.cfg.sample_rate, self.cfg.channels,
-                    SAMPLES_PER_CHANNEL_PER_FRAGMENT,
-                )
+                # default pure audio is real AAC-LC since round 4
+                # (av/aacenc.py) — the reference's monitor codec and what
+                # MSE expects everywhere; FLAC (lossless) stays one env
+                # knob away
+                if os.environ.get("MIXLAB_PURE_AUDIO", "aac") == "flac":
+                    from mixlab_tpu.av.flacenc import PureFlacStream
+
+                    self._aac = PureFlacStream(
+                        self.cfg.sample_rate, self.cfg.channels,
+                        SAMPLES_PER_CHANNEL_PER_FRAGMENT,
+                    )
+                else:
+                    from mixlab_tpu.av.codecs import PureAacStream
+
+                    self._aac = PureAacStream(
+                        self.cfg.sample_rate, self.cfg.channels
+                    )
                 self._h264 = PureH264Stream(
                     MONITOR_PICTURE, fps=fps, profile="monitor"
                 )

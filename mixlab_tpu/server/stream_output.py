@@ -183,10 +183,10 @@ class StreamOutputController:
     def _setup_encoders(self):
         """AAC CBR 160k + x264 CBR 1.5 Mbps 30 fps at 1120x700 when the
         codec shim exists (the reference operating point,
-        stream_output.rs:23-24, 337-345).  Zero-dep fallback: PCM-FLV audio
-        + pure CAVLC intra H.264 video at a reduced 5 fps (FLV carries
-        H.264 regardless of the encoder; AAC has no pure tier — its
-        Huffman codebooks are normative tables, see av/flacenc.py)."""
+        stream_output.rs:23-24, 337-345).  Zero-dep fallback since round
+        4: pure AAC-LC audio (av/aacenc.py — FLV-standard, unlike the old
+        PCM-FLV fallback which stays as the last resort) + pure CAVLC
+        intra H.264 video at a reduced rate."""
         from mixlab_tpu.av.codecs import (
             STREAM_PICTURE,
             avshim_codecs_available,
@@ -209,6 +209,14 @@ class StreamOutputController:
             except Exception as e:
                 log.warning("stream_output: codec init failed: %s", e)
                 self._aac = self._h264 = None
+        if self._aac is None:
+            from mixlab_tpu.av.codecs import PureAacStream
+
+            try:
+                self._aac = PureAacStream(self.cfg.sample_rate, 2)
+            except Exception as e:
+                log.warning("stream_output: pure aac init failed (%s); "
+                            "falling back to PCM-FLV", e)
         if self._h264 is None:
             from mixlab_tpu.av.h264cavlc_fast import NativeCavlcIntraEncoder
             from mixlab_tpu.av.h264enc import PureH264Stream

@@ -178,6 +178,7 @@ def test_fmp4_monitor_pure_tier_zero_dependency(tmp_path, monkeypatch):
     import mixlab_tpu.av.codecs as codecs_mod
 
     monkeypatch.setattr(codecs_mod, "codec_tier", lambda: "pure")
+    monkeypatch.setenv("MIXLAB_PURE_AUDIO", "flac")  # AAC is the default
     import jax.numpy as jnp
 
     from mixlab_tpu.av.codecs import MONITOR_PICTURE

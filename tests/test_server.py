@@ -612,7 +612,7 @@ def test_monitor_ws_pure_tier_full_server(tmp_path, monkeypatch):
             op, payload = await asyncio.wait_for(ws_recv(reader), 10.0)
             init = json.loads(payload.partition(b"\n")[0])
             assert init["t"] == "init" and init["mode"] == "fmp4"
-            assert "avc1." in init["mime"] and "flac" in init["mime"]
+            assert "avc1." in init["mime"] and "mp4a.40.2" in init["mime"]
             segments = 0
             deadline = asyncio.get_event_loop().time() + 20.0
             while (segments < 6

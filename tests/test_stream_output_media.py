@@ -365,10 +365,11 @@ def test_stream_output_pure_tier_video_loopback(monkeypatch):
     while ctl.state != ConnState.LIVE and time.time() < deadline:
         time.sleep(0.05)
     assert ctl.state == ConnState.LIVE
-    # pure tier selected: no AAC, pure H.264
+    # pure tier selected: pure AAC-LC (round 4) + pure H.264
+    from mixlab_tpu.av.codecs import PureAacStream
     from mixlab_tpu.av.h264enc import PureH264Stream
 
-    assert ctl._aac is None
+    assert isinstance(ctl._aac, PureAacStream)
     assert isinstance(ctl._h264, PureH264Stream)
 
     import jax.numpy as jnp
@@ -407,9 +408,17 @@ def test_stream_output_pure_tier_video_loopback(monkeypatch):
         drain()
 
     assert len(audio_frames) >= 2, "no audio over pure-tier loopback"
-    got = audio_frames[0].data[:, 0].astype(np.float32) / 32767.0
-    np.testing.assert_allclose(got, np.sin(
-        2 * np.pi * 440 * t_base).astype(np.float32) * 0.5, atol=2e-4)
+    # AAC is lossy and carries a 1024-sample encoder latency: verify the
+    # tone spectrally instead of sample-exactly (the old PCM-FLV fallback
+    # was exact; the pure tier publishes standard AAC since round 4)
+    got = np.concatenate([f.data for f in audio_frames])[:, 0].astype(
+        np.float32) / 32767.0
+    body = got[2048:]
+    if len(body) >= 1024:
+        spec = np.abs(np.fft.rfft(body * np.hanning(len(body))))
+        peak_hz = np.argmax(spec[1:]) + 1
+        peak_hz = peak_hz * CFG.sample_rate / len(body)
+        assert abs(peak_hz - 440.0) < 15.0, peak_hz
 
     assert video_frames, "no pure-CAVLC video over RTMP loopback"
     ypl2 = np.asarray(video_frames[0].data.picture.planes["y"]).astype(float)
