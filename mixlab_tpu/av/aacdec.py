@@ -640,6 +640,16 @@ def _apply_tns(ics: _Ics, sfi: int):
 
 ID_SCE, ID_CPE, ID_CCE, ID_LFE, ID_DSE, ID_PCE, ID_FIL, ID_END = range(8)
 
+# decoded element order -> conventional output order (FL FR FC LFE BL BR)
+# for the standard channel configurations (channel count keyed; configs
+# 1-2 are identity, 3: C/L/R, 4: +Cs, 5: +Ls/Rs, 6: 5.1)
+_CHANNEL_ORDER = {
+    3: [1, 2, 0],
+    4: [1, 2, 0, 3],
+    5: [1, 2, 0, 3, 4],
+    6: [1, 2, 0, 5, 3, 4],
+}
+
 
 class AacLcDecoder:
     """Stateful AAC-LC decoder.
@@ -773,7 +783,10 @@ class AacLcDecoder:
                 ics.coeffs, ics.info.window_sequence, ics.info.window_shape
             )
             out[:, i] = (pcm * _OUT_SCALE).astype(np.float32)
-        return out
+        # standard channel configs decode in element order (C, L, R, ...);
+        # reorder to the conventional output layout (FL FR FC [LFE] ...)
+        perm = _CHANNEL_ORDER.get(len(chans))
+        return out[:, perm] if perm is not None else out
 
     def decode_adts(self, data: bytes) -> List[np.ndarray]:
         """Concatenated ADTS frames -> list of [1024, ch] float32."""

@@ -280,9 +280,13 @@ class AacLcEncoder:
                 continue
             sf = base_sf
             if (peaks[b] / step) ** 0.75 + 0.4054 >= 8191:
-                # escape-cap bump (rare): re-quantize this band coarser
+                # escape-cap bump (rare): re-quantize this band coarser.
+                # The bump is dpcm-coded against the previous band, so it
+                # cannot exceed +60; past that the clip at 8191 absorbs
+                # the (already enormous) overshoot instead.
+                sf_cap = min(255, base_sf + 60)
                 xb = X[lo:hi]
-                while sf < 255:
+                while sf < sf_cap:
                     s2 = 2.0 ** (0.25 * (sf - 100))
                     if (peaks[b] / s2) ** 0.75 + 0.4054 < 8191:
                         break

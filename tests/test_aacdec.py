@@ -326,3 +326,59 @@ def test_media_player_mp4_aac_plays_audio_pure(tmp_path, monkeypatch):
         player.join(timeout=5)
         proj.engine.stop()
         proj.close()
+
+
+def test_tables_structural_invariants():
+    """The checked-in tables must be complete prefix codes with the
+    spec's entry counts — validated WITHOUT the shim (the differential
+    tests above pin the values; this pins the structure on any image)."""
+    from fractions import Fraction
+
+    from mixlab_tpu.av import aac_tables as t
+
+    assert sorted(t.SF_CODEBOOK.values()) == list(range(121))
+    assert sum(Fraction(1, 2 ** len(c)) for c in t.SF_CODEBOOK) == 1
+    expected = {1: 81, 2: 81, 3: 81, 4: 81, 5: 81, 6: 81,
+                7: 64, 8: 64, 9: 169, 10: 169, 11: 289}
+    for book, table in t.SPECTRAL_CODEBOOKS.items():
+        assert len(table) == expected[book], book
+        assert sum(Fraction(1, 2 ** len(c)) for c in table) == 1, book
+        cws = sorted(table, key=len)
+        for i, a in enumerate(cws):
+            for b in cws[i + 1:]:
+                assert not b.startswith(a), (book, a, b)
+    for sfi, offs in t.SWB_OFFSET_LONG.items():
+        assert offs[0] == 0 and offs[-1] == 1024
+        assert all(b > a for a, b in zip(offs, offs[1:]))
+        assert all(o % 4 == 0 for o in offs)
+    for sfi, offs in t.SWB_OFFSET_SHORT.items():
+        assert offs[0] == 0 and offs[-1] == 128
+        assert all(b > a for a, b in zip(offs, offs[1:]))
+
+
+def test_five_one_multichannel_exact():
+    """5.1 (config 6: SCE+CPE+CPE+LFE) decodes bit-exact with the
+    conventional output channel order (FL FR FC LFE BL BR)."""
+    avshim = _shim()
+    t = np.arange(44100)
+    chans = [np.sin(2 * np.pi * (200 + 97 * i) * t / 44100) * 9000
+             for i in range(6)]
+    sig = np.stack(chans, 1).astype(np.int16)
+    enc = avshim.AacEncoder(44100, 6, 96_000 * 6, opts=TOOLS_OFF)
+    enc.send(sig)
+    enc.flush()
+    pk = enc.receive()
+    asc = AudioSpecificConfiguration.parse(enc.extradata())
+    enc.close()
+    assert asc.channel_configuration == 6
+    ref = avshim.AudioDecoder("aac")
+    ours = AacLcDecoder()
+    worst = 0.0
+    for _pts, payload in pk[:20]:
+        frame = adts_frame(payload, asc)
+        theirs = ref.decode_flt(frame)[0][1]
+        mine = ours.decode_adts(frame)[0]
+        assert mine.shape == theirs.shape
+        worst = max(worst, float(np.max(np.abs(theirs - mine))))
+    ref.close()
+    assert worst < 1e-6, worst
