@@ -328,7 +328,16 @@ class Engine:
             and old_patch is not None
             and patch.structural_fingerprint == old_patch.structural_fingerprint
         ):
-            # param-only change: swap aux, keep program + state
+            # param-only change: swap aux, keep program + state.  Any
+            # in-flight structural compile is now stale — an edit pair can
+            # net out to the RUNNING structure (create module -> delete it
+            # again) while a pending patch still references the deleted
+            # module; adopting it would crash prepare_aux against the live
+            # ws (soak-caught, round 4).  Superseding here keeps the
+            # invariant: a staged patch always matches the newest ws.
+            with self._pending_lock:
+                self._compile_gen += 1
+                self._pending_patch = None
             self._aux = old_patch.prepare_aux(self.ws)
             return
         if old_patch is not None and self._thread is not None:
@@ -452,6 +461,14 @@ class Engine:
             # trivially true by doing everything on one thread.)
             if gen != self._compile_gen:
                 return
+        # defense in depth: the gen protocol above should guarantee the
+        # staged patch matches the live workspace, but adopting a stale
+        # one would KILL the engine thread (prepare_aux KeyError) — so
+        # verify every compiled module still exists before committing
+        if any(mid not in self.ws.modules for mid in patch.order):
+            log.error("staged patch references deleted modules; discarded "
+                      "(gen protocol breach — please report)")
+            return
         self._adopt_patch(patch)
 
     def _adopt_patch(self, patch: CompiledPatch):

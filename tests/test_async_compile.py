@@ -128,3 +128,47 @@ def test_edit_storm_never_adopts_stale_patch(monkeypatch):
             "engine never converged to a patch matching the final workspace")
     finally:
         eng.stop()
+
+
+def test_create_delete_netting_out_never_adopts_deleted_module(monkeypatch):
+    """Round-4 soak catch: create module M (structural compile in flight),
+    then delete M again BEFORE the compile lands.  The net structure
+    equals the running patch, so the delete takes the param-only
+    shortcut — which must still supersede the in-flight compile, or the
+    stale patch (containing M) gets adopted against a workspace without
+    M and the prepare_aux KeyError kills the engine thread."""
+    orig_warm = Engine._warm_and_stage
+
+    def slow_warm(self, patch, gen, warm_args):
+        time.sleep(0.6)  # hold the compile in flight past the delete
+        return orig_warm(self, patch, gen, warm_args)
+
+    monkeypatch.setattr(Engine, "_warm_and_stage", slow_warm)
+
+    eng = Engine(cfg=CFG)
+    eng.start()
+    try:
+        time.sleep(0.3)
+        sid, _, _ = eng.connect_session()
+        n0 = len(eng.ws.modules)
+        eng.update(sid, p.WorkspaceMessage(1, p.CreateModule(
+            p.ModuleParams("Oscillator",
+                           p.OscillatorParams(440.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        deadline = time.time() + 5
+        while len(eng.ws.modules) == n0 and time.time() < deadline:
+            time.sleep(0.02)  # the op applies on the engine thread
+        assert len(eng.ws.modules) > n0
+        mid = p.ModuleId(eng.ws.module_seq)
+        time.sleep(0.1)  # compile for the create is now in flight
+        eng.update(sid, p.WorkspaceMessage(2, p.DeleteModule(mid)))
+        # let the stale warm finish + several swap opportunities pass
+        time.sleep(2.0)
+        assert mid not in eng.ws.modules
+        assert all(m != mid for m in eng._patch.order), (
+            "stale patch containing the deleted module was adopted")
+        t0 = eng.tick
+        time.sleep(1.0)
+        assert eng.tick > t0 + 30, "engine thread died or stalled"
+    finally:
+        eng.stop()

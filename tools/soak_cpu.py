@@ -105,9 +105,27 @@ def main():
     t0 = time.time()
     rss0 = None
     sample = 0
+    last_tick = -1
+    stalls = 0
     while time.time() - t0 < seconds:
         time.sleep(5.0)
         sample += 1
+        # a frozen tick counter = dead/stuck engine thread: that is THE
+        # failure this soak exists to catch (round 4: an adopt-patch
+        # KeyError killed the thread and the soak still said OK)
+        if eng.tick == last_tick:
+            stalls += 1
+            if stalls >= 3 or not any(
+                th.name == "engine" and th.is_alive()
+                for th in threading.enumerate()
+            ):
+                raise SystemExit(
+                    f"engine stalled at tick {eng.tick} "
+                    f"(thread alive: {any(th.name == 'engine' and th.is_alive() for th in threading.enumerate())})"
+                )
+        else:
+            stalls = 0
+        last_tick = eng.tick
         pipe = eng.monitor_pipe(p.ModuleId(2))
         if pipe is not None:
             while True:
