@@ -504,8 +504,12 @@ def _dequant_inplace(ics: _Ics, rng: np.random.Generator):
             if cb == NOISE_HCB:
                 # band TOTAL energy = (2^(nrg/4))^2; the -90 bias is already
                 # in the noise-energy chain (calibrated against the oracle:
-                # per-bin rms = 2^(nrg/4)/sqrt(width))
-                scale = 2.0 ** (0.25 * ics.band_sf[g][b])
+                # per-bin rms = 2^(nrg/4)/sqrt(width)).  The dpcm chain is
+                # unbounded in the bitstream; clip at use like libavcodec
+                # ([-100, 155]) — Python float pow would otherwise raise
+                # OverflowError on crafted input.
+                nrg = min(max(ics.band_sf[g][b], -100), 155)
+                scale = 2.0 ** (0.25 * nrg)
                 for w in range(glen):
                     base = (win_base + w) * 128 if info.window_sequence == 2 else 0
                     noise = rng.standard_normal(hi - lo)
@@ -556,7 +560,11 @@ def _apply_intensity(left: _Ics, right: _Ics, ms_mask, ms_present: int):
             sign = 1.0 if cb == INTENSITY_HCB else -1.0
             if ms_present == 1 and ms_mask is not None and ms_mask[g][b]:
                 sign = -sign
-            scale = sign * 2.0 ** (-0.25 * right.band_sf[g][b])
+            # is_pos dpcm chain is unbounded in the bitstream; clip at use
+            # like libavcodec ([-155, 100]) to keep 2^x finite on crafted
+            # input (Python float pow raises OverflowError past ~2^1023)
+            is_pos = min(max(right.band_sf[g][b], -155), 100)
+            scale = sign * 2.0 ** (-0.25 * is_pos)
             lo, hi = info.swb_offset[b], info.swb_offset[b + 1]
             for w in range(glen):
                 base = (win_base + w) * 128 if info.window_sequence == 2 else 0

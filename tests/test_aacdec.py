@@ -382,3 +382,83 @@ def test_five_one_multichannel_exact():
         worst = max(worst, float(np.max(np.abs(theirs - mine))))
     ref.close()
     assert worst < 1e-6, worst
+
+
+# ---------------------------------------------------------------------------
+# crafted extreme scalefactor chains: the noise / intensity dpcm chains are
+# unbounded in the bitstream; the decoder must clip at use (libavcodec
+# semantics: noise [-100, 155], is_pos [-155, 100]) instead of feeding
+# Python's float pow an exponent past 2^1023 (OverflowError crash)
+# ---------------------------------------------------------------------------
+
+
+class _Bw:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, k):
+        self.bits.extend((v >> (k - 1 - i)) & 1 for i in range(k))
+
+    def code(self, s):
+        self.bits.extend(int(c) for c in s)
+
+    def bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(
+            int("".join(map(str, self.bits[i:i + 8])), 2)
+            for i in range(0, len(self.bits), 8)
+        )
+
+
+_SF_PLUS60 = "1111111111111110011"   # SF codebook index 120
+_SF_MINUS60 = "111111111111101000"   # SF codebook index 0
+
+
+def test_crafted_noise_energy_chain_clipped():
+    """40 PNS bands of +60 dpcm steps drive the energy chain to ~2760;
+    un-clipped that is 2^690 -> OverflowError.  Must decode finite."""
+    w = _Bw()
+    w.u(0, 3)          # SCE
+    w.u(0, 4)          # instance tag
+    w.u(255, 8)        # global_gain
+    w.u(0, 1); w.u(0, 2); w.u(0, 1)   # ics_info: reserved, ONLY_LONG, sine
+    w.u(40, 6); w.u(0, 1)             # max_sfb=40, no predictor
+    w.u(13, 4); w.u(31, 5); w.u(9, 5)  # one NOISE_HCB section, len 40
+    w.u(511, 9)                        # noise PCM: +255
+    for _ in range(39):
+        w.code(_SF_PLUS60)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)    # no pulse / tns / gain control
+    w.u(7, 3)                          # END
+    pcm = AacLcDecoder().decode_raw(w.bytes(), 3)
+    assert pcm.shape == (1024, 1)
+    assert np.all(np.isfinite(pcm))
+
+
+def test_crafted_intensity_position_chain_clipped():
+    """EIGHT_SHORT with 8 groups x 14 intensity bands of -60 dpcm steps
+    drives is_pos to -6720; un-clipped the scale is 2^1680 ->
+    OverflowError.  Must decode finite."""
+    w = _Bw()
+    w.u(1, 3)          # CPE
+    w.u(0, 4)          # instance tag
+    w.u(1, 1)          # common_window
+    w.u(0, 1); w.u(2, 2); w.u(0, 1)   # ics_info: reserved, EIGHT_SHORT, sine
+    w.u(14, 4); w.u(0, 7)             # max_sfb=14, grouping=0 (8 groups)
+    w.u(0, 2)                          # ms_present = 0
+    # left channel: all ZERO_HCB (no scalefactors, no spectra)
+    w.u(100, 8)                        # global_gain
+    for _ in range(8):                 # per-group ZERO section, len 14
+        w.u(0, 4); w.u(7, 3); w.u(7, 3); w.u(0, 3)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    # right channel: all INTENSITY_HCB
+    w.u(100, 8)
+    for _ in range(8):                 # per-group INTENSITY section, len 14
+        w.u(15, 4); w.u(7, 3); w.u(7, 3); w.u(0, 3)
+    for _ in range(8 * 14):            # then all scalefactors, group-major
+        w.code(_SF_MINUS60)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.u(7, 3)                          # END
+    pcm = AacLcDecoder().decode_raw(w.bytes(), 3)
+    assert pcm.shape == (1024, 2)
+    assert np.all(np.isfinite(pcm))
