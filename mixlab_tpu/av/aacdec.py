@@ -305,6 +305,8 @@ def _decode_section_data(r: _Bits, info: _IcsInfo) -> List[List[int]]:
         k = 0
         while k < info.max_sfb:
             cb = r.u(4)
+            if cb == 12:  # reserved (14496-3 table 4.150); spectral decode
+                raise AacDecodeError("reserved codebook 12 in section data")
             ln = 0
             while True:
                 inc = r.u(bits)

@@ -1098,17 +1098,24 @@ class PureH264Decoder:
                 self._feed_nal(bytes([(nu.ref_idc << 5) | kind]) + nu.data)
 
     def _feed_nal(self, unit: bytes) -> Optional[Tuple[np.ndarray, ...]]:
+        # every bit-level read below (SPS, PPS, slice headers, CAVLC) uses
+        # sps.py's reader, whose truncation/Exp-Golomb failures are
+        # SpsError; convert once at the ingest boundary so untrusted bytes
+        # can only ever surface H264DecodeError (deepfuzz h264_dcr leak)
+        from mixlab_tpu.av.sps import SpsError
+
+        try:
+            return self._feed_nal_inner(unit)
+        except SpsError as e:
+            raise H264DecodeError(f"bitstream truncated/corrupt: {e}") from e
+
+    def _feed_nal_inner(self, unit: bytes) -> Optional[Tuple[np.ndarray, ...]]:
         if not unit:
             return None
         nal_type = unit[0] & 0x1F
         rbsp = unit[1:]
         if nal_type == 7:
-            from mixlab_tpu.av.sps import SpsError
-
-            try:
-                self.sps = _SpsExt(rbsp)
-            except SpsError as e:  # typed error at the ingest boundary
-                raise H264DecodeError(f"bad SPS: {e}") from e
+            self.sps = _SpsExt(rbsp)
             return None
         if nal_type == 8:
             self.pps = _Pps(rbsp)

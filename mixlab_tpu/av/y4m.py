@@ -61,6 +61,8 @@ def parse_header(data: bytes) -> Y4mInfo:
             height = int(val)
         elif tag == b"F":
             n, _, d = val.partition(":")
+            if int(d or 1) <= 0 or int(n) <= 0:
+                raise Y4mError(f"bad frame rate F{val}")
             fps = Fraction(int(n), int(d or 1))
         elif tag == b"C":
             # exact 8-bit variants only — C420p10/C444alpha etc. have a

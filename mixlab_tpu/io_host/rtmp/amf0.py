@@ -58,43 +58,78 @@ def encode_all(*values: Any) -> bytes:
     return b"".join(encode(v) for v in values)
 
 
-def _decode_one(data: bytes, pos: int) -> Tuple[Any, int]:
+# AMF0 arrives straight off the RTMP socket (command messages from
+# arbitrary publishers); every read is bounds-checked and every failure
+# is the typed Amf0Error — never struct.error / IndexError /
+# UnicodeDecodeError / RecursionError (tools/deepfuzz.py found all four
+# leaking from the unchecked version).
+_MAX_DEPTH = 32
+
+
+def _need(data: bytes, pos: int, n: int):
+    if pos + n > len(data):
+        raise Amf0Error(f"truncated AMF0 data at {pos} (need {n} bytes)")
+
+
+def _utf8(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise Amf0Error(f"invalid utf-8 in AMF0 string: {e}") from None
+
+
+def _decode_one(data: bytes, pos: int, depth: int = 0) -> Tuple[Any, int]:
+    if depth > _MAX_DEPTH:
+        raise Amf0Error("AMF0 nesting too deep")
+    _need(data, pos, 1)
     marker = data[pos]
     pos += 1
     if marker == NUMBER:
+        _need(data, pos, 8)
         (v,) = struct.unpack_from(">d", data, pos)
         return v, pos + 8
     if marker == BOOLEAN:
+        _need(data, pos, 1)
         return bool(data[pos]), pos + 1
     if marker == STRING:
+        _need(data, pos, 2)
         (n,) = struct.unpack_from(">H", data, pos)
         pos += 2
-        return data[pos : pos + n].decode("utf-8"), pos + n
+        _need(data, pos, n)
+        return _utf8(data[pos : pos + n]), pos + n
     if marker == LONG_STRING:
+        _need(data, pos, 4)
         (n,) = struct.unpack_from(">I", data, pos)
         pos += 4
-        return data[pos : pos + n].decode("utf-8"), pos + n
+        _need(data, pos, n)
+        return _utf8(data[pos : pos + n]), pos + n
     if marker in (NULL, UNDEFINED):
         return None, pos
     if marker in (OBJECT, ECMA_ARRAY):
         if marker == ECMA_ARRAY:
+            _need(data, pos, 4)
             pos += 4  # approximate count, ignore
         obj = {}
         while True:
+            _need(data, pos, 2)
             (n,) = struct.unpack_from(">H", data, pos)
             pos += 2
-            if n == 0 and data[pos] == OBJECT_END:
-                return obj, pos + 1
-            key = data[pos : pos + n].decode("utf-8")
+            if n == 0:
+                _need(data, pos, 1)
+                if data[pos] == OBJECT_END:
+                    return obj, pos + 1
+            _need(data, pos, n)
+            key = _utf8(data[pos : pos + n])
             pos += n
-            val, pos = _decode_one(data, pos)
+            val, pos = _decode_one(data, pos, depth + 1)
             obj[key] = val
     if marker == STRICT_ARRAY:
+        _need(data, pos, 4)
         (n,) = struct.unpack_from(">I", data, pos)
         pos += 4
         arr = []
         for _ in range(n):
-            v, pos = _decode_one(data, pos)
+            v, pos = _decode_one(data, pos, depth + 1)
             arr.append(v)
         return arr, pos
     raise Amf0Error(f"unknown AMF0 marker 0x{marker:02x} at {pos - 1}")

@@ -266,12 +266,21 @@ async def accept(reader, writer):
             if msg is None:
                 break
             if msg.type_id == MSG_COMMAND_AMF0:
-                values = amf0.decode_all(msg.payload)
+                try:
+                    values = amf0.decode_all(msg.payload)
+                except amf0.Amf0Error:
+                    break  # malformed command message: disconnect cleanly
                 cmd = values[0] if values else None
                 txn = values[1] if len(values) > 1 else 0
+                if not isinstance(txn, (int, float)):
+                    txn = 0
                 if cmd == "connect":
                     props = values[2] if len(values) > 2 else {}
-                    app_name = (props or {}).get("app", "")
+                    if not isinstance(props, dict):
+                        props = {}  # AMF0 allows any type here
+                    app_name = props.get("app", "")
+                    if not isinstance(app_name, str):
+                        app_name = ""
                     reply(
                         "_result",
                         txn,

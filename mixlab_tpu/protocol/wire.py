@@ -225,6 +225,14 @@ def server_message(kind: str, payload: Any) -> str:
 
 def parse_envelope(text: str | bytes) -> tuple[str, Any]:
     data = json.loads(text)
+    # raise ValueError (the server's skip-malformed-message class,
+    # server/app.py) on any shape violation — a top-level non-dict or a
+    # missing key must not leak KeyError/AttributeError into the session
+    if not isinstance(data, dict):
+        raise ValueError("wire envelope is not an object")
     if data.get("v") != WIRE_VERSION:
         raise ValueError(f"unsupported wire version {data.get('v')!r}")
-    return data["kind"], data["m"]
+    try:
+        return data["kind"], data["m"]
+    except KeyError as e:
+        raise ValueError(f"wire envelope missing {e}") from None

@@ -184,6 +184,10 @@ class WebSocket:
                 if message_op is None:
                     return None  # protocol error
                 buffer += payload
+            if len(buffer) > MAX_MESSAGE_SIZE:
+                # fragmented-message flood: same cap as the inflate bound
+                await self.close(1009)
+                return None
             if fin and message_op is not None:
                 data = bytes(buffer)
                 if compressed:
@@ -220,6 +224,11 @@ class WebSocket:
                 (n,) = struct.unpack(">H", await self.reader.readexactly(2))
             elif n == 127:
                 (n,) = struct.unpack(">Q", await self.reader.readexactly(8))
+            if n > MAX_MESSAGE_SIZE:
+                # a claimed 2^40-byte frame would otherwise make
+                # readexactly buffer unboundedly — close 1009, never read
+                await self.close(1009)
+                return None
             mask = await self.reader.readexactly(4) if masked else None
             payload = await self.reader.readexactly(n) if n else b""
         except (asyncio.IncompleteReadError, ConnectionError):

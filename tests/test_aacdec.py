@@ -462,3 +462,18 @@ def test_crafted_intensity_position_chain_clipped():
     pcm = AacLcDecoder().decode_raw(w.bytes(), 3)
     assert pcm.shape == (1024, 2)
     assert np.all(np.isfinite(pcm))
+
+
+def test_reserved_codebook_12_typed_error():
+    """Section data naming reserved codebook 12 (14496-3 table 4.150)
+    must raise AacDecodeError, not KeyError at spectral decode
+    (tools/deepfuzz.py aac_adts finding, round 4)."""
+    w = _Bw()
+    w.u(0, 3)          # SCE
+    w.u(0, 4)          # instance tag
+    w.u(100, 8)        # global_gain
+    w.u(0, 1); w.u(0, 2); w.u(0, 1)   # ics_info: reserved, ONLY_LONG, sine
+    w.u(1, 6); w.u(0, 1)              # max_sfb=1, no predictor
+    w.u(12, 4); w.u(1, 5)             # section: cb=12 (reserved), len 1
+    with pytest.raises(AacDecodeError):
+        AacLcDecoder().decode_raw(w.bytes(), 4)

@@ -165,3 +165,16 @@ def test_decoder_agrees_with_libavcodec_on_our_stream():
     assert np.array_equal(y1, y2)
     assert np.array_equal(u1, u2)
     assert np.array_equal(v1, v2)
+
+
+def test_dcr_truncated_pps_typed_error():
+    """A DCR whose embedded PPS truncates mid-Exp-Golomb must raise
+    H264DecodeError, not leak sps.SpsError from the bit reader
+    (tools/deepfuzz.py h264_dcr finding, round 4).  The boundary
+    conversion in PureH264Decoder._feed_nal covers SPS/PPS/slice
+    paths uniformly."""
+    # deepfuzz repro: valid SPS, PPS bytes cut short inside the header
+    blob = (b"\x01B\xc0(\xff\xe1\x00\x07gB\xc0(\xda\x11\xe4\x01"
+            b"\x00\x04h\xce<\x01\x00\x04h\xce<\x80")
+    with pytest.raises(H264DecodeError):
+        PureH264Decoder(blob)

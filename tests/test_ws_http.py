@@ -238,3 +238,36 @@ def test_rsv1_without_negotiated_deflate_fails_connection():
     # close frame carries status 1002 (protocol error)
     assert bytes(w.sent[:2]) == bytes([0x80 | ws_mod.OP_CLOSE, 2])
     assert w.sent[2:4] == struct.pack(">H", 1002)
+
+
+def test_oversize_frame_claim_closes_1009():
+    """A frame header claiming 2^40 bytes must close the connection
+    (1009 Message Too Big) without ever trying to buffer the payload —
+    uncompressed frames had no size cap before round 4 (the zip-bomb
+    guard only covered the deflate path)."""
+    head = bytearray([0x80 | ws_mod.OP_BINARY, 0x80 | 127])
+    head += struct.pack(">Q", 1 << 40)
+    head += b"\x01\x02\x03\x04"  # mask key; no payload follows
+    w = PipeWriter()
+    sock = ws_mod.WebSocket(PipeReader(bytes(head)), w)
+    assert asyncio.run(sock.recv()) is None
+    assert sock.closed
+    assert struct.unpack(">H", bytes(w.sent)[-2:])[0] == 1009
+
+
+def test_fragment_flood_closes_1009():
+    """Unbounded OP_CONT accumulation must stop at MAX_MESSAGE_SIZE."""
+    old = ws_mod.MAX_MESSAGE_SIZE
+    ws_mod.MAX_MESSAGE_SIZE = 4096
+    try:
+        chunk = bytes(1024)
+        data = client_frame(ws_mod.OP_BINARY, chunk, fin=False)
+        for _ in range(8):
+            data += client_frame(ws_mod.OP_CONT, chunk, fin=False)
+        w = PipeWriter()
+        sock = ws_mod.WebSocket(PipeReader(data), w)
+        assert asyncio.run(sock.recv()) is None
+        assert sock.closed
+        assert struct.unpack(">H", bytes(w.sent)[-2:])[0] == 1009
+    finally:
+        ws_mod.MAX_MESSAGE_SIZE = old
