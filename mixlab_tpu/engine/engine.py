@@ -776,7 +776,14 @@ class Engine:
                         cmd = self._cmd.get(timeout=timeout)
                 except queue.Empty:
                     break
-                self._process_cmd(cmd)
+                try:
+                    self._process_cmd(cmd)
+                except Exception:
+                    # last-ditch: a command must never kill the tick loop
+                    # (client_update has its own transactional guard; this
+                    # covers connect/indicate/checkpoint/restore surprises)
+                    log.exception("engine command %r failed; engine "
+                                  "continues", cmd[0])
 
     # -- command processing -------------------------------------------------
 
@@ -842,7 +849,32 @@ class Engine:
             self.persist_cb(self.ws.to_persist())
 
     def client_update(self, session_id: int, msg: p.WorkspaceMessage):
-        """Apply one client op (engine.rs:277-398 semantics)."""
+        """Apply one client op (engine.rs:277-398 semantics).
+
+        Transactional: the engine thread must survive ANY op.  Strict wire
+        decode (wire.WireDecodeError) keeps type-confused values out, but a
+        semantic failure while applying (graph lowering, module prepare)
+        would otherwise kill the tick loop for every session — the
+        reference's equivalent would be a panic on its engine thread.  On
+        failure: roll the workspace back to the pre-op snapshot, rebuild
+        from the known-good state, and still emit Sync so the owning
+        client's optimistic UI un-gates (frontend/src/session.rs:93-108).
+        """
+        snap = self.ws.snapshot()
+        try:
+            self._apply_client_op(msg)
+        except Exception:
+            log.exception("client op failed; rolling back workspace")
+            self.ws.restore(snap)
+            try:
+                self._rebuild(full=True)
+            except Exception:
+                log.exception("rollback rebuild failed; engine continues "
+                              "with the previous compiled patch")
+        finally:
+            self._log.send(SyncEvent(OpClock(session_id, msg.sequence)))
+
+    def _apply_client_op(self, msg: p.WorkspaceMessage):
         op = msg.op
         if isinstance(op, p.CreateModule):
             mid = self.ws.create_module(op.params, op.geometry)
@@ -913,7 +945,6 @@ class Engine:
                 self._log_op(p.SUDeleteConnection(op.input_id))
                 self._rebuild(full=False)
                 self._persist()
-        self._log.send(SyncEvent(OpClock(session_id, msg.sequence)))
 
     def _on_params_updated(self, mid: ModuleId, old_params, new_params):
         kind = new_params.kind

@@ -77,6 +77,35 @@ class Workspace:
         self.indications[mid] = Indication(params.kind, None)
         return mid
 
+    def snapshot(self) -> "Workspace":
+        """Cheap structural copy for transactional op application.
+
+        The engine takes one before applying a client op and rolls back on
+        failure (engine thread must survive ANY op — the reference gets the
+        equivalent guarantee from Rust's type system keeping malformed ops
+        unrepresentable; see wire.WireDecodeError for the decode half).
+        ModuleEntry params objects are immutable-by-convention (replaced,
+        never mutated), so a per-entry shallow copy suffices.
+        """
+        return Workspace(
+            module_seq=self.module_seq,
+            modules={
+                mid: ModuleEntry(e.params, list(e.inputs), list(e.outputs))
+                for mid, e in self.modules.items()
+            },
+            geometry=dict(self.geometry),
+            connections=dict(self.connections),
+            indications=dict(self.indications),
+        )
+
+    def restore(self, snap: "Workspace") -> None:
+        """Adopt a snapshot's state in place (rollback of a failed op)."""
+        self.module_seq = snap.module_seq
+        self.modules = snap.modules
+        self.geometry = snap.geometry
+        self.connections = snap.connections
+        self.indications = snap.indications
+
     def update_params(self, mid: ModuleId, params: ModuleParams) -> bool:
         entry = self.modules.get(mid)
         if entry is None:

@@ -98,18 +98,91 @@ def encode(obj: Any) -> Any:
     raise TypeError(f"cannot encode {type(obj)!r}")
 
 
+class WireDecodeError(ValueError):
+    """A wire payload did not decode as the expected protocol type.
+
+    Raised for EVERY shape or leaf-type violation in untrusted inbound
+    data.  The reference gets this guarantee from bincode + Rust's type
+    system (a `f32` field can never hold a string — src/server.rs:240);
+    a self-describing JSON wire has to enforce it explicitly, otherwise
+    type-confused values flow into the engine thread and detonate there
+    (jnp tracing a str kills the tick loop for every session).
+    """
+
+
+#: inbound container cap: the only client-editable lists (mixer channels,
+#: workspace ops) are human-scale; a million-element list in a decoded
+#: param would drive graph compilation, not just memory
+_MAX_LIST = 4096
+
+
+def decode(data: Any, ty: Any) -> Any:
+    """Strictly decode untrusted wire ``data`` as protocol type ``ty``.
+
+    The single safe entry point for inbound payloads: any violation —
+    wrong leaf type, missing field, unknown tag/kind, bad enum value,
+    overlong container, non-finite conversion — raises
+    :class:`WireDecodeError` and nothing else.
+    """
+    try:
+        return _decode_typed(data, ty)
+    except WireDecodeError:
+        raise
+    except (KeyError, IndexError, TypeError, ValueError, OverflowError,
+            AttributeError, RecursionError) as e:
+        raise WireDecodeError(
+            f"malformed wire payload ({type(e).__name__}: {e})"
+        ) from None
+
+
+def _expect(cond: bool, what: str, data: Any) -> None:
+    if not cond:
+        raise WireDecodeError(
+            f"expected {what}, got {type(data).__name__}"
+        )
+
+
+def _decode_int(data: Any) -> int:
+    if isinstance(data, bool) or not isinstance(data, int):
+        # tolerate integral floats: a JS client has one number type
+        if isinstance(data, float) and data.is_integer():
+            return int(data)
+        raise WireDecodeError(f"expected int, got {type(data).__name__}")
+    return data
+
+
+def _decode_float(data: Any) -> float:
+    if isinstance(data, bool) or not isinstance(data, (int, float)):
+        raise WireDecodeError(f"expected number, got {type(data).__name__}")
+    return float(data)  # OverflowError on huge ints → wrapped by decode()
+
+
 def _decode_typed(data: Any, ty: Any) -> Any:
     """Decode ``data`` as type ``ty`` (a protocol class or typing construct)."""
     if ty is type(None):
         return None
-    if ty in (int, float, str, bool, object, Any):
+    if ty is int:
+        return _decode_int(data)
+    if ty is float:
+        return _decode_float(data)
+    if ty is str:
+        _expect(isinstance(data, str), "str", data)
+        return data
+    if ty is bool:
+        _expect(isinstance(data, bool), "bool", data)
+        return data
+    if ty in (object, Any):
         return data
     origin = get_origin(ty)
     if origin in (list, tuple):
+        _expect(isinstance(data, (list, tuple)), "array", data)
+        if len(data) > _MAX_LIST:
+            raise WireDecodeError(f"array too long ({len(data)})")
         args = get_args(ty)
         if origin is tuple and len(args) == 2 and args[1] is Ellipsis:
             return tuple(_decode_typed(x, args[0]) for x in data)
         if origin is tuple:
+            _expect(len(data) == len(args), f"array[{len(args)}]", data)
             return tuple(_decode_typed(x, a) for x, a in zip(data, args))
         return [_decode_typed(x, args[0]) for x in data]
     import types
@@ -128,56 +201,85 @@ def _decode_typed(data: Any, ty: Any) -> Any:
     # direct classes:
     if isinstance(ty, type):
         if issubclass(ty, Enum):
-            return ty(data)
+            try:
+                return ty(data)
+            except (ValueError, TypeError, KeyError):
+                raise WireDecodeError(
+                    f"bad {ty.__name__} value {data!r}"
+                ) from None
         if ty is p.ModuleId:
-            return p.ModuleId(data)
+            return p.ModuleId(_decode_int(data))
         if ty is p.MediaId:
-            return p.MediaId(data)
+            return p.MediaId(_decode_int(data))
         if ty is p.InputId:
-            return p.InputId(p.ModuleId(data[0]), data[1])
+            _expect(isinstance(data, (list, tuple)) and len(data) == 2,
+                    "terminal id pair", data)
+            return p.InputId(p.ModuleId(_decode_int(data[0])),
+                             _decode_int(data[1]))
         if ty is p.OutputId:
-            return p.OutputId(p.ModuleId(data[0]), data[1])
+            _expect(isinstance(data, (list, tuple)) and len(data) == 2,
+                    "terminal id pair", data)
+            return p.OutputId(p.ModuleId(_decode_int(data[0])),
+                              _decode_int(data[1]))
         if ty is p.Decibel:
-            return p.Decibel(data)
+            return p.Decibel(_decode_float(data))
         if ty is p.Microseconds:
-            return p.Microseconds(data)
+            return p.Microseconds(_decode_int(data))
         if ty is p.Terminal:
-            return p.Terminal(data[0], p.LineType(data[1]))
+            _expect(isinstance(data, (list, tuple)) and len(data) == 2,
+                    "terminal pair", data)
+            return p.Terminal(_decode_typed(data[0], str),
+                              _decode_typed(data[1], p.LineType))
         if ty is p.ModuleParams:
             return decode_module_params(data)
         if ty is p.Indication:
-            return p.Indication(data["kind"], decode_indication_value(data))
+            _expect(isinstance(data, dict), "indication object", data)
+            return p.Indication(_decode_typed(data.get("kind"), str),
+                                decode_indication_value(data))
         if ty is p.PerformanceAccount:
             if data == "engine":
                 return p.PerformanceAccount("engine")
-            return p.PerformanceAccount("module", p.ModuleId(data["module"]))
+            _expect(isinstance(data, dict), "performance account", data)
+            return p.PerformanceAccount(
+                "module", p.ModuleId(_decode_int(data.get("module")))
+            )
         if dataclasses.is_dataclass(ty):
             return _decode_dataclass(data, ty)
-    raise TypeError(f"cannot decode as {ty!r}")
+    raise WireDecodeError(f"cannot decode as {ty!r}")
 
 
 def _decode_dataclass(data: dict, cls: type) -> Any:
+    _expect(isinstance(data, dict), f"{cls.__name__} object", data)
     hints = get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name in data:
             kwargs[f.name] = _decode_typed(data[f.name], hints[f.name])
-    return cls(**kwargs)
+    try:
+        return cls(**kwargs)
+    except TypeError as e:  # missing required field
+        raise WireDecodeError(f"bad {cls.__name__}: {e}") from None
 
 
-def decode_tagged(data: dict) -> Any:
-    cls = _TAGGED[data["t"]]
+def decode_tagged(data: Any) -> Any:
+    _expect(isinstance(data, dict), "tagged object", data)
+    cls = _TAGGED.get(data.get("t"))
+    if cls is None:
+        raise WireDecodeError(f"unknown wire tag {data.get('t')!r}")
     return _decode_dataclass(data, cls)
 
 
-def decode_module_params(data: dict) -> p.ModuleParams:
-    kind = data["kind"]
+def decode_module_params(data: Any) -> p.ModuleParams:
+    _expect(isinstance(data, dict), "module params object", data)
+    kind = data.get("kind")
+    if not isinstance(kind, str) or kind not in p.ModuleParams.KINDS:
+        raise WireDecodeError(f"unknown module kind {kind!r}")
     cls = p.ModuleParams.KINDS[kind]
     if cls is type(None):
         return p.ModuleParams(kind, None)
     if issubclass(cls, Enum):
-        return p.ModuleParams(kind, cls(data["params"]))
-    return p.ModuleParams(kind, _decode_dataclass(data["params"], cls))
+        return p.ModuleParams(kind, _decode_typed(data.get("params"), cls))
+    return p.ModuleParams(kind, _decode_dataclass(data.get("params"), cls))
 
 
 _INDICATION_VALUES = {
@@ -205,11 +307,30 @@ def dumps(msg: Any) -> str:
     return json.dumps({"v": WIRE_VERSION, "m": encode(msg)}, separators=(",", ":"))
 
 
+def _json_loads(text: str | bytes) -> Any:
+    # deeply-nested input drives CPython's recursive json decoder into
+    # RecursionError — keep the malformed-input error class uniform
+    try:
+        return json.loads(text)
+    except RecursionError:
+        raise ValueError("wire payload nested too deeply") from None
+
+
 def loads(text: str | bytes) -> Any:
-    data = json.loads(text)
+    data = _json_loads(text)
+    if not isinstance(data, dict):
+        raise ValueError("wire message is not an object")
     if data.get("v") != WIRE_VERSION:
         raise ValueError(f"unsupported wire version {data.get('v')!r}")
-    return decode_tagged(data["m"])
+    try:
+        return decode_tagged(data.get("m"))
+    except WireDecodeError:
+        raise
+    except (KeyError, IndexError, TypeError, ValueError, OverflowError,
+            AttributeError, RecursionError) as e:
+        raise WireDecodeError(
+            f"malformed wire payload ({type(e).__name__}: {e})"
+        ) from None
 
 
 # client<->server envelope helpers (ServerMessage / ClientMessage analogues,
@@ -224,7 +345,7 @@ def server_message(kind: str, payload: Any) -> str:
 
 
 def parse_envelope(text: str | bytes) -> tuple[str, Any]:
-    data = json.loads(text)
+    data = _json_loads(text)
     # raise ValueError (the server's skip-malformed-message class,
     # server/app.py) on any shape violation — a top-level non-dict or a
     # missing key must not leak KeyError/AttributeError into the session

@@ -318,10 +318,15 @@ class Server:
                 _, payload = msg
                 try:
                     kind, body = wire.parse_envelope(payload)
+                    # strict decode INSIDE the guard: hostile bodies raise
+                    # WireDecodeError (a ValueError) and are skipped; they
+                    # must never reach the engine thread (wire.py decode
+                    # contract) nor kill this session task
+                    wsmsg = (wire.decode(body, p.WorkspaceMessage)
+                             if kind == "Workspace" else None)
                 except (ValueError, json.JSONDecodeError):
                     continue
-                if kind == "Workspace":
-                    wsmsg = wire._decode_typed(body, p.WorkspaceMessage)
+                if wsmsg is not None:
                     # the engine cmd queue is bounded (8, engine.rs:74); the
                     # engine drains it every tick, so retry briefly instead
                     # of dropping the op (the reference kills the session on

@@ -504,6 +504,110 @@ def build_targets():
     targets.append(("rtmp_session", [rtmp_seed], rtmp_session,
                     (ConnectionError, asyncio.IncompleteReadError)))
 
+    # --- session dispatch: /session envelopes through the EXACT server
+    # decode path, plus decoded messages into a live engine ---
+    # Structural JSON mutation (not just byte noise): valid JSON with
+    # type-confused leaves is the class that killed the engine thread
+    # pre-round-4 (a string freq detonated inside module prepare during
+    # graph rebuild — see tests/test_session_hostile.py).
+    import json as _json
+
+    from mixlab_tpu import protocol as proto
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.engine import Engine
+    from mixlab_tpu.protocol import wire
+
+    _LEAF_POOL = [
+        None, True, False, 0, 1, -1, 2 ** 63, 10 ** 400, 0.5, -1e308,
+        float("nan"), float("inf"), "", "evil", "sine", "Oscillator",
+        [], {}, [1, 1], {"t": "DeleteModule"}, "0" * 300,
+    ]
+
+    def _mutate_json(rng, node, depth=0):
+        if depth < 6 and rng.integers(0, 4) == 0:
+            return _LEAF_POOL[int(rng.integers(0, len(_LEAF_POOL)))]
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                r = rng.integers(0, 12)
+                if r == 0:
+                    continue  # drop key
+                out[k] = _mutate_json(rng, v, depth + 1)
+            if rng.integers(0, 6) == 0:
+                out["x" * int(rng.integers(1, 4))] = _LEAF_POOL[
+                    int(rng.integers(0, len(_LEAF_POOL)))]
+            return out
+        if isinstance(node, list):
+            out = [_mutate_json(rng, v, depth + 1) for v in node
+                   if rng.integers(0, 12) > 0]
+            if rng.integers(0, 8) == 0:
+                out = out * int(rng.integers(2, 5))
+            return out
+        if isinstance(node, bool) or node is None:
+            return node
+        if isinstance(node, (int, float)) and rng.integers(0, 3) == 0:
+            return node * int(rng.integers(-3, 4)) + int(rng.integers(0, 9))
+        return node
+
+    _session_seeds = [
+        _json.dumps({"v": 1, "kind": "Workspace", "m": m}).encode()
+        for m in (
+            {"t": "WorkspaceMessage", "sequence": 1, "op": {
+                "t": "CreateModule",
+                "params": {"kind": "Oscillator",
+                           "params": {"freq": 440.0, "waveform": "sine"}},
+                "geometry": {"position": {"x": 1, "y": 2}, "z_index": 3}}},
+            {"t": "WorkspaceMessage", "sequence": 2, "op": {
+                "t": "CreateModule",
+                "params": {"kind": "Mixer",
+                           "params": {"channels": [
+                               {"gain": -6.0, "fader": 0.7, "cue": False}] * 2}},
+                "geometry": {}}},
+            {"t": "WorkspaceMessage", "sequence": 3, "op": {
+                "t": "CreateConnection", "input_id": [2, 0],
+                "output_id": [1, 1]}},
+            {"t": "WorkspaceMessage", "sequence": 4, "op": {
+                "t": "UpdateModuleParams", "module_id": 1,
+                "params": {"kind": "Oscillator",
+                           "params": {"freq": 880.0, "waveform": "square"}}}},
+            {"t": "WorkspaceMessage", "sequence": 5, "op": {
+                "t": "DeleteModule", "module_id": 1}},
+        )
+    ]
+
+    # one long-lived direct-drive engine (commands run synchronously);
+    # client_update's transactional guard means it must NEVER raise
+    _eng = Engine(cfg=EngineConfig(sample_rate=44_100))
+    _sid, _, _ = _eng.connect_session()
+
+    def session_dispatch(blob, _rng):
+        if _rng.integers(0, 2):
+            payload = blob  # byte-mutated envelope
+        else:  # structural mutation of a valid envelope
+            seed = _session_seeds[int(_rng.integers(0, len(_session_seeds)))]
+            payload = _json.dumps(
+                _mutate_json(_rng, _json.loads(seed))).encode()
+        # exact server path (server/app.py session loop)
+        try:
+            kind, body = wire.parse_envelope(payload)
+            wsmsg = (wire.decode(body, proto.WorkspaceMessage)
+                     if kind == "Workspace" else None)
+        except ValueError:
+            return
+        if wsmsg is None:
+            return
+        # subsample engine application: each decodable op can trigger a
+        # graph rebuild (jit compile) — full-rate would dominate runtime
+        if _rng.integers(0, 12) != 0:
+            return
+        if len(_eng.ws.modules) > 6:
+            for mid in list(_eng.ws.modules):
+                _eng.client_update(_sid, proto.WorkspaceMessage(
+                    0, proto.DeleteModule(mid)))
+        _eng.client_update(_sid, wsmsg)  # contract: never raises
+
+    targets.append(("session_dispatch", _session_seeds, session_dispatch, ()))
+
     return targets
 
 
