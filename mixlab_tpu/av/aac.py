@@ -60,9 +60,15 @@ class AudioSpecificConfiguration:
         ot = (x & 0xF8) >> 3
         if not 1 <= ot <= 4:
             raise AacError(f"unsupported audio object type {ot}")
+        sfi = ((x & 0x07) << 1) | (y >> 7)
+        # 13/14 reserved; 15 = escape (24-bit explicit rate follows, which
+        # this 2-byte parser does not carry).  Reject with a typed error so
+        # hostile ASCs can never index past SAMPLING_FREQUENCIES downstream.
+        if sfi >= len(SAMPLING_FREQUENCIES):
+            raise AacError(f"unsupported sampling frequency index {sfi}")
         return AudioSpecificConfiguration(
             object_type=AudioObjectType(ot),
-            sampling_frequency_index=((x & 0x07) << 1) | (y >> 7),
+            sampling_frequency_index=sfi,
             channel_configuration=(y >> 3) & 0x0F,
             frame_length_flag=bool(y & 0x04),
             depends_on_core_coder=bool(y & 0x02),

@@ -650,6 +650,9 @@ def _apply_tns(ics: _Ics, sfi: int):
 
 ID_SCE, ID_CPE, ID_CCE, ID_LFE, ID_DSE, ID_PCE, ID_FIL, ID_END = range(8)
 
+# Hard bound on channel elements per raw_data_block (libavcodec uses 64).
+MAX_CHANNELS = 64
+
 # decoded element order -> conventional output order (FL FR FC LFE BL BR)
 # for the standard channel configurations (channel count keyed; configs
 # 1-2 are identity, 3: C/L/R, 4: +Cs, 5: +Ls/Rs, 6: 5.1)
@@ -784,6 +787,14 @@ class AacLcDecoder:
                 raise AacDecodeError("CCE element unsupported")
             else:
                 raise AacDecodeError(f"unexpected element id {eid}")
+            if len(chans) > MAX_CHANNELS:
+                # a crafted payload of minimal ~30-bit SCEs would otherwise
+                # cost minutes of CPU and GBs of output per MB of input
+                # (RTMP messages can be 16 MB from an unauthenticated
+                # publisher, and decode_audio runs on the event loop);
+                # libavcodec caps at 64 channels too
+                raise AacDecodeError(
+                    f"more than {MAX_CHANNELS} channel elements")
         if not chans:
             raise AacDecodeError("raw_data_block with no channel elements")
         out = np.empty((1024, len(chans)), dtype=np.float32)

@@ -923,11 +923,16 @@ class Engine:
         elif isinstance(op, p.DeleteModule):
             if op.module_id in self.ws.modules:
                 deleted = self.ws.delete_module(op.module_id)
+                # _rebuild BEFORE broadcasting: if lowering throws, the
+                # workspace rolls back server-side (client_update) — clients
+                # that had already applied the SU* ops would be desynced from
+                # the restored state until reconnect (the CreateModule branch
+                # always ordered it this way)
+                self._rebuild(full=False)
                 for input_id in deleted:
                     self._log_op(p.SUDeleteConnection(input_id))
                 self._log_op(p.SUDeleteModule(op.module_id))
                 self._stat.remove_module(op.module_id)
-                self._rebuild(full=False)
                 self._persist()
         elif isinstance(op, p.CreateConnection):
             try:
@@ -935,15 +940,15 @@ class Engine:
             except ConnectError:
                 prev = "rejected"
             if prev != "rejected":
+                self._rebuild(full=False)
                 if prev is not None:
                     self._log_op(p.SUDeleteConnection(op.input_id))
                 self._log_op(p.SUCreateConnection(op.input_id, op.output_id))
-                self._rebuild(full=False)
                 self._persist()
         elif isinstance(op, p.DeleteConnection):
             if self.ws.disconnect(op.input_id) is not None:
-                self._log_op(p.SUDeleteConnection(op.input_id))
                 self._rebuild(full=False)
+                self._log_op(p.SUDeleteConnection(op.input_id))
                 self._persist()
 
     def _on_params_updated(self, mid: ModuleId, old_params, new_params):

@@ -477,3 +477,44 @@ def test_reserved_codebook_12_typed_error():
     w.u(12, 4); w.u(1, 5)             # section: cb=12 (reserved), len 1
     with pytest.raises(AacDecodeError):
         AacLcDecoder().decode_raw(w.bytes(), 4)
+
+
+def test_channel_element_flood_capped():
+    """A crafted payload of minimal ~30-bit SCEs costs ~2 channels/byte of
+    input; a 16 MB unauthenticated RTMP message would decode for hours on
+    the event loop and allocate GBs (round-4 advisor finding).  decode_raw
+    must raise the typed error at the 64-channel cap, fast."""
+    import time as _time
+
+    w = _Bw()
+    for _ in range(200):               # minimal all-zero SCE
+        w.u(0, 3)      # SCE
+        w.u(0, 4)      # instance tag
+        w.u(100, 8)    # global_gain
+        w.u(0, 1); w.u(0, 2); w.u(0, 1)   # ics_info: reserved, ONLY_LONG, sine
+        w.u(0, 6); w.u(0, 1)              # max_sfb=0, no predictor
+        w.u(0, 1); w.u(0, 1); w.u(0, 1)   # no pulse / tns / gain control
+    w.u(7, 3)                          # END
+    t0 = _time.monotonic()
+    with pytest.raises(AacDecodeError, match="channel elements"):
+        AacLcDecoder().decode_raw(w.bytes(), 4)
+    assert _time.monotonic() - t0 < 2.0
+
+
+def test_asc_reserved_sampling_frequency_index_typed_error():
+    """ASC sfi 13/14 are reserved and 15 is the 24-bit escape this 2-byte
+    parser does not carry; parse must fail typed, never hand a 13-15 index
+    to SAMPLING_FREQUENCIES consumers (round-4 advisor finding: IndexError
+    killed the MediaPlayer thread)."""
+    from mixlab_tpu.av.aac import AacError, AudioSpecificConfiguration
+
+    for sfi in (13, 14, 15):
+        x = (2 << 3) | (sfi >> 1)              # LC object type
+        y = ((sfi & 1) << 7) | (2 << 3)        # stereo
+        with pytest.raises(AacError):
+            AudioSpecificConfiguration.parse(bytes([x, y]))
+    # the boundary value 12 (7350 Hz) still parses
+    x = (2 << 3) | (12 >> 1)
+    y = ((12 & 1) << 7) | (2 << 3)
+    asc = AudioSpecificConfiguration.parse(bytes([x, y]))
+    assert asc.sampling_frequency_index == 12

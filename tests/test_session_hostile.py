@@ -27,7 +27,7 @@ import pytest
 
 from mixlab_tpu import protocol as p
 from mixlab_tpu.engine.config import EngineConfig
-from mixlab_tpu.engine.engine import Engine, SyncEvent
+from mixlab_tpu.engine.engine import Engine, SyncEvent, UpdateEvent
 from mixlab_tpu.protocol import wire
 
 CFG = EngineConfig(sample_rate=44_100)
@@ -188,3 +188,64 @@ def test_update_params_poison_rolls_back_to_previous_params():
         mid, p.ModuleParams("Oscillator",
                             p.OscillatorParams(880.0, p.Waveform.SINE)))))
     assert eng.ws.modules[mid].params.params.freq == 880.0
+
+
+def _drain_updates(events):
+    ups = []
+    while True:
+        try:
+            ev = events.get_nowait()
+        except queue.Empty:
+            return ups
+        if isinstance(ev, UpdateEvent):
+            ups.append(ev.update)
+
+
+@pytest.mark.parametrize("opname", ["DeleteModule", "CreateConnection",
+                                    "DeleteConnection"])
+def test_failed_rebuild_broadcasts_no_su_ops(opname, monkeypatch):
+    """If _rebuild throws mid-op, the server rolls back — so NO ServerUpdate
+    may have been broadcast for that op, or every connected client's mirror
+    would desync from the restored server state until reconnect (round-4
+    advisor finding: DeleteModule/Create/DeleteConnection logged SU* ops
+    before _rebuild)."""
+    eng = Engine(cfg=CFG)  # direct-drive: commands run synchronously
+    sid, state, events = eng.connect_session()
+    eng.client_update(sid, p.WorkspaceMessage(1, p.CreateModule(
+        p.ModuleParams("Oscillator", p.OscillatorParams(440.0, p.Waveform.SINE)),
+        p.WindowGeometry())))
+    eng.client_update(sid, p.WorkspaceMessage(2, p.CreateModule(
+        p.ModuleParams("Amplifier", p.AmplifierParams()),
+        p.WindowGeometry())))
+    osc, amp = p.ModuleId(1), p.ModuleId(2)
+    inp = p.InputId(amp, 0)
+    out = p.OutputId(osc, 1)  # stereo out -> stereo in
+    eng.client_update(sid, p.WorkspaceMessage(3, p.CreateConnection(inp, out)))
+    _drain_updates(events)  # discard setup broadcasts
+
+    if opname == "DeleteModule":
+        op = p.DeleteModule(osc)
+    elif opname == "CreateConnection":
+        # reconnect the same input from a fresh output (replaces existing)
+        eng.client_update(sid, p.WorkspaceMessage(4, p.CreateModule(
+            p.ModuleParams("Oscillator",
+                           p.OscillatorParams(220.0, p.Waveform.SINE)),
+            p.WindowGeometry())))
+        _drain_updates(events)
+        op = p.CreateConnection(inp, p.OutputId(p.ModuleId(3), 1))
+    else:
+        op = p.DeleteConnection(inp)
+
+    pre_modules = dict(eng.ws.modules)
+    pre_conns = dict(eng.ws.connections)
+
+    def boom(full=False):
+        raise RuntimeError("injected rebuild failure")
+
+    monkeypatch.setattr(eng, "_rebuild", boom)
+    eng.client_update(sid, p.WorkspaceMessage(9, op))
+    monkeypatch.undo()
+
+    assert _drain_updates(events) == []  # nothing broadcast for the failed op
+    assert dict(eng.ws.modules).keys() == pre_modules.keys()
+    assert dict(eng.ws.connections) == pre_conns
