@@ -271,7 +271,26 @@ def bench_graph(build, block_ticks=480, n1=2, n2=32, reps=4, sample_rate=48_000)
 
     sec_per_block = timed_slope(make, n1, n2, reps=reps)
     block_seconds = block.n_samples(cfg) / cfg.sample_rate
-    util = slope_utilization(make, n1, n2, sec_per_block)
+    # scan-length slopes cancel to ~0 in XLA's cost analysis (while bodies
+    # are counted once, not x trip count — this is why BENCH_r03/r04 carried
+    # mfu 0.0): analyze the UNSCANNED single-block program instead and
+    # divide by the measured per-block wall time
+    util = {}
+    try:
+        jblock = jax.jit(patch._fn)
+        h1 = patch.host_aux(0)
+        ca = jblock.lower(aux, h1, state0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        fl = float(ca.get("flops", 0.0))
+        by = float(ca.get("bytes accessed", 0.0))
+        util = {
+            "gflops_per_block": round(fl / 1e9, 3),
+            "hbm_gb_per_block": round(by / 1e9, 3),
+            "mfu": round(fl / sec_per_block / PEAK_FLOPS, 6),
+            "hbm_util": round(by / sec_per_block / PEAK_HBM, 4),
+        }
+    except Exception:
+        pass
     bench_graph.last_utilization = util
     return block_seconds / sec_per_block
 
@@ -620,6 +639,170 @@ def bench_fleet_sessions(block_ticks=15, n_start=256, max_n=16384, reps=3):
 
 
 # ---------------------------------------------------------------------------
+# fleet serving END TO END: real WS sessions through one vmapped dispatch
+# (VERDICT r4 ask #1: the device number above scopes out host fan-out; this
+# one includes it — N live WebSocket clients, per-session edits, per-session
+# monitor PCM delivered over real sockets)
+# ---------------------------------------------------------------------------
+
+
+def _bench_mask_frame(opcode, payload):
+    import os as _os
+    import struct
+
+    mask = _os.urandom(4)
+    head = bytearray([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head.append(0x80 | n)
+    elif n < 0x10000:
+        head.append(0x80 | 126)
+        head += struct.pack(">H", n)
+    else:
+        head.append(0x80 | 127)
+        head += struct.pack(">Q", n)
+    return bytes(head) + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+
+async def _bench_ws_recv(reader):
+    import struct
+
+    head = await reader.readexactly(2)
+    opcode = head[0] & 0x0F
+    n = head[1] & 0x7F
+    if n == 126:
+        (n,) = struct.unpack(">H", await reader.readexactly(2))
+    elif n == 127:
+        (n,) = struct.unpack(">Q", await reader.readexactly(8))
+    return opcode, await reader.readexactly(n)
+
+
+def bench_fleet_e2e(capacity=None, seconds=10.0, block_ticks=15,
+                    warmup=8.0, sample_rate=48_000):
+    """``sessions_per_chip_60hz_e2e``: N REAL WebSocket sessions served end
+    to end from one process — every session joins over a real socket, edits
+    its oscillator to a unique frequency (so the vmap axis carries real
+    per-session params), and receives its own monitor tap as framed i16 PCM
+    — while ALL N sessions' DSP executes as ONE vmapped dispatch per block
+    (server/fleet_serve.py over parallel/fleet.py).
+
+    Unlike bench_fleet_sessions (device throughput only), the measured
+    window includes the full host path: per-instance host_aux fan-in, the
+    device fetch, per-session packetization, and actual WS delivery.  The
+    capacity HOLDS when the engine's whole-window tick rate stays at 60 Hz,
+    no block ran later than one block period, and >= 95% of the expected
+    PCM blocks were delivered to the clients."""
+    import asyncio
+    import json as _json
+
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.server.fleet_serve import FleetEngine, FleetServeApp
+
+    if capacity is None:
+        capacity = int(os.environ.get("MIXLAB_FLEET_E2E_N", "256"))
+    ws, _mon = build_16_module_graph()
+    osc_mid = next(
+        m.value for m, e in ws.modules.items() if e.params.kind == "Oscillator"
+    )
+    eng = FleetEngine(ws, capacity, EngineConfig(sample_rate=sample_rate),
+                      block_ticks=block_ticks)
+    eng.start()
+    block_seconds = block_ticks / eng.cfg.ticks_per_second
+    counting = {"on": False}
+    stats = [{"blocks": 0, "joined": False} for _ in range(capacity)]
+
+    async def client(port, i, stop_evt):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        writer.write(
+            (f"GET /fleet HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+             f"Connection: Upgrade\r\nSec-WebSocket-Key: "
+             f"dGhlIHNhbXBsZSBub25jZQ==\r\n"
+             f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        await writer.drain()
+        head = await reader.readuntil(b"\r\n\r\n")
+        assert b"101" in head.split(b"\r\n")[0]
+        opc, payload = await _bench_ws_recv(reader)
+        assert _json.loads(payload)["t"] == "Joined"
+        opc, payload = await _bench_ws_recv(reader)  # WorkspaceState
+        stats[i]["joined"] = True
+        op = {"t": "WorkspaceMessage", "sequence": 1,
+              "op": {"t": "UpdateModuleParams", "module_id": osc_mid,
+                     "params": {"kind": "Oscillator",
+                                "params": {"t": "OscillatorParams",
+                                           "freq": 150.0 + 0.37 * i,
+                                           "waveform": "sine"}}}}
+        env = _json.dumps({"v": 1, "kind": "Workspace", "m": op})
+        writer.write(_bench_mask_frame(1, env.encode()))
+        await writer.drain()
+        try:
+            while not stop_evt.is_set():
+                try:
+                    opc, payload = await asyncio.wait_for(
+                        _bench_ws_recv(reader), timeout=1.0)
+                except asyncio.TimeoutError:
+                    continue  # a lagging engine must not kill the client
+                if opc == 2 and counting["on"]:
+                    stats[i]["blocks"] += 1
+        except (ConnectionError, asyncio.IncompleteReadError):
+            pass
+        finally:
+            writer.close()
+
+    async def run():
+        app = FleetServeApp(eng)
+        port = await app.serve()
+        stop_evt = asyncio.Event()
+        tasks = [asyncio.create_task(client(port, i, stop_evt))
+                 for i in range(capacity)]
+        # wait for the whole fleet to join (connect storm included in warmup)
+        t_dead = time.monotonic() + max(warmup, 30.0)
+        while (sum(s["joined"] for s in stats) < capacity
+               and time.monotonic() < t_dead):
+            await asyncio.sleep(0.2)
+        joined = sum(s["joined"] for s in stats)
+        await asyncio.sleep(warmup)  # edits applied, codec warm, loop settled
+        # measured window
+        stat = eng._stat
+        stat.total_ticks = 0
+        stat.total_on_schedule = 0
+        stat.total_max_late_s = float("-inf")
+        tick0, t0 = eng.tick, time.monotonic()
+        counting["on"] = True
+        await asyncio.sleep(seconds)
+        counting["on"] = False
+        elapsed = time.monotonic() - t0
+        rate = (eng.tick - tick0) / elapsed
+        delivered = sum(s["blocks"] for s in stats)
+        expected = joined * elapsed / block_seconds
+        stop_evt.set()
+        await asyncio.gather(*tasks, return_exceptions=True)
+        await app.shutdown()
+        return joined, rate, delivered, expected
+
+    try:
+        joined, rate, delivered, expected = asyncio.run(run())
+    finally:
+        eng.stop()
+    stat = eng._stat
+    max_late = stat.total_max_late_s
+    delivered_frac = delivered / expected if expected else 0.0
+    held = (rate >= eng.cfg.ticks_per_second - 0.5
+            and max_late <= block_seconds
+            and delivered_frac >= 0.95)
+    return {
+        "value": capacity if held else 0,
+        "capacity_tested": capacity,
+        "sessions_joined": joined,
+        "held_60hz": bool(held),
+        "achieved_tick_rate": round(rate, 1),
+        "on_schedule_fraction": round(stat.realtime_fraction_total, 4),
+        "max_late_ms": round(max_late * 1e3, 2) if max_late > -1e8 else None,
+        "pcm_blocks_delivered_fraction": round(delivered_frac, 4),
+        "block_ticks": block_ticks,
+    }
+
+
+# ---------------------------------------------------------------------------
 
 
 def bench_realtime_engine(block_ticks=4, seconds=8.0):
@@ -785,7 +968,18 @@ def measured_range(fn, reps=3, **kw):
 
 
 def main():
+    """Default run (no flags) = the FULL headline set within a bounded
+    budget, every number packed into the one primary stdout JSON line so
+    the driver-captured artifact carries the claims (VERDICT r4 weak #1:
+    BENCH_r04 recorded only the flagship with mfu 0.0 while the fleet and
+    config5 numbers lived in builder notes).  ``--all`` adds the remaining
+    BASELINE configs and the full fleet capacity sweep."""
     run_all = "--all" in sys.argv
+    budget_s = float(os.environ.get("MIXLAB_BENCH_BUDGET_S", "900"))
+    t_start = time.monotonic()
+
+    def left():
+        return budget_s - (time.monotonic() - t_start)
 
     # The tunneled backend can die process-wide (BENCH_NOTES round 3):
     # backend init then hangs forever.  Emit a machine-readable abort
@@ -812,30 +1006,62 @@ def main():
     float(_jnp.zeros((8,)).sum())  # backend init + first op
     first_op_done.set()
 
-    _emit({
-        "metric": "realtime_engine_ticks_per_s_block4",
-        **bench_realtime_engine(),
-        "unit": "ticks_per_s (target 60)",
-    })
+    headline = {}
 
-    if run_all:
-        _emit({
-            "metric": "realtime_engine_with_video_ticks_per_s_block4",
-            **bench_realtime_engine_video(),
-            "unit": "ticks_per_s (target 60)",
-        })
+    def stage(key, min_budget_s, fn):
+        """Run one headline stage unless the remaining budget cannot cover
+        it; a skip is recorded machine-readably, never silent."""
+        if left() < min_budget_s:
+            headline[key] = {"skipped": f"budget ({int(left())}s left, "
+                                        f"needs ~{min_budget_s}s)"}
+            _emit({"metric": key, **headline[key]})
+            return None
+        try:
+            out = fn()
+        except Exception as e:  # a failed stage must not kill the artifact
+            headline[key] = {"error": f"{type(e).__name__}: {e}"}
+            _emit({"metric": key, **headline[key]})
+            return None
+        headline[key] = out
+        _emit({"metric": key, **out})
+        return out
 
+    # 1. flagship (primary metric)
     rng = measured_range(lambda: bench_graph(build_16_module_graph), reps=3)
-    _emit(
-        {
-            "metric": "realtime_multiple_16module_48k_graph",
-            **rng,
-            "unit": "x_realtime",
-            "vs_baseline": rng["value"],
-            **getattr(bench_graph, "last_utilization", {}),
-        },
-        primary=True,
-    )
+    flagship = {
+        **rng,
+        "unit": "x_realtime",
+        **getattr(bench_graph, "last_utilization", {}),
+    }
+    _emit({"metric": "realtime_multiple_16module_48k_graph", **flagship})
+
+    # 2. the realtime engine (the actual 60 Hz product loop on the chip)
+    stage("realtime_engine_ticks_per_s_block4", 60, lambda: {
+        **bench_realtime_engine(), "unit": "ticks_per_s (target 60)"})
+
+    # 3. realtime engine WITH live video + codec threads
+    stage("realtime_engine_with_video_ticks_per_s_block4", 60, lambda: {
+        **bench_realtime_engine_video(), "unit": "ticks_per_s (target 60)"})
+
+    # 4. fleet serving END TO END: real WS sessions, host fan-out included
+    stage("sessions_per_chip_60hz_e2e", 240, lambda: {
+        **bench_fleet_e2e(),
+        "unit": "live WS sessions (16-module 48k graph each)"})
+
+    # 5. fleet device throughput at the round-4 operating point
+    stage("sessions_per_chip_60hz", 240, lambda: {
+        **bench_fleet_sessions(n_start=8192, max_n=8192),
+        "unit": "sessions (16-module 48k graph each, device dispatch only)"})
+
+    # 6. config5 full session with MFU / HBM utilization
+    stage("config5_full_session_1080p30", 180, lambda: {
+        **measured_range(bench_config5_full_session, reps=3),
+        "unit": "x_realtime",
+        **getattr(bench_config5_full_session, "last_utilization", {})})
+
+    # 7. config4 composite
+    stage("config4_composite_720p_to_1080p", 120, lambda: {
+        "value": round(bench_config4_composite(reps=2), 1), "unit": "fps"})
 
     if run_all:
         v1 = bench_graph(build_config1_graph, reps=2)
@@ -846,14 +1072,23 @@ def main():
         _emit({"metric": "config2_mixer8_cascade", "value": round(bench_graph(build_config2_graph, reps=2), 1), "unit": "x_realtime"})
         _emit({"metric": "config3_16stems_resample_eq", "value": round(bench_stems16(), 1), "unit": "x_realtime"})
         _emit({"metric": "video_blend_1080p", "value": round(bench_blend_1080p(), 1), "unit": "fps"})
-        _emit({"metric": "config4_composite_720p_to_1080p", "value": round(bench_config4_composite(), 1), "unit": "fps"})
-        _emit({"metric": "config5_full_session_1080p30",
-               **measured_range(bench_config5_full_session, reps=5),
-               "unit": "x_realtime",
-               **getattr(bench_config5_full_session, "last_utilization", {})})
-        _emit({"metric": "sessions_per_chip_60hz",
+        _emit({"metric": "sessions_per_chip_60hz_full_sweep",
                **bench_fleet_sessions(),
                "unit": "sessions (16-module 48k graph each)"})
+
+    # THE one stdout line: flagship fields at the top level (the driver
+    # parses value/min/max there) + every headline stage nested, so
+    # BENCH_r{N}.json carries the complete official record
+    _emit(
+        {
+            "metric": "realtime_multiple_16module_48k_graph",
+            **flagship,
+            "vs_baseline": flagship["value"],
+            "headline": headline,
+            "bench_wall_s": round(time.monotonic() - t_start, 1),
+        },
+        primary=True,
+    )
 
 
 if __name__ == "__main__":

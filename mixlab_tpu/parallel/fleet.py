@@ -30,6 +30,21 @@ def _stack(trees: List[Any]) -> Any:
     return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *trees)
 
 
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+
+
+def _stack_np(trees: List[Any]) -> Any:
+    """Stack per-instance pytrees in HOST memory (one device transfer per
+    leaf at dispatch, instead of n per-instance device puts per leaf —
+    n x leaves round trips per block would dominate the serving loop on a
+    tunneled deployment)."""
+    return jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *trees)
+
+
 @dataclass
 class Fleet:
     """N instances of one patch, batched on the leading axis."""
@@ -53,29 +68,50 @@ class Fleet:
         per_instance_params: Optional[List[Workspace]] = None,
         mesh=None,
         axis: str = "fleet",
+        tap_transform=None,
     ) -> "Fleet":
         """Compile one program and stack n instances.
 
         ``per_instance_params``: optional list of n workspaces sharing the
         SAME structural fingerprint but different continuous params.
         ``mesh``: optional jax Mesh; instances shard over ``axis``.
+        ``tap_transform``: optional device-side post-pass over the stacked
+        taps pytree (e.g. f32 -> i16 PCM conversion so the serving loop
+        fetches half the bytes per block).
         """
         patch = compile_patch(ws, cfg, block, jit=False)
         program = patch._fn
+        if tap_transform is not None:
+            inner = program
 
-        sources = per_instance_params or [ws] * n
-        fingerprints = {
-            compile_patch(w, cfg, block, jit=False).structural_fingerprint
-            for w in sources
-        }
-        if fingerprints != {patch.structural_fingerprint}:
-            raise ValueError("fleet instances must share the structural fingerprint")
+            def program(aux, host_aux, state, _inner=inner):
+                st, taps = _inner(aux, host_aux, state)
+                return st, tap_transform(taps)
 
-        # per-instance param views: host_prepare (e.g. oscillator phase
-        # bases) depends on each instance's own params
-        instance_patches = [compile_patch(w, cfg, block, jit=False) for w in sources]
-        aux = _stack([patch.prepare_aux(w) for w in sources])
-        state = _stack([patch.init_state(w) for w in sources])
+        if per_instance_params is None:
+            # identical instances share ONE patch object (host_aux memoizes
+            # by patch identity; a 1024-slot boot must not compile 2048
+            # per-instance views of the same workspace)
+            instance_patches = [patch] * n
+            aux = _stack([patch.prepare_aux(ws)] * n)
+            state = _stack([patch.init_state(ws)] * n)
+        else:
+            sources = per_instance_params
+            fingerprints = {
+                compile_patch(w, cfg, block, jit=False).structural_fingerprint
+                for w in sources
+            }
+            if fingerprints != {patch.structural_fingerprint}:
+                raise ValueError(
+                    "fleet instances must share the structural fingerprint")
+
+            # per-instance param views: host_prepare (e.g. oscillator phase
+            # bases) depends on each instance's own params
+            instance_patches = [
+                compile_patch(w, cfg, block, jit=False) for w in sources
+            ]
+            aux = _stack([patch.prepare_aux(w) for w in sources])
+            state = _stack([patch.init_state(w) for w in sources])
 
         batched = jax.vmap(program)
         if mesh is not None:
@@ -110,14 +146,44 @@ class Fleet:
         self.aux = jax.tree.map(put, self.aux, new_aux)
         self._instance_patches[index] = new_patch
 
+    def reset_instance_state(self, index: int, ws: Workspace):
+        """Reset one instance's DSP state to init (session join/leave: a
+        fresh session must not inherit the previous occupant's filter poles
+        or envelope phase)."""
+        init = self.patch.init_state(ws)
+
+        def put(stacked, leaf):
+            return stacked.at[index].set(jnp.asarray(leaf))
+
+        self.state = jax.tree.map(put, self.state, init)
+
     # -- execution -----------------------------------------------------------
 
     def host_aux(self, t0: int, ext_feeds_per_instance=None):
-        per = []
-        for i in range(self.n):
-            ext = (ext_feeds_per_instance or {}).get(i)
-            per.append(self._instance_patches[i].host_aux(t0, ext))
-        return _stack(per)
+        """Per-dispatch host-prepared arrays, stacked [n, ...] in HOST
+        memory.  host_prepare implementations wrap their results in
+        jnp.asarray; under the CPU default-device guard those land in host
+        RAM, so the n-instance loop costs zero accelerator round trips and
+        the jitted dispatch ships each stacked leaf in ONE transfer."""
+        cpu = _cpu_device()
+        import contextlib
+
+        guard = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+        with guard:
+            per = []
+            memo: Dict[int, Any] = {}  # patch identity -> host_aux
+            for i in range(self.n):
+                ext = (ext_feeds_per_instance or {}).get(i)
+                patch = self._instance_patches[i]
+                if ext is None:
+                    key = id(patch)
+                    h = memo.get(key)
+                    if h is None:
+                        h = memo[key] = patch.host_aux(t0, None)
+                    per.append(h)
+                else:
+                    per.append(patch.host_aux(t0, ext))
+            return _stack_np(per)
 
     def run_block(self, t0: int, ext_feeds_per_instance=None):
         """One dispatch for the whole fleet; returns stacked taps [n, ...]."""
