@@ -258,9 +258,17 @@ class Engine:
         block_ticks: int = 1,
         media_opener: Optional[Callable] = None,
         pipeline_depth: int = 0,
+        patch_compiler: Optional[Callable] = None,
     ):
         self.cfg = cfg
         self.ws = workspace or Workspace()
+        # pluggable graph lowering: (ws, cfg, block) -> CompiledPatch-shaped
+        # object.  Default = single-device compile_patch; parallel/stems.py
+        # StemsPatch.compiler(mesh, n) lowers the same workspace to a
+        # shard_map program over a device mesh, so the WHOLE live engine
+        # (edits, async compile-and-swap, taps, monitor) runs multi-chip
+        # without further changes (SURVEY §7.8).
+        self._patch_compiler = patch_compiler or compile_patch
         self.persist_cb = persist_cb
         self.media_opener = media_opener
         self.block = BlockSpec(block_ticks)
@@ -321,7 +329,7 @@ class Engine:
     # -- compiled program management --------------------------------------
 
     def _rebuild(self, full: bool):
-        patch = compile_patch(self.ws, self.cfg, self.block)
+        patch = self._patch_compiler(self.ws, self.cfg, self.block)
         old_patch = getattr(self, "_patch", None)
         if (
             not full

@@ -113,6 +113,90 @@ def stem_parallel_step(
     return fn, make_args, patch
 
 
+class StemsPatch:
+    """A CompiledPatch-shaped lowering of one workspace to ``n_stems``
+    shard_mapped instances over a device mesh.
+
+    Duck-types ``engine.compiler.CompiledPatch`` (prepare_aux / init_state /
+    host_aux / run / order / structural_fingerprint), so the LIVE Engine —
+    its 60 Hz loop, async compile-and-swap on structural edits, state
+    carry-over, tap routing into monitor pipelines — runs multi-chip
+    unmodified: pass ``Engine(patch_compiler=StemsPatch.compiler(mesh, n))``.
+
+    Tap semantics: every stereo/mono tap leaf is a masked cross-stem
+    mixdown, summed on-device per shard then ``psum``-reduced across the
+    mesh (ICI) — the TPU-native master bus.  Pad stems (n_stems not a
+    device multiple) contribute exact zeros.  Host-facing tap shapes equal
+    the single-device patch's, so monitor/plotter consumers are untouched.
+    """
+
+    def __init__(self, ws: Workspace, cfg: EngineConfig, block: BlockSpec,
+                 mesh: Mesh, n_stems: int | None = None, axis: str = "stems"):
+        self.cfg = cfg
+        self.block = block
+        self.mesh = mesh
+        self.axis = axis
+        self._patch = compile_patch(ws, cfg, block, jit=False)
+        n_dev = mesh.shape[axis]
+        self.n_stems = n_dev if n_stems is None else n_stems
+        self.n_padded = -(-self.n_stems // n_dev) * n_dev
+        self.order = self._patch.order
+        self.structural_fingerprint = (
+            self._patch.structural_fingerprint,
+            ("stems", self.n_stems, n_dev, axis),
+        )
+        program = self._patch._fn
+        n_local = self.n_padded // n_dev
+        n_stems_static = self.n_stems
+
+        def per_device(aux, host_aux, state):
+            st, taps = jax.vmap(program)(aux, host_aux, state)
+            # mask derived from the device's position: global stem index =
+            # axis_index * local + j; pads (>= n_stems) mix in exact zeros
+            idx = jax.lax.axis_index(axis) * n_local + jnp.arange(n_local)
+            mask = (idx < n_stems_static).astype(jnp.float32)
+
+            def mixdown(x):
+                m = mask.reshape((n_local,) + (1,) * (x.ndim - 1))
+                return jax.lax.psum((x * m).sum(axis=0), axis)
+
+            return st, jax.tree.map(mixdown, taps)
+
+        spec = P(axis)
+        self._fn = jax.jit(
+            jax.shard_map(
+                per_device,
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=(spec, P()),
+                check_vma=False,
+            )
+        )
+
+    @classmethod
+    def compiler(cls, mesh: Mesh, n_stems: int | None = None,
+                 axis: str = "stems"):
+        """-> an Engine ``patch_compiler`` closing over the mesh."""
+        return lambda ws, cfg, block: cls(ws, cfg, block, mesh, n_stems, axis)
+
+    # -- CompiledPatch interface --------------------------------------------
+
+    def prepare_aux(self, ws: Workspace):
+        return stack_for_stems(self._patch.prepare_aux(ws), self.n_padded)
+
+    def init_state(self, ws: Workspace):
+        return stack_for_stems(self._patch.init_state(ws), self.n_padded)
+
+    def host_aux(self, t0: int, ext_feeds=None):
+        # ext feeds (stream/media PCM) are shared across stems: the mixdown
+        # of N copies of one ingest is N x the single feed by design
+        return stack_for_stems(self._patch.host_aux(t0, ext_feeds),
+                               self.n_padded)
+
+    def run(self, aux, host_aux, state):
+        return self._fn(aux, host_aux, state)
+
+
 def row_sharded_blend(mesh: Mesh, axis: str = "stems"):
     """Return a jitted crossfade over row-sharded planes.
 
