@@ -444,7 +444,11 @@ class PureAacStream:
                  bitrate: Optional[int] = None, quality: int = 60):
         from mixlab_tpu.av.aacenc import AacLcEncoder
 
-        self._enc = AacLcEncoder(sample_rate, channels, quality=quality)
+        # bitrate engages the encoder's coarse rate control + reservoir
+        # (the reference publishes CBR 160k, stream_output.rs:337-345);
+        # None = VBR quality mode (cheapest, the monitor default)
+        self._enc = AacLcEncoder(sample_rate, channels, quality=quality,
+                                 bitrate=bitrate)
         self.sample_rate = sample_rate
         self.channels = channels
         self.asc = self._enc.asc

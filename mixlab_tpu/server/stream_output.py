@@ -213,7 +213,11 @@ class StreamOutputController:
             from mixlab_tpu.av.codecs import PureAacStream
 
             try:
-                self._aac = PureAacStream(self.cfg.sample_rate, 2)
+                # the reference broadcast op point: CBR 160 kb/s stereo
+                # (stream_output.rs:337-345) — round 5's rate control +
+                # reservoir hold the pure tier within a few percent of it
+                self._aac = PureAacStream(self.cfg.sample_rate, 2,
+                                          bitrate=160_000)
             except Exception as e:
                 log.warning("stream_output: pure aac init failed (%s); "
                             "falling back to PCM-FLV", e)
