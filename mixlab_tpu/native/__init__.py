@@ -69,6 +69,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_uint64, ctypes.c_uint8,
     ]
+    lib.scale_plane_banded.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p,
+    ]
     lib.h264_parse_slice.restype = ctypes.c_int64
     lib.h264_parse_slice.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -278,4 +285,25 @@ def crossfade_u8(a: np.ndarray, b: np.ndarray, fade: int) -> np.ndarray:
         return (acc // 255).astype(np.uint8)
     out = np.empty(a.shape, dtype=np.uint8)
     lib.crossfade_u8(a.ctypes.data, b.ctypes.data, out.ctypes.data, a.size, fade)
+    return out
+
+
+def scale_plane_banded(plane: np.ndarray, out_h: int, out_w: int,
+                       yidx: np.ndarray, yw: np.ndarray,
+                       xidx: np.ndarray, xw: np.ndarray):
+    """Banded separable resize (C++ twin of video/scale.py's dense resize;
+    weights packed by video/scale_host.py from the same resize_matrix).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    plane = np.ascontiguousarray(plane, dtype=np.uint8)
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    tmp = np.empty(plane.shape[1], dtype=np.float32)
+    lib.scale_plane_banded(
+        plane.ctypes.data, plane.shape[0], plane.shape[1],
+        out.ctypes.data, out_h, out_w,
+        yidx.ctypes.data, yw.ctypes.data, yidx.shape[1],
+        xidx.ctypes.data, xw.ctypes.data, xidx.shape[1],
+        tmp.ctypes.data)
     return out

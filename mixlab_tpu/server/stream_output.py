@@ -145,6 +145,15 @@ class StreamOutputController:
         client = await rtmp_client.start(host, port, app, self.params.rtmp_stream_key)
         self._client = client
         self._setup_encoders()
+        if self._pure_video:
+            # dedicated encode thread, depth-2 drop-on-lag (the reference's
+            # codec-thread shape, monitor.rs:154-176): a slow frame costs a
+            # dropped frame, never an audio stall
+            self._venc_q = queue.Queue(maxsize=2)
+            self._venc_thread = threading.Thread(
+                target=self._video_encode_loop, daemon=True,
+                name="stream-output-venc")
+            self._venc_thread.start()
         self._set_state(ConnState.LIVE)
         self._epoch_samples = None
         self._tick_count = 0
@@ -175,6 +184,13 @@ class StreamOutputController:
                 continue
             t0, audio, video = item
             self._publish_tick(t0, audio, video)
+        if self._venc_thread is not None:
+            try:
+                self._venc_q.put_nowait(None)
+            except queue.Full:
+                pass  # the thread also exits on self._stop
+            self._venc_thread.join(timeout=2.0)
+            self._venc_thread = None
         await client.close()
         self._client = None
         if self.state == ConnState.LIVE:
@@ -196,6 +212,9 @@ class StreamOutputController:
         self._h264 = None
         self._last_pic = None
         self._video_fps = 30
+        self._pure_video = False
+        self._venc_q: Optional[queue.Queue] = None
+        self._venc_thread: Optional[threading.Thread] = None
         if avshim_codecs_available():
             from mixlab_tpu.av.codecs import ShimAacStream, ShimH264Stream
 
@@ -227,13 +246,21 @@ class StreamOutputController:
 
             try:
                 self._h264 = PureH264Stream(
-                    STREAM_PICTURE, fps=15, profile="stream", qp=32,
+                    STREAM_PICTURE, fps=30, profile="stream", qp=32,
                 )
-                # all-intra encoder budget at 1120x700: the C++ full-frame
-                # encoder runs ~49 fps (15 fps leaves 3x headroom); the
-                # numpy fallback manages ~5
+                # The pure tier now runs the REFERENCE frame rate (30 fps,
+                # stream_output.rs:216).  Round-5 profile of the pipeline
+                # (tools/profile_pure_publish.py): the 15 fps cap was the
+                # SCALE stage — the TPU-first dense-matmul resize measured
+                # 4.5 fps on host CPU; the banded host twin
+                # (video/scale_host.py) does ~200 fps, the C++ encoder
+                # ~100 fps, AAC-160k ~40% of one core.  Video runs on its
+                # own encode thread (depth-2 drop-on-lag, the reference's
+                # codec-thread shape, monitor.rs:154-176) so a slow frame
+                # never stalls audio.  The numpy CAVLC fallback stays 5 fps.
                 native = isinstance(self._h264._cavlc, NativeCavlcIntraEncoder)
-                self._video_fps = 15 if native else 5
+                self._video_fps = 30 if native else 5
+                self._pure_video = True
             except Exception as e:
                 log.warning("stream_output: pure video init failed: %s", e)
                 self._h264 = None
@@ -268,10 +295,20 @@ class StreamOutputController:
                     log.debug("stream_output: audio publish queue full")
 
         if self._h264 is not None:
-            # shim: 30 fps (gop 60 = 2 s keyframes); pure tier: 5 fps
+            # shim: 30 fps (gop 60 = 2 s keyframes); pure native tier:
+            # 30 fps on the encode thread; numpy fallback: 5 fps
             self._tick_count += 1
             divisor = max(self.cfg.ticks_per_second // self._video_fps, 1)
-            if self._tick_count % divisor == 0:
+            due = self._tick_count % divisor == 0
+            if self._pure_video:
+                if due and self._venc_q is not None:
+                    try:
+                        self._venc_q.put_nowait((int(ts_ms), video))
+                    except queue.Full:
+                        log.debug("stream_output: video encode lagging; "
+                                  "frame dropped")
+                return
+            if due:
                 from mixlab_tpu.av.codecs import STREAM_PICTURE
                 from mixlab_tpu.video.frame import Picture
                 from mixlab_tpu.video.scale import scale_picture
@@ -294,3 +331,62 @@ class StreamOutputController:
                 ).to_bytes()
                 if not self._client.publish_video(int(ts_ms), body):
                     log.debug("stream_output: video publish queue full")
+
+    def _video_encode_loop(self):
+        """Pure-tier video pipeline, off the IO loop: host-rate banded
+        scale (video/scale_host.py) + C++ CAVLC encode; access units are
+        posted back to the asyncio loop (the RTMP client's queue is not
+        thread-safe from here)."""
+        import numpy as np
+
+        from mixlab_tpu.av.codecs import STREAM_PICTURE
+        from mixlab_tpu.video.frame import Picture
+        from mixlab_tpu.video.scale_host import scale_picture_host
+
+        blank = None
+        while not self._stop.is_set():
+            try:
+                item = self._venc_q.get(timeout=0.25)
+            except queue.Empty:
+                continue
+            if item is None:
+                break
+            ts_ms, video = item
+            try:
+                if video is not None:
+                    src = video.picture
+                    src = Picture(src.settings, {
+                        k: np.asarray(v) for k, v in src.planes.items()})
+                    pic = scale_picture_host(src, STREAM_PICTURE)
+                    self._last_pic = pic
+                else:
+                    if self._last_pic is None and blank is None:
+                        blank = Picture(STREAM_PICTURE, {
+                            "y": np.zeros((STREAM_PICTURE.height,
+                                           STREAM_PICTURE.width), np.uint8),
+                            "u": np.full((STREAM_PICTURE.height // 2,
+                                          STREAM_PICTURE.width // 2),
+                                         0x80, np.uint8),
+                            "v": np.full((STREAM_PICTURE.height // 2,
+                                          STREAM_PICTURE.width // 2),
+                                         0x80, np.uint8)})
+                    pic = self._last_pic or blank
+                self._h264.feed(pic)
+                units = list(self._h264.poll_access_units())
+            except Exception:
+                log.exception("stream_output: pure video encode failed; "
+                              "frame dropped")
+                continue
+            loop, client = self._loop, self._client
+            if loop is None or client is None:
+                continue
+            for is_key, avcc in units:
+                body = flv.VideoPacket(
+                    flv.VideoFrameType.KEY_FRAME if is_key
+                    else flv.VideoFrameType.INTER_FRAME,
+                    flv.VideoPacketType.NALU, 0, avcc).to_bytes()
+                try:
+                    loop.call_soon_threadsafe(
+                        client.publish_video, ts_ms, body)
+                except RuntimeError:
+                    break  # loop closed mid-shutdown

@@ -415,3 +415,48 @@ def test_resize_banded_bit_exact_vs_dense(monkeypatch):
         # the banded form actually engaged on at least one axis
         assert (scale._banded_blocks_i8(ih, oh) is not None
                 or scale._banded_blocks_i8(iw, ow) is not None)
+
+
+def test_scale_host_matches_device_scaler():
+    """video/scale_host.py (banded C++/numpy twin for the zero-dep publish
+    tier) applies the SAME resize_matrix weights as the jax dense path;
+    agreement within 3 u8 LSB on noise (summation-order differences with
+    bicubic negative lobes) and identical letterbox geometry."""
+    import numpy as np
+
+    from mixlab_tpu.video.frame import Picture, PictureSettings
+    from mixlab_tpu.video.scale import scale_picture
+    from mixlab_tpu.video.scale_host import resize_plane_host, scale_picture_host
+
+    rng = np.random.default_rng(3)
+    for (w, h) in ((1280, 720), (320, 200), (640, 480)):
+        pic = Picture(PictureSettings(w, h), {
+            "y": rng.integers(0, 256, (h, w), dtype=np.uint8),
+            "u": rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8),
+            "v": rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)})
+        out = PictureSettings(1120, 700)
+        a = scale_picture(pic, out)
+        b = scale_picture_host(pic, out)
+        for k in a.planes:
+            pa = np.asarray(a.planes[k]).astype(int)
+            pb = b.planes[k].astype(int)
+            assert pa.shape == pb.shape
+            assert np.abs(pa - pb).max() <= 3, (w, h, k)
+
+    # numpy fallback path agrees with the native path exactly-ish too
+    plane = rng.integers(0, 256, (200, 320), dtype=np.uint8)
+    from mixlab_tpu import native
+    from mixlab_tpu.video.scale_host import banded_weights
+
+    yi, yw = banded_weights(200, 700)
+    xi, xw = banded_weights(320, 1120)
+    nat = native.scale_plane_banded(plane, 700, 1120, yi, yw, xi, xw)
+    if nat is not None:
+        tmp = np.zeros((700, 320), dtype=np.float32)
+        for k in range(yi.shape[1]):
+            tmp += yw[:, k:k + 1] * plane[yi[:, k], :]
+        acc = np.zeros((700, 1120), dtype=np.float32)
+        for k in range(xi.shape[1]):
+            acc += xw[None, :, k] * tmp[:, xi[:, k]]
+        ref = np.clip(np.round(acc), 0, 255).astype(np.uint8)
+        assert np.abs(nat.astype(int) - ref.astype(int)).max() <= 1
