@@ -85,6 +85,17 @@ class OscillatorDef(ModuleDef):
         base = np.mod(ticks * spt * (params.freq / cfg.sample_rate), 1.0)
         return {"base": jnp.asarray(base, dtype=jnp.float32)}
 
+    def host_prepare_batched(self, params_list, t0: int, block: BlockSpec, cfg):
+        """Fleet fast path: one vectorized phase-base compute for N
+        instances (parallel/fleet.py) — the per-instance loop measured
+        ~1 ms/instance/block, which starves a 60 Hz loop at serving scale."""
+        spt = cfg.samples_per_tick
+        ticks = t0 // spt + np.arange(block.n_ticks, dtype=np.float64)
+        freqs = np.array([p.freq for p in params_list], dtype=np.float64)
+        base = np.mod(ticks[None, :] * spt
+                      * (freqs[:, None] / cfg.sample_rate), 1.0)
+        return {"base": base.astype(np.float32)}
+
     def structural_key(self, params: OscillatorParams):
         return params.waveform
 
@@ -147,6 +158,22 @@ class FmSineDef(ModuleDef):
         return {
             "base_mid": jnp.asarray(base_mid, dtype=jnp.float32),
             "tsec": jnp.asarray(tsec, dtype=jnp.float32),
+        }
+
+    def host_prepare_batched(self, params_list, t0: int, block: BlockSpec, cfg):
+        """Fleet fast path (see OscillatorDef.host_prepare_batched)."""
+        spt = cfg.samples_per_tick
+        ticks = t0 // spt + np.arange(block.n_ticks, dtype=np.float64)
+        tsamp = ticks * spt
+        amps = np.array([(p.freq_hi - p.freq_lo) / 2.0 for p in params_list])
+        mids = np.array([p.freq_lo for p in params_list]) + amps
+        base_mid = np.mod(tsamp[None, :] * (mids[:, None] / cfg.sample_rate),
+                          1.0)
+        tsec = np.broadcast_to(tsamp / cfg.sample_rate,
+                               (len(params_list), block.n_ticks))
+        return {
+            "base_mid": base_mid.astype(np.float32),
+            "tsec": tsec.astype(np.float32),
         }
 
     def run_block(self, params, aux, host_aux, state, inputs, cfg, block):

@@ -54,9 +54,10 @@ class Fleet:
     n: int
     patch: CompiledPatch
     _fn: Any
-    aux: Any  # stacked [n, ...]
-    state: Any  # stacked [n, ...]
+    aux: Any  # stacked [n, ...] (host numpy for the shared-template path)
+    state: Any  # stacked [n, ...] (device-resident between blocks)
     _instance_patches: List[CompiledPatch] = None  # per-instance params views
+    _reset_fn: Any = None  # jitted single-dispatch instance-state reset
 
     @classmethod
     def build(
@@ -91,9 +92,19 @@ class Fleet:
         if per_instance_params is None:
             # identical instances share ONE patch object (host_aux memoizes
             # by patch identity; a 1024-slot boot must not compile 2048
-            # per-instance views of the same workspace)
+            # per-instance views of the same workspace).  aux lives in HOST
+            # memory: per-instance edits are then plain numpy writes — an
+            # eager device .at[].set per leaf costs one tunnel round trip
+            # each (~45 ms here), which at serving scale (hundreds of
+            # joins x ~30 leaves) measured HOURS of wall clock
             instance_patches = [patch] * n
-            aux = _stack([patch.prepare_aux(ws)] * n)
+            cpu = _cpu_device()
+            import contextlib
+
+            guard = (jax.default_device(cpu) if cpu is not None
+                     else contextlib.nullcontext())
+            with guard:
+                aux = _stack_np([patch.prepare_aux(ws)] * n)
             state = _stack([patch.init_state(ws)] * n)
         else:
             sources = per_instance_params
@@ -134,56 +145,102 @@ class Fleet:
     # -- per-instance edits (no recompile) ----------------------------------
 
     def update_instance_aux(self, index: int, ws: Workspace):
-        """Swap one instance's continuous params (no recompilation)."""
+        """Swap one instance's continuous params (no recompilation, no
+        device ops — host-memory writes; the next dispatch ships them)."""
         new_patch = compile_patch(ws, self.cfg, self.block, jit=False)
         if new_patch.structural_fingerprint != self.patch.structural_fingerprint:
             raise ValueError("instance edit changed the structural fingerprint")
-        new_aux = self.patch.prepare_aux(ws)
+
+        cpu = _cpu_device()
+        import contextlib
+
+        guard = (jax.default_device(cpu) if cpu is not None
+                 else contextlib.nullcontext())
 
         def put(stacked, leaf):
+            if isinstance(stacked, np.ndarray):
+                stacked[index] = np.asarray(leaf)
+                return stacked
             return stacked.at[index].set(jnp.asarray(leaf))
 
-        self.aux = jax.tree.map(put, self.aux, new_aux)
+        with guard:
+            # prepare_aux INSIDE the guard: its jnp scalars must land in
+            # host memory — on the accelerator each one is a round trip,
+            # and the numpy write-back another (measured 28 ms/leaf over
+            # the tunnel; ~30 leaves/edit)
+            new_aux = new_patch.prepare_aux(ws)
+            self.aux = jax.tree.map(put, self.aux, new_aux)
         self._instance_patches[index] = new_patch
 
     def reset_instance_state(self, index: int, ws: Workspace):
         """Reset one instance's DSP state to init (session join/leave: a
         fresh session must not inherit the previous occupant's filter poles
-        or envelope phase)."""
-        init = self.patch.init_state(ws)
+        or envelope phase).  ONE jitted scatter dispatch for the whole
+        state pytree — eager per-leaf .at[].set costs a tunnel round trip
+        per leaf."""
+        if self._reset_fn is None:
+            init1 = jax.tree.map(
+                lambda x: jnp.asarray(x), self.patch.init_state(ws)
+            )
 
-        def put(stacked, leaf):
-            return stacked.at[index].set(jnp.asarray(leaf))
+            def reset(state, idx):
+                return jax.tree.map(
+                    lambda s, i: s.at[idx].set(i.astype(s.dtype)),
+                    state, init1,
+                )
 
-        self.state = jax.tree.map(put, self.state, init)
+            self._reset_fn = jax.jit(reset)
+        self.state = self._reset_fn(self.state, jnp.int32(index))
 
     # -- execution -----------------------------------------------------------
 
     def host_aux(self, t0: int, ext_feeds_per_instance=None):
         """Per-dispatch host-prepared arrays, stacked [n, ...] in HOST
-        memory.  host_prepare implementations wrap their results in
-        jnp.asarray; under the CPU default-device guard those land in host
-        RAM, so the n-instance loop costs zero accelerator round trips and
-        the jitted dispatch ships each stacked leaf in ONE transfer."""
+        memory (the jitted dispatch ships each stacked leaf in ONE
+        transfer).  Per module: a def-provided ``host_prepare_batched``
+        computes all n instances in one vectorized pass; identical-params
+        modules broadcast a single compute; only genuinely heterogeneous
+        modules without a batched path loop (the loop measured
+        ~1 ms/instance/block — serving-scale poison)."""
         cpu = _cpu_device()
         import contextlib
 
+        from mixlab_tpu.dsp.registry import get_def
+
         guard = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
         with guard:
-            per = []
-            memo: Dict[int, Any] = {}  # patch identity -> host_aux
-            for i in range(self.n):
-                ext = (ext_feeds_per_instance or {}).get(i)
-                patch = self._instance_patches[i]
-                if ext is None:
-                    key = id(patch)
-                    h = memo.get(key)
-                    if h is None:
-                        h = memo[key] = patch.host_aux(t0, None)
-                    per.append(h)
+            if ext_feeds_per_instance:
+                per = []
+                for i in range(self.n):
+                    ext = ext_feeds_per_instance.get(i)
+                    per.append(self._instance_patches[i].host_aux(t0, ext))
+                return _stack_np(per)
+            out: Dict[str, Any] = {}
+            base = self.patch
+            for mid in base.order:
+                k = str(mid.value)
+                d = get_def(base._kinds[k])
+                plist = [ip._params[k] for ip in self._instance_patches]
+                hb = getattr(d, "host_prepare_batched", None)
+                if hb is not None:
+                    h = {name: np.asarray(v)
+                         for name, v in (hb(plist, t0, self.block, self.cfg)
+                                         or {}).items()}
+                elif all(p is plist[0] for p in plist[1:]):
+                    h1 = d.host_prepare(plist[0], t0, self.block, self.cfg) or {}
+                    h = {name: np.broadcast_to(
+                            np.asarray(v), (self.n,) + np.asarray(v).shape)
+                         for name, v in h1.items()}
                 else:
-                    per.append(patch.host_aux(t0, ext))
-            return _stack_np(per)
+                    pp = [d.host_prepare(p, t0, self.block, self.cfg) or {}
+                          for p in plist]
+                    h = {name: np.stack([np.asarray(x[name]) for x in pp])
+                         for name in pp[0]}
+                spec = base._ext_specs.get(k) or {}
+                for name, (shape, dtype) in spec.items():
+                    h = {**h, name: np.zeros((self.n,) + tuple(shape), dtype)}
+                out[k] = h if h else None
+            return out
 
     def run_block(self, t0: int, ext_feeds_per_instance=None):
         """One dispatch for the whole fleet; returns stacked taps [n, ...]."""

@@ -75,6 +75,7 @@ class _Slot:
     def __init__(self, index: int, ws: Workspace):
         self.index = index
         self.ws = ws
+        self.joined_sample = 0  # set at join; gates in-flight fan-out
         self.monitors: List[object] = []  # _MonitorSub
         # sync/error echoes: a plain queue for direct-drive callers PLUS any
         # registered asyncio bridges (the WS handler must not burn an
@@ -126,6 +127,9 @@ class FleetEngine:
         cfg: EngineConfig = EngineConfig(sample_rate=48_000),
         block_ticks: int = 15,
     ):
+        import jax
+        import jax.numpy as jnp
+
         self.cfg = cfg
         self.block = BlockSpec(block_ticks)
         self.capacity = capacity
@@ -133,6 +137,39 @@ class FleetEngine:
         self.fleet = Fleet.build(
             template, capacity, cfg, self.block, tap_transform=_i16_taps
         )
+        # Serving step: the vmapped block program PLUS a reset mask that
+        # re-initializes joined/vacated slots' DSP state inside the same
+        # dispatch.  Per-slot lifecycle is then pure host work — an eager
+        # device scatter per join costs a tunnel round trip (~45-650 ms
+        # measured), which at a 256-session connect storm starved the 60 Hz
+        # loop for minutes.
+        init1 = jax.tree.map(jnp.asarray,
+                             self.fleet.patch.init_state(template))
+        program = self.fleet.patch._fn
+        n_cap = capacity
+
+        def step(aux, host_aux, state, reset_mask):
+            def put(s, i):
+                m = reset_mask.reshape((n_cap,) + (1,) * (s.ndim - 1))
+                return jnp.where(m, i.astype(s.dtype), s)
+
+            state = jax.tree.map(put, state, init1)
+            st, taps = jax.vmap(program)(aux, host_aux, state)
+            return st, _i16_taps(taps)
+
+        self._step = jax.jit(step)
+        self._reset_mask = np.ones(capacity, dtype=bool)  # first block inits
+        # issue-ahead pipeline (depth 1): block N's tap transfer overlaps
+        # block N+1's compute — serially, dispatch+fetch alone filled the
+        # whole 250 ms budget at 128 sessions on the tunneled deployment
+        # (6 MB of i16 taps/block at ~45 MB/s).  Costs one block of monitor
+        # latency; audio continuity is unaffected (state advances on
+        # dispatch, not on fetch).
+        self._inflight: List = []
+        # template aux row (host): vacated slots are muted back to it
+        # without recompiling anything
+        self._template_aux_row = jax.tree.map(
+            lambda x: np.asarray(x[0]), self.fleet.aux)
         self.slots: List[Optional[_Slot]] = [None] * capacity
         self._free = list(range(capacity - 1, -1, -1))  # pop() -> slot 0 first
         # sized for a full-capacity join storm plus monitor registrations
@@ -166,20 +203,19 @@ class FleetEngine:
         return out
 
     def _warm(self):
-        """Compile + first dispatch (probed worker, boot-sized budget)."""
+        """Compile + first dispatch (probed worker, boot-sized budget).
+        The warm block runs with the reset mask all-True, which is also
+        what the first served block will do — state starts at init."""
 
         def job():
             host_aux = self.fleet.host_aux(0)
-            state, taps = self.fleet._fn(
-                self.fleet.aux, host_aux, self.fleet.state
+            state, taps = self._step(
+                self.fleet.aux, host_aux, self.fleet.state, self._reset_mask
             )
             return state, _fetch(taps)
 
-        out = self._device_job(job, timeout=600.0)
-        if out is not _LOST:
-            # reset: the warm block advanced state
-            for i in range(self.capacity):
-                self.fleet.reset_instance_state(i, self.template)
+        self._device_job(job, timeout=600.0)
+        # mask stays all-True: the first REAL block re-inits every slot
 
     def start(self):
         self._thread = threading.Thread(
@@ -284,23 +320,52 @@ class FleetEngine:
         S = self.block.n_samples(cfg)
         host_aux = self.fleet.host_aux(t0)
         pre_state = self.fleet.state  # retained for re-dispatch on loss
+        mask = self._reset_mask.copy()  # resets consumed by THIS block
 
-        def job():
-            state, taps = self.fleet._fn(self.fleet.aux, host_aux, pre_state)
-            return state, _fetch(taps)
+        def dispatch():
+            import jax
 
-        out = self._device_job(job)
+            state, taps = self._step(self.fleet.aux, host_aux, pre_state,
+                                     mask)
+            # start the device->host transfer NOW; it overlaps the next
+            # block's compute and is materialized one block later
+            for leaf in jax.tree_util.tree_leaves(taps):
+                start = getattr(leaf, "copy_to_host_async", None)
+                if start is not None:
+                    start()
+            return state, taps
+
+        out = self._device_job(dispatch)
         if out is _LOST:
-            out = self._device_job(job)  # one re-dispatch from pre-state
+            out = self._device_job(dispatch)  # re-dispatch: pre-state+mask
         if out is _LOST:
             # drop this block (monitor clients lose one PCM packet; the
             # schedule re-anchors if we fell far behind)
             self.tick += self.block.n_ticks
             return
-        self.fleet.state, taps = out  # taps: [capacity, ...] i16, fetched
-        # host fan-out: one framed PCM packet per occupied slot per monitor
+        self.fleet.state, taps = out
+        self._reset_mask &= ~mask  # later joins' bits survive
+        self._inflight.append((t0, taps))
+        if len(self._inflight) <= 1:
+            self.tick += self.block.n_ticks
+            return  # pipeline fill: first block's taps arrive next round
+        t0_prev, taps_prev = self._inflight.pop(0)
+        fetched = self._device_job(lambda: _fetch(taps_prev))
+        if fetched is _LOST:
+            self.tick += self.block.n_ticks
+            return  # lost transfer: that block's monitor packets drop
+        self._fan_out(t0_prev, fetched)
+        self.tick += self.block.n_ticks
+
+    def _fan_out(self, t0: int, taps):
+        """One framed PCM packet per occupied slot per monitor."""
+        S = self.block.n_samples(self.cfg)
         for slot in self.slots:
             if slot is None or not slot.monitors:
+                continue
+            if t0 < slot.joined_sample:
+                # an in-flight block dispatched before this session joined
+                # belongs to the slot's PREVIOUS occupant — never deliver it
                 continue
             for key in self._tap_keys:
                 tp = taps.get(key)
@@ -311,13 +376,12 @@ class FleetEngine:
                 pcm[:, 0] = l[slot.index].reshape(-1)
                 pcm[:, 1] = r[slot.index].reshape(-1)
                 pkt = frame_packet(
-                    {"t": "pcm", "t0": t0, "rate": cfg.sample_rate,
+                    {"t": "pcm", "t0": t0, "rate": self.cfg.sample_rate,
                      "channels": 2},
                     pcm.tobytes(),
                 )
                 for sub in list(slot.monitors):
                     sub.push_threadsafe(pkt)
-        self.tick += self.block.n_ticks
 
     def _process_cmd(self, cmd):
         kind = cmd[0]
@@ -329,10 +393,12 @@ class FleetEngine:
                     return
                 index = self._free.pop()
                 slot = _Slot(index, self.template.snapshot())
+                slot.joined_sample = self.tick * self.cfg.samples_per_tick
                 self.slots[index] = slot
-            self._device_job(
-                lambda: (self.fleet.update_instance_aux(index, slot.ws),
-                         self.fleet.reset_instance_state(index, slot.ws)))
+            # pure host work: a fresh session starts as the template (its
+            # aux row already is), with its DSP state re-initialized by the
+            # next block's reset mask
+            self._reset_mask[index] = True
             done.put(slot)
         elif kind == "leave":
             slot = cmd[1]
@@ -341,10 +407,18 @@ class FleetEngine:
                     self.slots[slot.index] = None
                     self._free.append(slot.index)
             slot.monitors.clear()
-            # mute the vacated slot back to the template and clear its state
-            self._device_job(
-                lambda: (self.fleet.update_instance_aux(slot.index, self.template),
-                         self.fleet.reset_instance_state(slot.index, self.template)))
+            # mute the vacated slot back to the template (host aux write)
+            # and clear its state via the next block's reset mask
+            import jax
+
+            def put_row(stacked, leaf):
+                stacked[slot.index] = leaf
+                return stacked
+
+            self.fleet.aux = jax.tree.map(put_row, self.fleet.aux,
+                                          self._template_aux_row)
+            self.fleet._instance_patches[slot.index] = self.fleet.patch
+            self._reset_mask[slot.index] = True
         elif kind == "op":
             _, slot, msg = cmd
             self._apply_op(slot, msg)
@@ -378,8 +452,9 @@ class FleetEngine:
                 before = entry.params
                 slot.ws.update_params(op.module_id, op.params)
                 try:
-                    self._device_job(
-                        lambda: self.fleet.update_instance_aux(slot.index, slot.ws))
+                    # host-memory aux write (no device ops; the next
+                    # dispatch ships it)
+                    self.fleet.update_instance_aux(slot.index, slot.ws)
                 except ValueError as e:
                     # structural change (e.g. waveform): roll back
                     slot.ws.update_params(op.module_id, before)

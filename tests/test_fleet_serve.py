@@ -113,10 +113,10 @@ def test_join_edit_isolation_and_exactness():
     sub0, sub1 = FakeSub(), FakeSub()
     s0.monitors.append(sub0)
     s1.monitors.append(sub1)
+    # issue-ahead pipeline: N+1 blocks deliver N tap packets
     eng._block_once()
     eng._block_once()
-    _, pcm0 = pcm_of(sub0, 0)
-    _, pcm1 = pcm_of(sub1, 0)
+    eng._block_once()
     pcm0 = np.concatenate([pcm_of(sub0, i)[1] for i in range(2)])
     pcm1 = np.concatenate([pcm_of(sub1, i)[1] for i in range(2)])
     assert not np.array_equal(pcm0, pcm1)  # the edit isolated to s0
@@ -144,6 +144,9 @@ def test_leave_frees_slot_and_resets_state():
     s0b.monitors.append(sub2)
     t0_before = eng.tick * CFG.samples_per_tick
     eng._block_once()
+    eng._block_once()  # pipeline: the first block's taps deliver here
+    # the previous occupant's in-flight 660 Hz block must NOT reach the
+    # new session (join-time gating), so packet 0 is the fresh render
     _, pcm = pcm_of(sub2, 0)
     assert np.array_equal(pcm, single_render(tmpl, t0=t0_before))
 
@@ -174,9 +177,10 @@ def test_structural_ops_rejected_with_rollback():
     assert s.events.get_nowait() == ("sync", 6)
     assert s.events.get_nowait()[0] == "error"
     assert s.ws.modules[o].params.params.waveform == p.Waveform.SINE
-    # engine still renders
+    # engine still renders (pipeline: taps arrive one block later)
     sub = FakeSub()
     s.monitors.append(sub)
+    eng._block_once()
     eng._block_once()
     assert sub.packets
 
