@@ -20,8 +20,10 @@ only) actually emit — not just our own encoder's output.  Three jobs:
     (tests/test_h264dec_intra_full.py): bit-exact planes across QP sweeps,
     deblock on/off, and adaptive-quant per-MB deltas.
 
-Out of scope (rejected with a typed error, never mis-decoded): CABAC,
-inter prediction, I_8x8 (transform_8x8), scaling matrices, fields, and
+CABAC intra streams decode via the sibling entropy tier
+(av/h264cabac.py, round 5) feeding this module's reconstruction.  Out of
+scope (rejected with a typed error, never mis-decoded): inter
+prediction, I_8x8 (transform_8x8), scaling matrices, fields, and
 multi-slice pictures — the general case is what the libavcodec shim is
 for.
 
@@ -249,8 +251,9 @@ class _Pps:
         r = BitReader(rbsp)
         self.id = r.ue()
         self.sps_id = r.ue()
-        if r.bit():
-            raise H264DecodeError("CABAC streams unsupported (pure tier)")
+        # entropy_coding_mode_flag: CABAC slices decode via the sibling
+        # av/h264cabac.py tier (round 5), CAVLC via this module
+        self.entropy_cabac = bool(r.bit())
         self.bottom_field_poc = r.bit()
         if r.ue() != 0:
             raise H264DecodeError("slice groups unsupported")
@@ -673,7 +676,10 @@ class _SliceDecoder:
             return int(nB)
         return 0
 
-    def decode_slice(self, r: BitReader, nal_unit_type: int):
+    def _parse_slice_header(self, r: BitReader, nal_unit_type: int):
+        """I-slice header shared by the CAVLC and CABAC tiers (spec
+        7.3.3); returns (first_mb, qp, disable_idc, off_a, off_b) and
+        seeds the mb_qp_delta chain."""
         sps, pps = self.sps, self.pps
         first_mb = r.ue()
         if first_mb != 0:
@@ -691,6 +697,7 @@ class _SliceDecoder:
         if nal_unit_type == 5:
             r.bit()  # no_output_of_prior_pics
             r.bit()  # long_term_reference
+        # cabac_init_idc is NOT present for I slices (7.3.3)
         qp = pps.pic_init_qp + r.se()
         self.qp_prev = qp
         disable_idc = 0
@@ -704,7 +711,11 @@ class _SliceDecoder:
                 off_b = 2 * r.se()  # slice_beta_offset_div2
         # idc 2 (don't cross slice boundaries) == idc 0 for our
         # single-slice pictures
+        return first_mb, qp, disable_idc, off_a, off_b
 
+    def decode_slice(self, r: BitReader, nal_unit_type: int):
+        first_mb, _qp, disable_idc, off_a, off_b = self._parse_slice_header(
+            r, nal_unit_type)
         mb_addr = first_mb
         n_mbs = self.mbw * self.mbh
         while mb_addr < n_mbs and r.more_rbsp_data():
@@ -725,27 +736,9 @@ class _SliceDecoder:
 
     def _decode_mb(self, r: BitReader, mx: int, my: int):
         mb_type = r.ue()
-        y0, x0 = my * 16, mx * 16
-        cy0, cx0 = my * 8, mx * 8
         if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
             r.byte_align()
-            for yy in range(16):
-                for xx in range(16):
-                    self.ry[y0 + yy, x0 + xx] = r.bits(8)
-            for plane in (self.ru, self.rv):
-                for yy in range(8):
-                    for xx in range(8):
-                        plane[cy0 + yy, cx0 + xx] = r.bits(8)
-            # I_PCM sets nnz to 16 for prediction context (spec 9.2.1)
-            self.nnz_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
-            self.nnz_u[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
-            self.nnz_v[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
-            self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
-            # Deblocking qPp of an I_PCM macroblock is 0 (spec 8.7.2), but
-            # the mb_qp_delta chain is NOT reset: the next coded MB chains
-            # from the qp before the I_PCM MB (verified against libavcodec
-            # by tests/test_h264dec_intra_full.py ipcm-chain tests)
-            self.qp_map[my, mx] = 0
+            self._store_pcm(r, mx, my)
             return
         if mb_type == 0:
             self._decode_i4_mb(r, mx, my)
@@ -766,7 +759,6 @@ class _SliceDecoder:
         self.qp_prev = qp
         self.qp_map[my, mx] = qp
         self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
-        has_top, has_left = my > 0, mx > 0
 
         # ---- luma DC coefficients ----------------------------------------
         nC = self._nC(self.nnz_y, mx, my, 0, 0, 4)
@@ -792,8 +784,38 @@ class _SliceDecoder:
                 )
 
         CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+        self._recon_i16_mb(mx, my, pred_mode, qp, ZD, ZA,
+                           chroma_mode, CZD, CZA)
 
-        # ---- reconstruction (identical math to the encoder's recon) ------
+    def _store_pcm(self, r, mx: int, my: int):
+        """Raw I_PCM samples from an (already aligned) reader position,
+        plus the PCM side effects every tier shares (§7.3.5, §8.3.5)."""
+        y0, x0 = my * 16, mx * 16
+        cy0, cx0 = my * 8, mx * 8
+        for yy in range(16):
+            for xx in range(16):
+                self.ry[y0 + yy, x0 + xx] = r.bits(8)
+        for plane in (self.ru, self.rv):
+            for yy in range(8):
+                for xx in range(8):
+                    plane[cy0 + yy, cx0 + xx] = r.bits(8)
+        # I_PCM sets nnz to 16 for prediction context (spec 9.2.1)
+        self.nnz_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
+        self.nnz_u[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+        self.nnz_v[my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 16
+        self.i4_modes[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 2
+        # Deblocking qPp of an I_PCM macroblock is 0 (spec 8.7.2), but
+        # the mb_qp_delta chain is NOT reset: the next coded MB chains
+        # from the qp before the I_PCM MB (verified against libavcodec
+        # by tests/test_h264dec_intra_full.py ipcm-chain tests)
+        self.qp_map[my, mx] = 0
+
+    def _recon_i16_mb(self, mx, my, pred_mode, qp, ZD, ZA,
+                      chroma_mode, CZD, CZA):
+        """Intra_16x16 reconstruction from dezigzagged coefficient arrays
+        (identical math to the encoder's recon; entropy-coder agnostic)."""
+        y0, x0 = my * 16, mx * 16
+        has_top, has_left = my > 0, mx > 0
         qp6, rem = divmod(qp, 6)
         FD = _H4 @ ZD @ _H4
         if qp >= 12:
@@ -872,8 +894,12 @@ class _SliceDecoder:
             Z[i] = flat.reshape(4, 4)
             self.nnz_y[gy0 + by, gx0 + bx] = int(np.count_nonzero(scan))
         CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+        self._recon_i4_mb(mx, my, modes, qp, Z, chroma_mode, CZD, CZA)
 
-        # ---- reconstruction: Z-order, each block predicts from recon ----
+    def _recon_i4_mb(self, mx, my, modes, qp, Z, chroma_mode, CZD, CZA):
+        """I_4x4 reconstruction: Z-order, each block predicts from recon
+        (entropy-coder agnostic)."""
+        gy0, gx0 = my * 4, mx * 4
         res = (idct4x4(dequant4x4(Z, qp)) + 32) >> 6
         for i, (bx, by) in enumerate(_BLK_POS):
             yb, xb = my * 16 + 4 * by, mx * 16 + 4 * bx
@@ -1125,7 +1151,23 @@ class PureH264Decoder:
                 raise H264DecodeError("slice before SPS/PPS")
             import os
 
-            if os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
+            if self.pps.entropy_cabac:
+                # CABAC entropy tier: native C++ twin first, Python
+                # scalar fallback (both share this module's recon math)
+                from mixlab_tpu.av.h264cabac import (
+                    CabacSliceDecoder,
+                    NativeCabacSliceDecoder,
+                )
+
+                dec = None
+                if os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") != "1":
+                    dec = NativeCabacSliceDecoder(self.sps, self.pps)
+                    if not dec.decode_slice(BitReader(rbsp), nal_type):
+                        dec = None
+                if dec is None:
+                    dec = CabacSliceDecoder(self.sps, self.pps)
+                    dec.decode_slice(BitReader(rbsp), nal_type)
+            elif os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
                 dec = _SliceDecoder(self.sps, self.pps)
                 dec.decode_slice(BitReader(rbsp), nal_type)
             else:

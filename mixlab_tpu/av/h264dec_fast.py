@@ -352,6 +352,8 @@ class NativeFullSliceDecoder:
         if isinstance(r, (bytes, bytearray)):
             r = BitReader(bytes(r))
         sps, pps = self.sps, self.pps
+        if getattr(pps, "entropy_cabac", False):
+            raise H264Unsupported("CABAC slices decode via h264cabac")
         first_mb = r.ue()
         if first_mb != 0:
             raise H264DecodeError("multi-slice pictures unsupported")
@@ -430,6 +432,8 @@ class FastSliceDecoder:
         if isinstance(r, (bytes, bytearray)):
             r = BitReader(bytes(r))
         sps, pps = self.sps, self.pps
+        if getattr(pps, "entropy_cabac", False):
+            raise H264Unsupported("CABAC slices decode via h264cabac")
 
         first_mb = r.ue()
         if first_mb != 0:

@@ -94,6 +94,13 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_char_p]             # tables
         + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
     )
+    lib.h264_decode_islice_cabac.restype = ctypes.c_int64
+    lib.h264_decode_islice_cabac.argtypes = (
+        [ctypes.c_char_p]               # data (padded RBSP)
+        + [ctypes.c_int64] * 10         # n_bytes..off_b
+        + [ctypes.c_char_p]             # cabac tables blob
+        + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
+    )
     lib.h264_encode_frame.restype = ctypes.c_int64
     lib.h264_encode_frame.argtypes = (
         [ctypes.c_void_p] * 3           # py, pu, pv
@@ -247,6 +254,26 @@ def h264_decode_islice(padded: bytes, n_bytes: int, start_pos: int,
         padded, n_bytes, start_pos, mbw, mbh, slice_qp,
         chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b, tables,
         ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
+        out_state.ctypes.data))
+
+
+def h264_decode_islice_cabac(padded: bytes, n_bytes: int, start_pos: int,
+                             mbw: int, mbh: int, slice_qp: int,
+                             chroma_qp_off: int, chroma_qp_off2: int,
+                             disable_idc: int, off_a: int, off_b: int,
+                             cabac_tables: bytes, ry: np.ndarray,
+                             ru: np.ndarray, rv: np.ndarray,
+                             out_state: np.ndarray) -> Optional[int]:
+    """Full intra CABAC slice decode (see mixlab_native.cpp
+    h264_decode_islice_cabac).  Returns the C error code (0 = ok), or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.h264_decode_islice_cabac(
+        padded, n_bytes, start_pos, mbw, mbh, slice_qp,
+        chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b,
+        cabac_tables, ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
         out_state.ctypes.data))
 
 

@@ -1635,7 +1635,6 @@ struct Dec {
     // ---- macroblocks -------------------------------------------------------
 
     void decode_mb_i16(Bits& r, int mx, int my, int64_t mb_type) {
-        const int y0 = my * 16, x0 = mx * 16;
         const int64_t code = mb_type - 1;
         const int pred_mode = static_cast<int>(code % 4);
         const int cbp_chroma = static_cast<int>((code / 4) % 3);
@@ -1648,7 +1647,6 @@ struct Dec {
         qpmap[(size_t)my * mbw + mx] = static_cast<int8_t>(qp);
         for (int ty = my * 4; ty < my * 4 + 4; ty++)
             for (int tx = mx * 4; tx < mx * 4 + 4; tx++) i4mode(ty, tx) = 2;
-        const bool ht = my > 0, hl = mx > 0;
 
         // luma DC
         int nC = h264::nc_of(nnz_y, mx, my, 0, 0, 4);
@@ -1676,8 +1674,18 @@ struct Dec {
         }
         int64_t czd[2][4], cza[2][4][16];
         read_chroma(r, mx, my, cbp_chroma, czd, cza);
+        recon_i16(mx, my, pred_mode, qp, zd, za,
+                  static_cast<int>(chroma_mode), czd, cza);
+    }
 
-        // ---- reconstruction ----
+    // Intra_16x16 reconstruction from frequency-order coefficient arrays
+    // (entropy-coder agnostic: shared by the CAVLC parse above and the
+    // CABAC tier below; twin of h264dec._recon_i16_mb)
+    void recon_i16(int mx, int my, int pred_mode, int qp,
+                   const int64_t zd[16], int64_t za[16][16], int chroma_mode,
+                   int64_t czd[2][4], int64_t cza[2][4][16]) {
+        const int y0 = my * 16, x0 = mx * 16;
+        const bool ht = my > 0, hl = mx > 0;
         const int q6 = qp / 6, rem = qp % 6;
         // FD = H4 ZD H4 (H4 symmetric)
         static const int h4[4][4] = {
@@ -1720,7 +1728,7 @@ struct Dec {
                         static_cast<uint8_t>(clip255(o));
                 }
         }
-        recon_chroma(mx, my, qp, static_cast<int>(chroma_mode), czd, cza);
+        recon_chroma(mx, my, qp, chroma_mode, czd, cza);
     }
 
     void decode_mb_i4(Bits& r, int mx, int my) {
@@ -1774,8 +1782,16 @@ struct Dec {
         }
         int64_t czd[2][4], cza[2][4][16];
         read_chroma(r, mx, my, cbp_chroma, czd, cza);
+        recon_i4(mx, my, modes, qp, z, static_cast<int>(chroma_mode), czd,
+                 cza);
+    }
 
-        // reconstruction: Z-order, each block predicts from live recon
+    // I_4x4 reconstruction: Z-order, each block predicts from live recon
+    // (entropy-coder agnostic; twin of h264dec._recon_i4_mb)
+    void recon_i4(int mx, int my, const int modes[16], int qp,
+                  int64_t z[16][16], int chroma_mode, int64_t czd[2][4],
+                  int64_t cza[2][4][16]) {
+        const int gy0 = my * 4, gx0 = mx * 4;
         for (int i = 0; i < 16; i++) {
             const int bx = kBlkX[i], by = kBlkY[i];
             const int yb = my * 16 + 4 * by, xb = mx * 16 + 4 * bx;
@@ -1792,7 +1808,7 @@ struct Dec {
                         static_cast<uint8_t>(clip255(o));
                 }
         }
-        recon_chroma(mx, my, qp, static_cast<int>(chroma_mode), czd, cza);
+        recon_chroma(mx, my, qp, chroma_mode, czd, cza);
     }
 
     void decode_mb_ipcm(Bits& r, int mx, int my, const uint8_t* data,
@@ -1955,6 +1971,470 @@ struct Dec {
 
 }  // namespace h264full
 
+// ---------------------------------------------------------------------------
+// H.264 CABAC intra entropy decoder — native twin of av/h264cabac.py.
+//
+// Replaces ONLY the entropy layer (context-modelled binary arithmetic
+// coding, spec 9.3) and feeds the SAME reconstruction methods as the CAVLC
+// tier above (h264full::Dec::recon_i16/recon_i4/decode_mb_ipcm), so recon
+// correctness is shared with the CAVLC differential suite.  Normative
+// tables (context init I column, rangeTabLPS, transIdx) are passed in from
+// Python (packed by av/h264cabac.py) so cabac_tables.py stays the single
+// source of truth.  Bit-exact vs libavcodec AND the Python tier on real
+// x264 CABAC streams (tests/test_h264dec_cabac.py).
+// ---------------------------------------------------------------------------
+
+namespace h264cabac {
+
+using h264::Bits;
+using h264::ParseErr;
+using h264full::Dec;
+
+// significant/last + coeff_abs_level ctx offsets per ctxBlockCat (frame)
+constexpr int kSigOff[5] = {0, 15, 29, 44, 47};
+constexpr int kLevOff[5] = {0, 10, 20, 30, 39};
+
+// table blob layout (av/h264cabac.py _pack_cabac_tables):
+//   [0:2048)     INIT_I (m, n) int8 pairs, ctxIdx 0..1023
+//   [2048:2304)  LPS_RANGE[64][4]
+//   [2304:2368)  TRANS_LPS[64]
+//   [2368:2432)  TRANS_MPS[64]
+constexpr int64_t kCabacBlobSize = 2432;
+
+// Binary arithmetic decoding engine (spec 9.3.3.2); bits are consumed one
+// at a time so Bits::pos is the precise arithmetic consumption point
+// (which the I_PCM byte realignment relies on).
+struct Engine {
+    const uint8_t* lps;   // rangeTabLPS[64][4]
+    const uint8_t* tlps;  // transIdxLPS[64]
+    const uint8_t* tmps;  // transIdxMPS[64]
+    uint8_t state[1024];
+    uint8_t mps[1024];
+    Bits* r = nullptr;
+    int64_t range = 0, offset = 0;
+
+    Engine(const uint8_t* blob, int qp)
+        : lps(blob + 2048), tlps(blob + 2304), tmps(blob + 2368) {
+        // context variable init (spec 9.3.1.1), I-slice column — once per
+        // slice; a reinit() after I_PCM restarts only the arithmetic part
+        const int8_t* init = reinterpret_cast<const int8_t*>(blob);
+        qp = qp < 0 ? 0 : qp > 51 ? 51 : qp;
+        for (int i = 0; i < 1024; i++) {
+            int pre = ((init[2 * i] * qp) >> 4) + init[2 * i + 1];
+            pre = pre < 1 ? 1 : pre > 126 ? 126 : pre;
+            if (pre <= 63) {
+                state[i] = static_cast<uint8_t>(63 - pre);
+                mps[i] = 0;
+            } else {
+                state[i] = static_cast<uint8_t>(pre - 64);
+                mps[i] = 1;
+            }
+        }
+    }
+
+    void reinit(Bits& rd) {  // spec 9.3.1.2
+        r = &rd;
+        range = 510;
+        offset = rd.read(9);
+        if (offset >= 510) throw ParseErr{-20, offset};
+    }
+
+    inline int decision(int ctx) {
+        const int s = state[ctx];
+        const int64_t l = lps[s * 4 + ((range >> 6) & 3)];
+        range -= l;
+        int bit;
+        if (offset >= range) {
+            bit = 1 - mps[ctx];
+            offset -= range;
+            range = l;
+            if (s == 0) mps[ctx] = 1 - mps[ctx];
+            state[ctx] = tlps[s];
+        } else {
+            bit = mps[ctx];
+            state[ctx] = tmps[s];
+        }
+        while (range < 256) {
+            range <<= 1;
+            offset = (offset << 1) | r->read(1);
+        }
+        return bit;
+    }
+
+    inline int bypass() {
+        offset = (offset << 1) | r->read(1);
+        if (offset >= range) {
+            offset -= range;
+            return 1;
+        }
+        return 0;
+    }
+
+    inline int terminate() {
+        range -= 2;
+        if (offset >= range) return 1;
+        while (range < 256) {
+            range <<= 1;
+            offset = (offset << 1) | r->read(1);
+        }
+        return 0;
+    }
+};
+
+// I-slice CABAC syntax decode (spec 9.3.2/9.3.3.1) over the shared recon.
+struct CDec {
+    Dec& d;
+    Engine eng;
+    int mbw, mbh;
+    // neighbor state for context derivation (9.3.3.1.1)
+    std::vector<uint8_t> inxn, is16, pcm, cmode;  // [mbh*mbw]
+    std::vector<int> cbp;                         // luma | chroma << 4
+    std::vector<uint8_t> fldc;                    // cbf luma DC (I16)
+    std::vector<uint8_t> fl;                      // cbf luma 4x4 [4h][4w]
+    std::vector<uint8_t> fcdc;                    // cbf chroma DC [2][h][w]
+    std::vector<uint8_t> fc;                      // cbf chroma AC [2][2h][2w]
+    bool prev_qp_nz = false;
+
+    CDec(Dec& dd, const uint8_t* blob, int qp)
+        : d(dd), eng(blob, qp), mbw(dd.mbw), mbh(dd.mbh),
+          inxn((size_t)mbw * mbh, 0), is16((size_t)mbw * mbh, 0),
+          pcm((size_t)mbw * mbh, 0), cmode((size_t)mbw * mbh, 0),
+          cbp((size_t)mbw * mbh, 0), fldc((size_t)mbw * mbh, 0),
+          fl((size_t)mbw * 4 * mbh * 4, 0),
+          fcdc(2 * (size_t)mbw * mbh, 0),
+          fc(2 * (size_t)mbw * 2 * mbh * 2, 0) {}
+
+    inline size_t mi(int my, int mx) const { return (size_t)my * mbw + mx; }
+
+    // ---- coded_block_flag ctxIdxInc (9.3.3.1.1.9) -------------------------
+
+    int cbf_inc_luma_dc(int mx, int my) const {
+        auto cond = [&](int nx, int ny) -> int {
+            if (nx < 0 || ny < 0) return 1;  // unavailable, current intra
+            if (pcm[mi(ny, nx)]) return 1;
+            if (!is16[mi(ny, nx)]) return 0;  // no luma DC block in mbAddrN
+            return fldc[mi(ny, nx)];
+        };
+        return cond(mx - 1, my) + 2 * cond(mx, my - 1);
+    }
+
+    int cbf_inc_luma4(int gx, int gy) const {
+        auto cond = [&](int nx, int ny) -> int {
+            if (nx < 0 || ny < 0) return 1;
+            if (pcm[mi(ny >> 2, nx >> 2)]) return 1;
+            return fl[(size_t)ny * mbw * 4 + nx];
+        };
+        return cond(gx - 1, gy) + 2 * cond(gx, gy - 1);
+    }
+
+    int cbf_inc_chroma_dc(int mx, int my, int comp) const {
+        auto cond = [&](int nx, int ny) -> int {
+            if (nx < 0 || ny < 0) return 1;
+            if (pcm[mi(ny, nx)]) return 1;
+            return fcdc[(size_t)comp * mbw * mbh + mi(ny, nx)];
+        };
+        return cond(mx - 1, my) + 2 * cond(mx, my - 1);
+    }
+
+    int cbf_inc_chroma_ac(int gx, int gy, int comp) const {
+        auto cond = [&](int nx, int ny) -> int {
+            if (nx < 0 || ny < 0) return 1;
+            if (pcm[mi(ny >> 1, nx >> 1)]) return 1;
+            return fc[((size_t)comp * mbh * 2 + ny) * mbw * 2 + nx];
+        };
+        return cond(gx - 1, gy) + 2 * cond(gx, gy - 1);
+    }
+
+    // ---- residual block (9.3.2.3 / 9.3.3.1.3) ------------------------------
+
+    // One transform block: coded_block_flag, significance map, then
+    // levels+signs in reverse scan order.  Fills coeffs[] (scan order,
+    // caller-zeroed) and returns 1, or returns 0 when cbf == 0.
+    int residual(int cat, int inc, int n_coeff, int64_t* coeffs) {
+        if (!eng.decision(85 + 4 * cat + inc)) return 0;
+        const int sig = 105 + kSigOff[cat], last = 166 + kSigOff[cat];
+        bool s[16] = {false};
+        bool found = false;
+        for (int i = 0; i < n_coeff - 1; i++) {
+            if (eng.decision(sig + i)) {
+                s[i] = true;
+                if (eng.decision(last + i)) {
+                    found = true;
+                    break;
+                }
+            }
+        }
+        if (!found) s[n_coeff - 1] = true;
+        const int lev = 227 + kLevOff[cat];
+        int neq1 = 0, ngt1 = 0;
+        for (int pos = n_coeff - 1; pos >= 0; pos--) {
+            if (!s[pos]) continue;
+            const int c0 = ngt1 ? 0 : (neq1 >= 4 ? 4 : neq1 + 1);
+            int64_t level;
+            if (!eng.decision(lev + c0)) {
+                level = 1;
+            } else {
+                const int cr = lev + 5 + (ngt1 > 4 ? 4 : ngt1);
+                int k = 1;
+                while (k < 14 && eng.decision(cr)) k++;
+                if (k < 14) {
+                    level = k + 1;
+                } else {
+                    int e = 0;  // UEG0 suffix (bypass)
+                    while (eng.bypass())
+                        if (++e > 30) throw ParseErr{-21, 0};
+                    int64_t val = 0;
+                    for (int j = 0; j < e; j++)
+                        val = (val << 1) | eng.bypass();
+                    level = 15 + ((int64_t)1 << e) - 1 + val;
+                }
+            }
+            if (level == 1) neq1++; else ngt1++;
+            coeffs[pos] = eng.bypass() ? -level : level;
+        }
+        return 1;
+    }
+
+    // ---- syntax elements ----------------------------------------------------
+
+    int read_chroma_mode(int mx, int my) {
+        const bool ca = mx > 0 && !pcm[mi(my, mx - 1)] && cmode[mi(my, mx - 1)];
+        const bool cb = my > 0 && !pcm[mi(my - 1, mx)] && cmode[mi(my - 1, mx)];
+        int mode = 0;
+        if (eng.decision(64 + ca + cb)) {
+            mode = 1;
+            while (mode < 3 && eng.decision(67)) mode++;
+        }
+        cmode[mi(my, mx)] = static_cast<uint8_t>(mode);
+        return mode;
+    }
+
+    int read_qp_delta(int mx, int my) {
+        int k = 0;
+        if (eng.decision(60 + (prev_qp_nz ? 1 : 0))) {
+            k = 1;
+            if (eng.decision(62)) {
+                k = 2;
+                while (k < 88 && eng.decision(63)) k++;
+                if (k >= 88) throw ParseErr{-24, 0};
+            }
+        }
+        const int delta = (k & 1) ? (k + 1) / 2 : -(k / 2);
+        prev_qp_nz = delta != 0;
+        const int qp = ((d.qp_prev + delta) % 52 + 52) % 52;
+        d.qp_prev = qp;
+        d.qpmap[mi(my, mx)] = static_cast<int8_t>(qp);
+        return qp;
+    }
+
+    // coded_block_pattern: FL(15) luma prefix + TU(2) chroma suffix
+    // (9.3.2.6, ctx 9.3.3.1.1.4)
+    void read_cbp(int mx, int my, int* out_luma, int* out_chroma) {
+        int luma = 0;
+        for (int b = 0; b < 4; b++) {
+            bool ca, cb;
+            if (b & 1) {
+                ca = ((luma >> (b - 1)) & 1) == 0;
+            } else if (mx > 0) {
+                ca = !pcm[mi(my, mx - 1)] &&
+                     ((cbp[mi(my, mx - 1)] >> (b + 1)) & 1) == 0;
+            } else {
+                ca = false;
+            }
+            if (b & 2) {
+                cb = ((luma >> (b - 2)) & 1) == 0;
+            } else if (my > 0) {
+                cb = !pcm[mi(my - 1, mx)] &&
+                     ((cbp[mi(my - 1, mx)] >> (b + 2)) & 1) == 0;
+            } else {
+                cb = false;
+            }
+            if (eng.decision(73 + ca + 2 * cb)) luma |= 1 << b;
+        }
+        int chroma = 0;
+        bool ca = mx > 0 && (pcm[mi(my, mx - 1)] ||
+                             (cbp[mi(my, mx - 1)] >> 4) != 0);
+        bool cb = my > 0 && (pcm[mi(my - 1, mx)] ||
+                             (cbp[mi(my - 1, mx)] >> 4) != 0);
+        if (eng.decision(77 + ca + 2 * cb)) {
+            ca = mx > 0 && (pcm[mi(my, mx - 1)] ||
+                            (cbp[mi(my, mx - 1)] >> 4) == 2);
+            cb = my > 0 && (pcm[mi(my - 1, mx)] ||
+                            (cbp[mi(my - 1, mx)] >> 4) == 2);
+            chroma = eng.decision(81 + ca + 2 * cb) ? 2 : 1;
+        }
+        *out_luma = luma;
+        *out_chroma = chroma;
+    }
+
+    void read_chroma_cabac(int mx, int my, int cbp_chroma,
+                           int64_t czd[2][4], int64_t cza[2][4][16]) {
+        for (int c = 0; c < 2; c++) {
+            for (int i = 0; i < 4; i++) czd[c][i] = 0;
+            for (int i = 0; i < 4; i++)
+                for (int k = 0; k < 16; k++) cza[c][i][k] = 0;
+        }
+        if (cbp_chroma) {
+            for (int comp = 0; comp < 2; comp++) {
+                int64_t dc[4] = {0};
+                if (residual(3, cbf_inc_chroma_dc(mx, my, comp), 4, dc)) {
+                    fcdc[(size_t)comp * mbw * mbh + mi(my, mx)] = 1;
+                    for (int i = 0; i < 4; i++) czd[comp][i] = dc[i];
+                }
+            }
+        }
+        if (cbp_chroma == 2) {
+            for (int comp = 0; comp < 2; comp++) {
+                for (int i = 0; i < 4; i++) {
+                    const int gx = mx * 2 + i % 2, gy = my * 2 + i / 2;
+                    int64_t scan[15] = {0};
+                    if (!residual(4, cbf_inc_chroma_ac(gx, gy, comp), 15,
+                                  scan))
+                        continue;
+                    fc[((size_t)comp * mbh * 2 + gy) * mbw * 2 + gx] = 1;
+                    for (int k = 0; k < 15; k++)
+                        cza[comp][i][h264enc::kZigzag[1 + k]] = scan[k];
+                }
+            }
+        }
+    }
+
+    // ---- macroblock layer ---------------------------------------------------
+
+    void decode_mb(Bits& r, int mx, int my) {
+        // mb_type (I slices): ctxIdxOffset 3, binarization 9.3.2.5
+        const bool ca = mx > 0 && !inxn[mi(my, mx - 1)];
+        const bool cb = my > 0 && !inxn[mi(my - 1, mx)];
+        if (eng.decision(3 + ca + cb) == 0) {
+            mb_i4(mx, my);
+            return;
+        }
+        if (eng.terminate()) {  // binIdx 1: I_PCM
+            mb_pcm(r, mx, my);
+            return;
+        }
+        const int cbp_luma = eng.decision(6) ? 15 : 0;
+        int cbp_chroma = 0;
+        if (eng.decision(7)) cbp_chroma = eng.decision(8) ? 2 : 1;
+        const int pred_mode = (eng.decision(9) << 1) | eng.decision(10);
+
+        const int chroma_mode = read_chroma_mode(mx, my);
+        const int qp = read_qp_delta(mx, my);
+        is16[mi(my, mx)] = 1;
+        cbp[mi(my, mx)] = cbp_luma | (cbp_chroma << 4);
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                d.i4mode(ty, tx) = 2;
+
+        // luma DC (cat 0) — always parsed for Intra_16x16
+        int64_t dc_scan[16] = {0};
+        int64_t zd[16] = {0};
+        if (residual(0, cbf_inc_luma_dc(mx, my), 16, dc_scan)) {
+            fldc[mi(my, mx)] = 1;
+            for (int i = 0; i < 16; i++)
+                zd[h264enc::kZigzag[i]] = dc_scan[i];
+        }
+
+        int64_t za[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) za[i][k] = 0;
+        if (cbp_luma) {
+            for (int i = 0; i < 16; i++) {
+                const int bx = h264::kBlkX[i], by = h264::kBlkY[i];
+                const int gx = mx * 4 + bx, gy = my * 4 + by;
+                int64_t scan[15] = {0};
+                if (!residual(1, cbf_inc_luma4(gx, gy), 15, scan)) continue;
+                fl[(size_t)gy * mbw * 4 + gx] = 1;
+                for (int k = 0; k < 15; k++)
+                    za[i][h264enc::kZigzag[1 + k]] = scan[k];
+            }
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma_cabac(mx, my, cbp_chroma, czd, cza);
+        d.recon_i16(mx, my, pred_mode, qp, zd, za, chroma_mode, czd, cza);
+    }
+
+    void mb_i4(int mx, int my) {
+        inxn[mi(my, mx)] = 1;
+        // (transform_size_8x8_flag would precede the modes; the PPS parse
+        // rejects transform_8x8 streams with a typed error)
+        const int gy0 = my * 4, gx0 = mx * 4;
+        int modes[16];
+        for (int i = 0; i < 16; i++) {
+            const int bx = h264::kBlkX[i], by = h264::kBlkY[i];
+            const int gx = gx0 + bx, gy = gy0 + by;
+            const int ma = gx > 0 ? d.i4mode(gy, gx - 1) : -1;
+            const int mb_ = gy > 0 ? d.i4mode(gy - 1, gx) : -1;
+            const int pm = (ma < 0 || mb_ < 0) ? 2 : (ma < mb_ ? ma : mb_);
+            int mode;
+            if (eng.decision(68)) {  // prev_intra4x4_pred_mode_flag
+                mode = pm;
+            } else {
+                // rem_intra4x4_pred_mode: FL cMax 7, binIdx 0 = LSB
+                const int rem = eng.decision(69) | (eng.decision(69) << 1) |
+                                (eng.decision(69) << 2);
+                mode = rem < pm ? rem : rem + 1;
+            }
+            d.i4mode(gy, gx) = static_cast<int8_t>(mode);
+            modes[i] = mode;
+        }
+        const int chroma_mode = read_chroma_mode(mx, my);
+        int cbp_luma, cbp_chroma;
+        read_cbp(mx, my, &cbp_luma, &cbp_chroma);
+        cbp[mi(my, mx)] = cbp_luma | (cbp_chroma << 4);
+        int qp;
+        if (cbp_luma || cbp_chroma) {
+            qp = read_qp_delta(mx, my);
+        } else {
+            qp = d.qp_prev;
+            d.qpmap[mi(my, mx)] = static_cast<int8_t>(qp);
+            prev_qp_nz = false;
+        }
+
+        int64_t z[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) z[i][k] = 0;
+        for (int i = 0; i < 16; i++) {
+            if (!((cbp_luma >> (i >> 2)) & 1)) continue;
+            const int bx = h264::kBlkX[i], by = h264::kBlkY[i];
+            const int gx = gx0 + bx, gy = gy0 + by;
+            int64_t scan[16] = {0};
+            if (!residual(2, cbf_inc_luma4(gx, gy), 16, scan)) continue;
+            fl[(size_t)gy * mbw * 4 + gx] = 1;
+            for (int k = 0; k < 16; k++)
+                z[i][h264enc::kZigzag[k]] = scan[k];
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma_cabac(mx, my, cbp_chroma, czd, cza);
+        d.recon_i4(mx, my, modes, qp, z, chroma_mode, czd, cza);
+    }
+
+    void mb_pcm(Bits& r, int mx, int my) {
+        // raw samples start at the next byte boundary after the exact
+        // arithmetic consumption point; engine re-inits after (9.3.1.2)
+        d.decode_mb_ipcm(r, mx, my, pcm_data, pcm_nbytes);
+        pcm[mi(my, mx)] = 1;
+        cbp[mi(my, mx)] = 15 | (2 << 4);  // inferred (7.4.5)
+        fldc[mi(my, mx)] = 1;
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                fl[(size_t)ty * mbw * 4 + tx] = 1;
+        for (int comp = 0; comp < 2; comp++) {
+            fcdc[(size_t)comp * mbw * mbh + mi(my, mx)] = 1;
+            for (int ty = my * 2; ty < my * 2 + 2; ty++)
+                for (int tx = mx * 2; tx < mx * 2 + 2; tx++)
+                    fc[((size_t)comp * mbh * 2 + ty) * mbw * 2 + tx] = 1;
+        }
+        prev_qp_nz = false;
+        eng.reinit(r);
+    }
+
+    const uint8_t* pcm_data = nullptr;
+    int64_t pcm_nbytes = 0;
+};
+
+}  // namespace h264cabac
+
 extern "C" {
 
 // Decode the macroblock layer + deblocking of one full baseline-intra
@@ -2007,6 +2487,59 @@ int64_t h264_decode_islice(const uint8_t* data, int64_t n_bytes,
             mb_addr++;
         }
         if (mb_addr == n_total && disable_idc != 1)
+            dec.deblock(static_cast<int>(off_a), static_cast<int>(off_b));
+    } catch (const ParseErr& e) {
+        out_state[0] = r.pos;
+        out_state[1] = mb_addr;
+        out_state[2] = e.detail;
+        return e.code;
+    }
+    out_state[0] = r.pos;
+    out_state[1] = mb_addr;
+    out_state[2] = 0;
+    return 0;
+}
+
+// Decode one full intra CABAC I-slice (macroblock layer + deblocking).
+// data/start_pos/planes as in h264_decode_islice; start_pos must be the
+// bit position right after the slice header (BEFORE cabac_alignment);
+// cabac_tables: the 2432-byte blob packed by av/h264cabac.py.  Bit-exact
+// vs libavcodec and the Python tier (tests/test_h264dec_cabac.py).
+int64_t h264_decode_islice_cabac(
+    const uint8_t* data, int64_t n_bytes, int64_t start_pos, int64_t mbw,
+    int64_t mbh, int64_t slice_qp, int64_t chroma_qp_off,
+    int64_t chroma_qp_off2, int64_t disable_idc, int64_t off_a,
+    int64_t off_b, const uint8_t* cabac_tables, uint8_t* ry, uint8_t* ru,
+    uint8_t* rv, int64_t* out_state) {
+    using h264::Bits;
+    using h264::ParseErr;
+
+    Bits r{data, n_bytes * 8, start_pos};
+    h264full::Dec dec(static_cast<int>(mbw), static_cast<int>(mbh), ry, ru,
+                      rv, static_cast<int>(chroma_qp_off),
+                      static_cast<int>(chroma_qp_off2), nullptr);
+    dec.qp_prev = static_cast<int>(slice_qp);
+
+    const int64_t n_total = mbw * mbh;
+    int64_t mb_addr = 0;
+    try {
+        // cabac_alignment_one_bit (7.3.3)
+        while (r.pos & 7)
+            if (!r.read(1)) throw ParseErr{-25, r.pos};
+        h264cabac::CDec c(dec, cabac_tables, static_cast<int>(slice_qp));
+        c.pcm_data = data;
+        c.pcm_nbytes = n_bytes;
+        c.eng.reinit(r);
+        for (;;) {
+            if (mb_addr >= n_total) throw ParseErr{-22, mb_addr};
+            const int mx = static_cast<int>(mb_addr % mbw);
+            const int my = static_cast<int>(mb_addr / mbw);
+            c.decode_mb(r, mx, my);
+            mb_addr++;
+            if (c.eng.terminate()) break;  // end_of_slice_flag
+        }
+        if (mb_addr != n_total) throw ParseErr{-23, mb_addr};
+        if (disable_idc != 1)
             dec.deblock(static_cast<int>(off_a), static_cast<int>(off_b));
     } catch (const ParseErr& e) {
         out_state[0] = r.pos;

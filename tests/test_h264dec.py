@@ -115,8 +115,9 @@ def test_ipcm_roundtrip_lossless():
     assert np.array_equal(v, np.asarray(pic.planes["v"]))
 
 
-def test_out_of_scope_rejected():
-    # a CABAC PPS must be rejected, not mis-decoded
+def test_cabac_pps_routes_to_cabac_tier():
+    # a CABAC PPS is in scope since round 5 (av/h264cabac.py): it must
+    # parse and set the entropy flag that routes slices to the CABAC tier
     from mixlab_tpu.av.h264enc import BitWriter
 
     w = BitWriter()
@@ -139,8 +140,8 @@ def test_out_of_scope_rejected():
     cabac_pps = w.getvalue()
     dec = PureH264Decoder()
     dec._feed_nal(nal(7, make_sps(32, 32)))
-    with pytest.raises(H264DecodeError):
-        dec._feed_nal(nal(8, cabac_pps))
+    dec._feed_nal(nal(8, cabac_pps))
+    assert dec.pps.entropy_cabac
 
 
 def test_decoder_agrees_with_libavcodec_on_our_stream():

@@ -1,0 +1,280 @@
+"""Recover the H.264 CABAC normative tables from system codec binaries.
+
+The CABAC entropy decoder (av/h264cabac.py) needs three blocks of
+ISO/IEC 14496-10 normative data:
+
+  * ``INIT_I``   — Table 9-12..9-33, the I-slice column: 1024 (m, n)
+                   int8 pairs that seed every context variable from
+                   SliceQPY (spec 9.3.1.1),
+  * ``LPS_RANGE``— Table 9-44 rangeTabLPS[64][4],
+  * ``TRANS_LPS``— Table 9-45 transIdxLPS[64]
+                   (transIdxMPS is closed-form: min(s + 1, 62), 63 -> 63).
+
+These are spec constants — any correct implementation carries byte-for-
+byte identical values (category (b) unavoidable similarity, like the
+AAC tables in tools/extract_aac_tables.py).  Rather than trusting
+hand-transcription of ~2,300 values, this tool reads them out of the
+compiled .rodata of the system codec libraries and cross-validates:
+
+  1. **INIT_I**: the 22-byte prefix for ctxIdx 0..10 (the famous mb_type
+     SI/I init values 20/-15, 2/54, 3/74, ...) appears in ALL FOUR init
+     tables (I + the three cabac_init_idc P/B tables), so anchor hits
+     alone cannot tell the I column apart — and link order is NOT spec
+     order (this image's libavcodec and libx264 both place the PB tables
+     first; trusting hit 0 silently yields the cabac_init_idc-0 table,
+     which decodes slice headers plausibly and then desyncs in the
+     residuals).  The I table is instead read BY SYMBOL NAME
+     (``cabac_context_init_I``) from ``h264_cabac.o`` inside the
+     libavcodec static archive, then cross-validated: that exact
+     2048-byte block must be one of the four anchor hits in **both** the
+     libavcodec and libx264 shared objects or the tool refuses to emit.
+  2. **LPS_RANGE**: libavcodec stores it packed-state major
+     (4 qIdx rows x 128 packed states, each value duplicated for
+     valMPS 0/1 — cabac_functions.h indexes ``2*(range & 0xC0) + state``).
+     Anchored by the row-0 prefix (128,176,208,240 are published spec
+     values) and validated structurally: every MPS pair must duplicate,
+     and state 63 must read {2,2,2,2}.
+  3. **TRANS_LPS**: found with NO value anchor at all — libavcodec's
+     mlps table is located purely structurally, by scanning for the
+     256-byte region whose upper half equals the closed-form MPS
+     transition ``(min(s+1,62)<<1)|m``; the lower half (stored reversed,
+     ``mlps[127 - packed]``) then yields transIdxLPS, cross-checked for
+     valMPS-pair consistency and the state-0 MPS flip.
+
+The decisive validation is behavioral and lives in
+tests/test_h264dec_cabac.py: the decoder built on these tables must be
+bit-exact against libavcodec itself on real x264-encoded CABAC streams.
+
+Usage: python tools/extract_cabac_tables.py  (rewrites
+mixlab_tpu/av/cabac_tables.py)
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import sys
+from pathlib import Path
+
+CANDIDATE_LIBS = [
+    "/lib/x86_64-linux-gnu/libx264.so.164",
+    "/lib/x86_64-linux-gnu/libavcodec.so.59",
+    "/usr/lib/x86_64-linux-gnu/libx264.so.164",
+    "/usr/lib/x86_64-linux-gnu/libavcodec.so.59",
+]
+
+CANDIDATE_ARCHIVES = [
+    "/usr/lib/x86_64-linux-gnu/libavcodec.a",
+    "/lib/x86_64-linux-gnu/libavcodec.a",
+]
+
+# ctxIdx 0..10 of the I column (published in the spec text of Table 9-12;
+# identical across all four init tables, hence 4 hits per binary).
+INIT_ANCHOR = bytes(
+    (x + 256) % 256
+    for x in [20, -15, 2, 54, 3, 74, 20, -15, 2, 54, 3, 74,
+              -28, 127, -23, 104, -6, 53, -1, 54, 7, 51]
+)
+
+# rangeTabLPS rows 0..2 prefix in libavcodec's packed-state layout.
+LPS_PACKED_ANCHOR = bytes([128] * 6 + [123, 123, 116, 116, 111, 111])
+
+
+def _mps_next(packed: int) -> int:
+    s, m = packed >> 1, packed & 1
+    return (min(s + 1, 62) << 1) | m
+
+
+def _ar_member(archive: bytes, member: str) -> bytes:
+    """Extract one member from a System-V ``ar`` archive (pure Python)."""
+    if archive[:8] != b"!<arch>\n":
+        raise SystemExit("not an ar archive")
+    pos, extended = 8, {}
+    while pos + 60 <= len(archive):
+        hdr = archive[pos:pos + 60]
+        name = hdr[:16].decode("ascii").rstrip()
+        size = int(hdr[48:58])
+        body = archive[pos + 60:pos + 60 + size]
+        if name == "//":  # GNU extended-name table
+            off = 0
+            for ent in body.split(b"\n"):
+                extended[off] = ent.decode("ascii").rstrip("/").rstrip()
+                off += len(ent) + 1
+        else:
+            if name.startswith("/") and name[1:].isdigit():
+                name = extended.get(int(name[1:]), name)
+            if name.rstrip("/") == member:
+                return body
+        pos += 60 + size + (size & 1)
+    raise SystemExit(f"{member} not in archive")
+
+
+def _elf_symbol_bytes(obj: bytes, symbol: str, size: int) -> bytes:
+    """Read ``size`` bytes at a named symbol in a relocatable ELF64."""
+    if obj[:4] != b"\x7fELF" or obj[4] != 2:
+        raise SystemExit("not an ELF64 object")
+    e_shoff, = struct.unpack_from("<Q", obj, 0x28)
+    e_shentsize, e_shnum, e_shstrndx = struct.unpack_from("<HHH", obj, 0x3a)
+
+    def sh(i):
+        base = e_shoff + i * e_shentsize
+        name, stype = struct.unpack_from("<II", obj, base)
+        offset, ssize = struct.unpack_from("<QQ", obj, base + 0x18)
+        link, = struct.unpack_from("<I", obj, base + 0x28)
+        entsize, = struct.unpack_from("<Q", obj, base + 0x38)
+        return name, stype, offset, ssize, link, entsize
+
+    shstr_off = sh(e_shstrndx)[2]
+
+    def sname(noff):
+        end = obj.index(b"\0", shstr_off + noff)
+        return obj[shstr_off + noff:end].decode("ascii")
+
+    for i in range(e_shnum):
+        name, stype, offset, ssize, link, entsize = sh(i)
+        if stype != 2:  # SHT_SYMTAB
+            continue
+        stroff = sh(link)[2]
+        for j in range(ssize // entsize):
+            base = offset + j * entsize
+            st_name, = struct.unpack_from("<I", obj, base)
+            st_shndx, = struct.unpack_from("<H", obj, base + 6)
+            st_value, st_size = struct.unpack_from("<QQ", obj, base + 8)
+            end = obj.index(b"\0", stroff + st_name)
+            if obj[stroff + st_name:end].decode("ascii") == symbol:
+                sec_off = sh(st_shndx)[2]
+                return obj[sec_off + st_value:sec_off + st_value + size]
+    raise SystemExit(f"symbol {symbol} not found")
+
+
+def find_init_i(blobs):
+    """The I-column init table, read by symbol name from the static
+    archive, then required to be one of the four anchor hits in every
+    shared object (see module docstring: anchor hits alone are ambiguous
+    because all four init tables share the ctx 0..10 prefix)."""
+    archive = next((Path(p) for p in CANDIDATE_ARCHIVES if Path(p).exists()),
+                   None)
+    if archive is None:
+        raise SystemExit("libavcodec.a not found (needed to identify the "
+                         "I column by symbol; anchor hits are ambiguous)")
+    obj = _ar_member(archive.read_bytes(), "h264_cabac.o")
+    i_blk = _elf_symbol_bytes(obj, "cabac_context_init_I", 2048)
+    if i_blk[:22] != INIT_ANCHOR:
+        raise SystemExit("symbol-derived init_I fails the ctx0..10 anchor")
+    confirmed = 0
+    for name, data in blobs:
+        offs = [m.start() for m in re.finditer(re.escape(INIT_ANCHOR), data)]
+        if len(offs) != 4:
+            continue
+        hits = [k for k, o in enumerate(offs) if data[o:o + 2048] == i_blk]
+        if len(hits) != 1:
+            raise SystemExit(f"{name}: init_I block matches {len(hits)} of "
+                             "the 4 anchor hits (expected exactly 1)")
+        confirmed += 1
+    if confirmed < 2:
+        raise SystemExit(f"init_I confirmed in only {confirmed} binaries; "
+                         "need 2 for cross-validation")
+    return [struct.unpack("bb", i_blk[2 * i:2 * i + 2]) for i in range(1024)]
+
+
+def find_lps_range(blobs):
+    for name, data in blobs:
+        for m in re.finditer(re.escape(LPS_PACKED_ANCHOR), data):
+            raw = data[m.start():m.start() + 512]
+            if len(raw) < 512:
+                continue
+            tab = [[0] * 4 for _ in range(64)]
+            ok = True
+            for q in range(4):
+                for s in range(64):
+                    a, b = raw[q * 128 + 2 * s], raw[q * 128 + 2 * s + 1]
+                    if a != b:  # valMPS pair must duplicate
+                        ok = False
+                        break
+                    tab[s][q] = a
+                if not ok:
+                    break
+            if ok and tab[63] == [2, 2, 2, 2] and tab[0] == [128, 176, 208, 240]:
+                return tab, name
+    raise SystemExit("packed rangeTabLPS not found")
+
+
+def find_trans_lps(blobs):
+    for name, data in blobs:
+        for off in range(len(data) - 256):
+            if all(data[off + 128 + s] == _mps_next(s) for s in range(126)):
+                low = data[off:off + 128]
+                trans = [0] * 64
+                for p in range(64):
+                    a = low[127 - (p << 1)]        # valMPS 0 entry
+                    b = low[127 - ((p << 1) | 1)]  # valMPS 1 entry
+                    if (a >> 1) != (b >> 1):
+                        break
+                    # state 0 LPS flips valMPS (spec 9.3.3.2.1)
+                    want_a, want_b = (1, 0) if p == 0 else (0, 1)
+                    if (a & 1, b & 1) != (want_a, want_b):
+                        break
+                    trans[p] = a >> 1
+                else:
+                    return trans, name
+    raise SystemExit("mlps transition table not found")
+
+
+def main():
+    blobs = []
+    for p in CANDIDATE_LIBS:
+        path = Path(p)
+        if path.exists():
+            blobs.append((path.name, path.read_bytes()))
+    if len(blobs) < 2:
+        raise SystemExit("need both libx264 and libavcodec binaries")
+
+    init_i = find_init_i(blobs)
+    lps, lps_src = find_lps_range(blobs)
+    trans, trans_src = find_trans_lps(blobs)
+
+    out = Path(__file__).resolve().parent.parent / "mixlab_tpu/av/cabac_tables.py"
+    lines = [
+        '"""H.264 CABAC normative tables (ISO/IEC 14496-10 9.3.1/9.3.3.2).',
+        "",
+        "GENERATED by tools/extract_cabac_tables.py — spec-constant data",
+        "recovered from system codec binaries with cross-binary and",
+        "structural validation (see the tool's docstring for the method),",
+        "then validated behaviorally: the CABAC decoder built on these is",
+        "bit-exact vs libavcodec on real x264 streams",
+        "(tests/test_h264dec_cabac.py).  Do not edit by hand.",
+        '"""',
+        "",
+        "# Table 9-12..9-33, I column: (m, n) per ctxIdx 0..1023"
+        f"  [{lps_src}/x-checked]",
+        "INIT_I = [",
+    ]
+    for i in range(0, 1024, 8):
+        row = ", ".join(f"({m},{n})" for m, n in init_i[i:i + 8])
+        lines.append(f"    {row},")
+    lines += [
+        "]",
+        "",
+        f"# Table 9-44 rangeTabLPS[pStateIdx][qCodIRangeIdx]  [{lps_src}]",
+        "LPS_RANGE = [",
+    ]
+    for i in range(0, 64, 4):
+        row = ", ".join(str(r) for r in lps[i:i + 4])
+        lines.append(f"    {row},")
+    lines += [
+        "]",
+        "",
+        f"# Table 9-45 transIdxLPS  [{trans_src}, structural scan]",
+        f"TRANS_LPS = {trans}",
+        "",
+        "# Table 9-45 transIdxMPS is closed-form: min(s + 1, 62); 63 -> 63.",
+        "TRANS_MPS = [min(s + 1, 62) for s in range(63)] + [63]",
+        "",
+    ]
+    out.write_text("\n".join(lines))
+    print(f"wrote {out} (init_I x-checked across "
+          f"{', '.join(n for n, _ in blobs)})")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

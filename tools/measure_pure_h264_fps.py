@@ -92,16 +92,26 @@ def main():
         print("shim unavailable; cannot generate x264 streams")
         return 1
     w, h = 560, 352
-    opts = "preset=veryfast,profile=baseline,tune=zerolatency,g=1,crf=30,threads=1"
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-    for kind in ("gradient", "noise"):
-        ed, pk = encode(w, h, content(kind, w, h, n_frames), opts)
-        kbps = sum(len(d) for *_x, d in pk) * 8 * 30 / n_frames / 1000
-        line = f"{kind:9s} ({kbps:7.0f} kb/s)"
-        for tier, cap in (("native", None), ("python", 6), ("scalar", 3)):
-            fps = time_tier(ed, pk, tier, max_frames=cap)
-            line += f"  {tier}: {fps:7.1f} fps"
-        print(line, flush=True)
+    profiles = (
+        # (label, x264 opts, tiers to time) — main = CABAC entropy (round 5);
+        # the Python CABAC tier is the scalar entropy decoder, no fast path.
+        ("baseline", "preset=veryfast,profile=baseline,tune=zerolatency,"
+                     "g=1,crf=30,threads=1",
+         (("native", None), ("python", 6), ("scalar", 3))),
+        ("cabac", "preset=veryfast,profile=main,tune=zerolatency,"
+                  "g=1,crf=30,threads=1",
+         (("native", None), ("scalar", 3))),
+    )
+    for prof, opts, tiers in profiles:
+        for kind in ("gradient", "noise"):
+            ed, pk = encode(w, h, content(kind, w, h, n_frames), opts)
+            kbps = sum(len(d) for *_x, d in pk) * 8 * 30 / n_frames / 1000
+            line = f"{prof:8s} {kind:9s} ({kbps:7.0f} kb/s)"
+            for tier, cap in tiers:
+                fps = time_tier(ed, pk, tier, max_frames=cap)
+                line += f"  {tier}: {fps:7.1f} fps"
+            print(line, flush=True)
     return 0
 
 
