@@ -137,9 +137,13 @@ class CabacSliceDecoder(_SliceDecoder):
     """I-slice decoder with CABAC entropy; reconstruction shared with the
     scalar CAVLC tier (av/h264dec.py)."""
 
-    def decode_slice(self, r: BitReader, nal_unit_type: int):
+    def decode_slice(self, r: BitReader, nal_unit_type: int,
+                     nal_ref_idc: int = 1):
         first_mb, qp, disable_idc, off_a, off_b = self._parse_slice_header(
-            r, nal_unit_type)
+            r, nal_unit_type, nal_ref_idc)
+        if self.slice_type != 2:
+            raise H264DecodeError(
+                "CABAC inter slices pending (av/h264cabac.py P support)")
         # cabac_alignment_one_bit (7.3.3): pad bits up to the byte
         # boundary are all 1
         while r.pos & 7:

@@ -257,17 +257,17 @@ class _Pps:
         self.bottom_field_poc = r.bit()
         if r.ue() != 0:
             raise H264DecodeError("slice groups unsupported")
-        r.ue()  # num_ref_idx_l0
-        r.ue()  # num_ref_idx_l1
-        r.bit()  # weighted_pred
-        r.bits(2)  # weighted_bipred
+        self.num_ref_idx_l0 = r.ue() + 1
+        self.num_ref_idx_l1 = r.ue() + 1
+        self.weighted_pred = bool(r.bit())
+        self.weighted_bipred_idc = r.bits(2)
         self.pic_init_qp = 26 + r.se()
         r.se()  # pic_init_qs
         self.chroma_qp_offset = r.se()
         self.chroma_qp_offset2 = self.chroma_qp_offset  # Cr (7.4.2.2)
         self.deblocking_control = r.bit()
-        r.bit()  # constrained_intra_pred
-        r.bit()  # redundant_pic_cnt_present
+        self.constrained_intra_pred = bool(r.bit())
+        self.redundant_pic_cnt_present = bool(r.bit())
         if r.more_rbsp_data():  # PPS extension (7.3.2.2)
             if r.bit():
                 raise H264DecodeError("transform_8x8 streams unsupported")
@@ -300,16 +300,19 @@ class _SpsExt:
         self.log2_max_frame_num = r.ue() + 4
         self.poc_type = r.ue()
         self.log2_max_poc_lsb = 0
+        self.delta_poc_always_zero = False
+        self.num_ref_frames_in_poc_cycle = 0
         if self.poc_type == 0:
             self.log2_max_poc_lsb = r.ue() + 4
         elif self.poc_type == 1:
-            r.bit()
+            self.delta_poc_always_zero = bool(r.bit())
             r.se()
             r.se()
-            for _ in range(r.ue()):
+            self.num_ref_frames_in_poc_cycle = r.ue()
+            for _ in range(self.num_ref_frames_in_poc_cycle):
                 r.se()
-        r.ue()
-        r.bit()
+        self.max_num_ref_frames = r.ue()
+        self.gaps_allowed = bool(r.bit())
         self.mb_width = r.ue() + 1
         self.mb_height = r.ue() + 1
         # cap allocations on untrusted input (RTMP ingest): same ceiling
@@ -321,6 +324,69 @@ class _SpsExt:
                 "exceeds the decoder pixel cap")
         if not r.bit():
             raise H264DecodeError("interlaced streams unsupported")
+
+
+# ---------------------------------------------------------------------------
+# decoded picture buffer (spec 8.2.4/8.2.5, frame coding, short-term only)
+# ---------------------------------------------------------------------------
+
+
+class RefPic:
+    """One stored reference picture: FULL (MB-aligned, uncropped) planes —
+    unrestricted MVs reference the area beyond the crop window, clamped at
+    the full picture edge (8.4.2.2.1)."""
+
+    __slots__ = ("pid", "frame_num", "y", "u", "v")
+
+    def __init__(self, pid, frame_num, y, u, v):
+        self.pid = pid
+        self.frame_num = frame_num
+        self.y, self.u, self.v = y, u, v
+
+
+class Dpb:
+    """Short-term reference bookkeeping: sliding window (8.2.5.3), MMCO 1
+    (8.2.5.4.1), P list0 initialization by descending PicNum (8.2.4.2.1)
+    and the short-term re-ordering process (8.2.4.3.1).  Long-term
+    references raise typed errors (x264 never emits them; the libavcodec
+    shim covers such streams)."""
+
+    def __init__(self):
+        self.pics: List[RefPic] = []
+        self._next_pid = 0
+
+    def clear(self):
+        self.pics.clear()
+
+    def store(self, frame_num: int, y, u, v, max_refs: int):
+        """Sliding-window decoded reference picture marking (8.2.5.3)."""
+        pic = RefPic(self._next_pid, frame_num, y, u, v)
+        self._next_pid += 1
+        self.pics.append(pic)
+        while len(self.pics) > max(max_refs, 1):
+            self.pics.pop(0)  # decode order == FrameNumWrap order here
+
+    def mmco_forget_short(self, pic_num: int, cur_frame_num: int,
+                          max_frame_num: int):
+        """MMCO 1: mark a short-term picture unused (8.2.5.4.1)."""
+        for i, p in enumerate(self.pics):
+            if self._pic_num(p, cur_frame_num, max_frame_num) == pic_num:
+                del self.pics[i]
+                return
+        raise H264DecodeError(f"MMCO 1: no short-term pic_num {pic_num}")
+
+    @staticmethod
+    def _pic_num(pic: RefPic, cur_frame_num: int, max_frame_num: int) -> int:
+        fn = pic.frame_num
+        return fn if fn <= cur_frame_num else fn - max_frame_num
+
+    def init_list_p(self, cur_frame_num: int, max_frame_num: int):
+        """RefPicList0 before modification: short-term refs by descending
+        PicNum (8.2.4.2.1)."""
+        return sorted(
+            self.pics,
+            key=lambda p: -self._pic_num(p, cur_frame_num, max_frame_num),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -380,6 +446,34 @@ def _dc_pred_chroma(recon, y0, x0, has_top, has_left) -> np.ndarray:
 _CBP_INTRA = (47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
               16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
               8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+# Table 9-4 Inter column (ChromaArrayType=1): codeNum -> cbp.  Validated
+# behaviorally: any error here breaks the bit-exact differentials vs
+# libavcodec in tests/test_h264dec_inter.py on the first coded P-MB.
+_CBP_INTER = (0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+              17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41)
+
+# P-macroblock partition shapes by mb_type (Table 7-13): (px, py, w, h)
+# in luma samples relative to the MB corner
+_P_PARTS = {
+    0: ((0, 0, 16, 16),),
+    1: ((0, 0, 16, 8), (0, 8, 16, 8)),
+    2: ((0, 0, 8, 16), (8, 0, 8, 16)),
+}
+
+# sub-macroblock partition shapes by sub_mb_type (Table 7-17), relative
+# to the 8x8 block corner
+_P_SUB_PARTS = {
+    0: ((0, 0, 8, 8),),
+    1: ((0, 0, 8, 4), (0, 4, 8, 4)),
+    2: ((0, 0, 4, 8), (4, 0, 4, 8)),
+    3: ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)),
+}
+
+
+def _median3(a: int, b: int, c: int) -> int:
+    return a + b + c - min(a, b, c) - max(a, b, c)
 
 # luma (bx, by) -> decode-order index (inverse of _BLK_POS)
 _Z_OF = {pos: i for i, pos in enumerate(_BLK_POS)}
@@ -636,9 +730,10 @@ def _edge_filter(plane, y0, x0, n, vertical, bS, idx_a, idx_b, chroma):
 
 
 class _SliceDecoder:
-    def __init__(self, sps: _SpsExt, pps: _Pps):
+    def __init__(self, sps: _SpsExt, pps: _Pps, dpb: Optional[Dpb] = None):
         self.sps = sps
         self.pps = pps
+        self.dpb = dpb
         mbw, mbh = sps.mb_width, sps.mb_height
         self.mbw, self.mbh = mbw, mbh
         self.ry = np.zeros((mbh * 16, mbw * 16), np.int64)
@@ -652,6 +747,23 @@ class _SliceDecoder:
         self.qp_map = np.zeros((mbh, mbw), np.int64)
         self.i4_modes = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.qp_prev = 26
+        # inter state (P slices): per-4x4 motion field, list0 ref index
+        # (-1 = intra/none), stored-picture identity (deblocking bS), and
+        # decode-order availability for MV prediction (6.4.9 semantics)
+        self.slice_type = 2
+        self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        self.refidx = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        self.refpid = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        self.decoded4 = np.zeros((mbh * 4, mbw * 4), bool)
+        self.mb_intra = np.ones((mbh, mbw), bool)
+        self.list0: List[RefPic] = []
+        self.wp = None  # (log_wd_y, log_wd_c, [(wy,oy,wu,ou,wv,ov)])
+        self.frame_num = 0
+        self.is_ref = True
+        self.marking_ops: List[Tuple[int, int]] = []
+        self.adaptive_marking = False
+        self.num_ref_active = 1
+        self.cabac_init_idc = 0
 
     def _nC(self, nnz, mx, my, bx, by, grid) -> int:
         def lookup(tx, ty):
@@ -676,28 +788,144 @@ class _SliceDecoder:
             return int(nB)
         return 0
 
-    def _parse_slice_header(self, r: BitReader, nal_unit_type: int):
-        """I-slice header shared by the CAVLC and CABAC tiers (spec
-        7.3.3); returns (first_mb, qp, disable_idc, off_a, off_b) and
-        seeds the mb_qp_delta chain."""
+    def _parse_slice_header(self, r: BitReader, nal_unit_type: int,
+                            nal_ref_idc: int = 1):
+        """Slice header shared by the CAVLC and CABAC tiers (spec 7.3.3),
+        I and P slices; returns (first_mb, qp, disable_idc, off_a, off_b),
+        seeds the mb_qp_delta chain, and stashes the inter slice state
+        (slice_type, list0, weights, marking ops, cabac_init_idc) on
+        self."""
         sps, pps = self.sps, self.pps
         first_mb = r.ue()
         if first_mb != 0:
             # intra-pred availability would need slice-boundary tracking
             raise H264DecodeError("multi-slice pictures unsupported")
-        slice_type = r.ue()
-        if slice_type % 5 != 2:
-            raise H264DecodeError(f"non-I slice {slice_type} unsupported")
+        slice_type = r.ue() % 5
+        if slice_type not in (0, 2):
+            raise H264Unsupported(
+                f"slice type {slice_type} unsupported (I/P only)")
+        self.slice_type = slice_type
+        is_p = slice_type == 0
         r.ue()  # pps id (single-PPS streams)
-        r.bits(sps.log2_max_frame_num)  # frame_num
+        self.frame_num = r.bits(sps.log2_max_frame_num)
+        self.is_ref = nal_ref_idc != 0
         if nal_unit_type == 5:
             r.ue()  # idr_pic_id
         if sps.poc_type == 0:
             r.bits(sps.log2_max_poc_lsb)
+            if pps.bottom_field_poc:
+                r.se()  # delta_pic_order_cnt_bottom
+        elif sps.poc_type == 1 and not sps.delta_poc_always_zero:
+            r.se()
+            if pps.bottom_field_poc:
+                r.se()
+        if pps.redundant_pic_cnt_present and r.ue() != 0:
+            raise H264Unsupported("redundant pictures unsupported")
+        num_active = pps.num_ref_idx_l0
+        if is_p:
+            if pps.constrained_intra_pred:
+                raise H264Unsupported(
+                    "constrained_intra_pred P slices unsupported")
+            if r.bit():  # num_ref_idx_active_override_flag
+                num_active = r.ue() + 1
+            if num_active > 16:
+                raise H264DecodeError("num_ref_idx_l0_active > 16")
+            if self.dpb is None:
+                raise H264Unsupported("P slice without reference buffer")
+            max_fn = 1 << sps.log2_max_frame_num
+            lst = self.dpb.init_list_p(self.frame_num, max_fn)
+            # ref_pic_list_modification (7.3.3.1 / 8.2.4.3.1): a fixed
+            # working array of num_active+1 slots, exactly the spec's
+            # shift-insert-compact process (x264 weightp=2 uses this to
+            # duplicate a reference with different weights)
+            if r.bit():
+                arr = (list(lst) + [None] * (num_active + 1))[:num_active + 1]
+                ref_idx = 0
+                pic_num_pred = self.frame_num
+                while True:
+                    idc = r.ue()
+                    if idc == 3:
+                        break
+                    if idc > 3:
+                        raise H264DecodeError(
+                            f"bad ref list modification idc {idc}")
+                    if idc == 2:
+                        raise H264Unsupported(
+                            "long-term references unsupported")
+                    diff = r.ue() + 1
+                    no_wrap = (pic_num_pred - diff if idc == 0
+                               else pic_num_pred + diff)
+                    no_wrap = (no_wrap + max_fn) % max_fn
+                    pic_num_pred = no_wrap
+                    pic_num = (no_wrap if no_wrap <= self.frame_num
+                               else no_wrap - max_fn)
+                    pic = next(
+                        (p for p in self.dpb.pics
+                         if Dpb._pic_num(p, self.frame_num, max_fn)
+                         == pic_num), None)
+                    if pic is None:
+                        raise H264DecodeError(
+                            f"ref list modification: no pic_num {pic_num}")
+                    if ref_idx > num_active:
+                        raise H264DecodeError(
+                            "ref list modification overruns the list")
+                    arr[ref_idx + 1:] = arr[ref_idx:-1]
+                    arr[ref_idx] = pic
+                    ref_idx += 1
+                    n_idx = ref_idx
+                    for c_idx in range(ref_idx, num_active + 1):
+                        if arr[c_idx] is not pic:
+                            arr[n_idx] = arr[c_idx]
+                            n_idx += 1
+                    for k in range(n_idx, num_active + 1):
+                        arr[k] = None
+                lst = arr
+            self.list0 = list(lst)[:num_active]
+            while self.list0 and self.list0[-1] is None:
+                self.list0.pop()
+            if not self.list0:
+                raise H264DecodeError("P slice with an empty reference list")
+            self.num_ref_active = num_active
+            # pred_weight_table (7.3.3.2, explicit WP for P)
+            self.wp = None
+            if pps.weighted_pred:
+                log_y = r.ue()
+                log_c = r.ue()
+                if log_y > 7 or log_c > 7:
+                    raise H264DecodeError("bad luma/chroma weight denom")
+                entries = []
+                for _ in range(num_active):
+                    wy, oy = 1 << log_y, 0
+                    wu = wv = 1 << log_c
+                    ou = ov = 0
+                    if r.bit():
+                        wy, oy = r.se(), r.se()
+                    if r.bit():
+                        wu, ou = r.se(), r.se()
+                        wv, ov = r.se(), r.se()
+                    entries.append((wy, oy, wu, ou, wv, ov))
+                self.wp = (log_y, log_c, entries)
+        self.marking_ops = []
         if nal_unit_type == 5:
             r.bit()  # no_output_of_prior_pics
-            r.bit()  # long_term_reference
-        # cabac_init_idc is NOT present for I slices (7.3.3)
+            if r.bit():  # long_term_reference_flag
+                raise H264Unsupported("long-term references unsupported")
+        elif nal_ref_idc != 0:
+            if r.bit():  # adaptive_ref_pic_marking_mode_flag
+                self.adaptive_marking = True
+                while True:
+                    op = r.ue()
+                    if op == 0:
+                        break
+                    if op == 1:
+                        self.marking_ops.append((1, r.ue() + 1))
+                    else:
+                        raise H264Unsupported(
+                            f"memory management control op {op} unsupported")
+        if pps.entropy_cabac and is_p:
+            self.cabac_init_idc = r.ue()
+            if self.cabac_init_idc > 2:
+                raise H264DecodeError("bad cabac_init_idc")
         qp = pps.pic_init_qp + r.se()
         self.qp_prev = qp
         disable_idc = 0
@@ -713,20 +941,37 @@ class _SliceDecoder:
         # single-slice pictures
         return first_mb, qp, disable_idc, off_a, off_b
 
-    def decode_slice(self, r: BitReader, nal_unit_type: int):
+    def decode_slice(self, r: BitReader, nal_unit_type: int,
+                     nal_ref_idc: int = 1):
         first_mb, _qp, disable_idc, off_a, off_b = self._parse_slice_header(
-            r, nal_unit_type)
+            r, nal_unit_type, nal_ref_idc)
         mb_addr = first_mb
         n_mbs = self.mbw * self.mbh
-        while mb_addr < n_mbs and r.more_rbsp_data():
-            self._decode_mb(r, mb_addr % self.mbw, mb_addr // self.mbw)
-            mb_addr += 1
+        if self.slice_type == 0:  # P slice data (7.3.4)
+            while mb_addr < n_mbs and r.more_rbsp_data():
+                skip_run = r.ue()
+                if mb_addr + skip_run > n_mbs:
+                    raise H264DecodeError("mb_skip_run overruns the picture")
+                for _ in range(skip_run):
+                    self._p_skip_mb(mb_addr % self.mbw, mb_addr // self.mbw)
+                    mb_addr += 1
+                if mb_addr < n_mbs and r.more_rbsp_data():
+                    self._decode_mb_p(
+                        r, mb_addr % self.mbw, mb_addr // self.mbw)
+                    mb_addr += 1
+        else:
+            while mb_addr < n_mbs and r.more_rbsp_data():
+                self._decode_mb(r, mb_addr % self.mbw, mb_addr // self.mbw)
+                mb_addr += 1
         if mb_addr != n_mbs:
             raise H264DecodeError(
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks"
             )
         if disable_idc != 1:
-            self._deblock(off_a, off_b)
+            if self.slice_type == 0:
+                self._deblock_general(off_a, off_b)
+            else:
+                self._deblock(off_a, off_b)
 
     def _qpc(self, qp: int, comp: int) -> int:
         off = (self.pps.chroma_qp_offset if comp == 0
@@ -735,7 +980,224 @@ class _SliceDecoder:
         return qpc_i if qpc_i < 30 else _QPC[qpc_i - 30]
 
     def _decode_mb(self, r: BitReader, mx: int, my: int):
+        self._decode_mb_intra(r, mx, my, r.ue())
+
+    # ---- P macroblocks (spec 7.3.5, 8.4) --------------------------------
+
+    def _mark_inter(self, mx: int, my: int):
+        self.mb_intra[my, mx] = False
+        # inter neighbors present DC mode to I_4x4 prediction (8.3.1.1,
+        # constrained_intra_pred_flag == 0)
+        self.i4_modes[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = 2
+
+    def _read_ref_idx(self, r: BitReader) -> int:
+        n = len(self.list0)
+        cmax = self.num_ref_active - 1
+        if cmax == 0:
+            idx = 0
+        elif cmax == 1:
+            idx = 1 - r.bit()  # te(v), cMax 1 (9.1.1)
+        else:
+            idx = r.ue()
+        if idx >= n or self.list0[idx] is None:
+            raise H264DecodeError(f"ref_idx {idx} outside the {n}-entry "
+                                  "reference list")
+        return idx
+
+    def _p_skip_mb(self, mx: int, my: int):
+        """P_Skip (7.4.4, 8.4.1.1): 16x16 MC at the inferred motion
+        vector, refIdx 0, no residual."""
+        self._mark_inter(mx, my)
+        gx, gy = mx * 4, my * 4
+        a_ref, a_x, a_y = self._nbinfo(gx - 1, gy)
+        b_ref, b_x, b_y = self._nbinfo(gx, gy - 1)
+        if (a_ref == -2 or b_ref == -2
+                or (a_ref == 0 and a_x == 0 and a_y == 0)
+                or (b_ref == 0 and b_x == 0 and b_y == 0)):
+            mvx = mvy = 0
+        else:
+            mvx, mvy = self._mvp(gx, gy, 4, 4, 0, None)
+        self._set_part(mx, my, 0, 0, 16, 16, 0, mvx, mvy)
+        py, pu, pv = self._inter_pred_mb(
+            mx, my, [(0, 0, 16, 16, 0, mvx, mvy)])
+        y0, x0 = my * 16, mx * 16
+        self.ry[y0: y0 + 16, x0: x0 + 16] = py
+        self.ru[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = pu
+        self.rv[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = pv
+        self.nnz_y[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = 0
+        self.nnz_u[my * 2: my * 2 + 2, mx * 2: mx * 2 + 2] = 0
+        self.nnz_v[my * 2: my * 2 + 2, mx * 2: mx * 2 + 2] = 0
+        self.qp_map[my, mx] = self.qp_prev  # QPy unchanged (7.4.4)
+
+    def _decode_mb_p(self, r: BitReader, mx: int, my: int):
         mb_type = r.ue()
+        if mb_type >= 5:  # intra MB in a P slice (Table 7-13)
+            self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
+            self._decode_mb_intra(r, mx, my, mb_type - 5)
+            return
+        self._mark_inter(mx, my)
+        parts: List[Tuple[int, int, int, int, int, int, int]] = []
+        if mb_type in (0, 1, 2):
+            shapes = _P_PARTS[mb_type]
+            refs = [self._read_ref_idx(r) for _ in shapes]
+            mvds = [(r.se(), r.se()) for _ in shapes]
+            hint = {0: (None,), 1: ("16x8_top", "16x8_bot"),
+                    2: ("8x16_left", "8x16_right")}[mb_type]
+            for (px, py_, w, h), ref, (dx, dy), hn in zip(
+                    shapes, refs, mvds, hint):
+                gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, hn)
+                mvx, mvy = px_x + dx, px_y + dy
+                self._set_part(mx, my, px, py_, w, h, ref, mvx, mvy)
+                parts.append((px, py_, w, h, ref, mvx, mvy))
+        else:  # P_8x8 / P_8x8ref0 (7.3.5.2)
+            if mb_type > 4:
+                raise H264DecodeError(f"bad P mb_type {mb_type}")
+            subs = []
+            for _ in range(4):
+                st = r.ue()
+                if st > 3:
+                    raise H264DecodeError(f"bad P sub_mb_type {st}")
+                subs.append(st)
+            if mb_type == 3:
+                refs = [self._read_ref_idx(r) for _ in range(4)]
+            else:
+                refs = [0, 0, 0, 0]
+                if not self.list0 or self.list0[0] is None:
+                    raise H264DecodeError("P_8x8ref0 with an empty list")
+            mvds = [[(r.se(), r.se()) for _ in _P_SUB_PARTS[st]]
+                    for st in subs]
+            for b8 in range(4):
+                bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
+                ref = refs[b8]
+                for (sx, sy, w, h), (dx, dy) in zip(
+                        _P_SUB_PARTS[subs[b8]], mvds[b8]):
+                    px, py_ = bx0 + sx, by0 + sy
+                    gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                    px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, None)
+                    mvx, mvy = px_x + dx, px_y + dy
+                    self._set_part(mx, my, px, py_, w, h, ref, mvx, mvy)
+                    parts.append((px, py_, w, h, ref, mvx, mvy))
+        pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
+
+        cbp_code = r.ue()
+        if cbp_code >= len(_CBP_INTER):
+            raise H264DecodeError("bad coded_block_pattern")
+        cbp = _CBP_INTER[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (self.qp_prev + r.se() + 52) % 52
+            self.qp_prev = qp
+        else:
+            qp = self.qp_prev
+        self.qp_map[my, mx] = qp
+
+        gy0, gx0 = my * 4, mx * 4
+        self.nnz_y[gy0: gy0 + 4, gx0: gx0 + 4] = 0
+        Z = np.zeros((16, 4, 4), np.int64)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            if not (cbp_luma >> (i >> 2)) & 1:
+                continue
+            nC = self._nC(self.nnz_y, mx, my, bx, by, 4)
+            scan = read_cavlc_block(r, nC, 16)
+            flat = np.zeros(16, np.int64)
+            for k, z in enumerate(ZIGZAG):
+                flat[z] = scan[k]
+            Z[i] = flat.reshape(4, 4)
+            self.nnz_y[gy0 + by, gx0 + bx] = int(np.count_nonzero(scan))
+        CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+        self._recon_inter_mb(mx, my, qp, Z, CZD, CZA,
+                             pred_y, pred_u, pred_v)
+
+    # ---- motion vector prediction (spec 8.4.1.3) ------------------------
+
+    def _nbinfo(self, cx: int, cy: int) -> Tuple[int, int, int]:
+        """(refIdx, mvx, mvy) of the 4x4 cell (cx, cy): refIdx -2 when the
+        location is unavailable (outside the picture or not yet decoded,
+        6.4.9), -1 when the cell is intra-coded (8.4.1.3.2: mv 0)."""
+        if (cx < 0 or cy < 0 or cx >= self.mbw * 4 or cy >= self.mbh * 4
+                or not self.decoded4[cy, cx]):
+            return -2, 0, 0
+        ref = int(self.refidx[cy, cx])
+        if ref < 0:
+            return -1, 0, 0
+        return ref, int(self.mv[cy, cx, 0]), int(self.mv[cy, cx, 1])
+
+    def _mvp(self, gx: int, gy: int, w4: int, h4: int, ref: int,
+             hint: Optional[str]) -> Tuple[int, int]:
+        """Median motion vector prediction with the 16x8/8x16 directional
+        shortcuts (8.4.1.3); (gx, gy) in 4x4-grid units."""
+        a = self._nbinfo(gx - 1, gy)
+        b = self._nbinfo(gx, gy - 1)
+        c = self._nbinfo(gx + w4, gy - 1)
+        if c[0] == -2:
+            c = self._nbinfo(gx - 1, gy - 1)  # D substitution (8.4.1.3.2)
+        if hint == "16x8_top" and b[0] == ref:
+            return b[1], b[2]
+        if hint in ("16x8_bot", "8x16_left") and a[0] == ref:
+            return a[1], a[2]
+        if hint == "8x16_right" and c[0] == ref:
+            return c[1], c[2]
+        match = [n for n in (a, b, c) if n[0] == ref]
+        if len(match) == 1:
+            return match[0][1], match[0][2]
+        if b[0] == -2 and c[0] == -2 and a[0] != -2:
+            return a[1], a[2]
+        return (_median3(a[1], b[1], c[1]), _median3(a[2], b[2], c[2]))
+
+    def _set_part(self, mx: int, my: int, px: int, py: int, w: int, h: int,
+                  ref: int, mvx: int, mvy: int):
+        gx, gy = mx * 4 + px // 4, my * 4 + py // 4
+        w4, h4 = w // 4, h // 4
+        self.mv[gy: gy + h4, gx: gx + w4] = (mvx, mvy)
+        self.refidx[gy: gy + h4, gx: gx + w4] = ref
+        self.refpid[gy: gy + h4, gx: gx + w4] = self.list0[ref].pid
+        self.decoded4[gy: gy + h4, gx: gx + w4] = True
+
+    # ---- inter prediction + reconstruction (spec 8.4.2) -----------------
+
+    def _inter_pred_mb(self, mx: int, my: int, parts):
+        """Predicted MB planes from the partition list
+        [(px, py, w, h, refIdx, mvx, mvy)] — fractional-sample MC
+        (av/h264mc.py) plus explicit weighted prediction when present."""
+        from mixlab_tpu.av import h264mc
+
+        pred_y = np.empty((16, 16), np.int64)
+        pred_u = np.empty((8, 8), np.int64)
+        pred_v = np.empty((8, 8), np.int64)
+        y0, x0 = my * 16, mx * 16
+        for px, py, w, h, ref, mvx, mvy in parts:
+            pic = self.list0[ref]
+            by = h264mc.luma_mc(pic.y, x0 + px, y0 + py, w, h, mvx, mvy)
+            bu = h264mc.chroma_mc(pic.u, (x0 + px) // 2, (y0 + py) // 2,
+                                  w // 2, h // 2, mvx, mvy)
+            bv = h264mc.chroma_mc(pic.v, (x0 + px) // 2, (y0 + py) // 2,
+                                  w // 2, h // 2, mvx, mvy)
+            if self.wp is not None:
+                log_y, log_c, entries = self.wp
+                wy, oy, wu, ou, wv, ov = entries[ref]
+                by = h264mc.weight_pred(by, wy, oy, log_y)
+                bu = h264mc.weight_pred(bu, wu, ou, log_c)
+                bv = h264mc.weight_pred(bv, wv, ov, log_c)
+            pred_y[py: py + h, px: px + w] = by
+            pred_u[py // 2: (py + h) // 2, px // 2: (px + w) // 2] = bu
+            pred_v[py // 2: (py + h) // 2, px // 2: (px + w) // 2] = bv
+        return pred_y, pred_u, pred_v
+
+    def _recon_inter_mb(self, mx, my, qp, Z, CZD, CZA,
+                        pred_y, pred_u, pred_v):
+        """Inter MB reconstruction: full 4x4 luma residual blocks (no
+        separate DC transform) added to the MC prediction."""
+        y0, x0 = my * 16, mx * 16
+        res = (idct4x4(dequant4x4(Z, qp)) + 32) >> 6
+        mb = np.empty((16, 16), np.int64)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            mb[4 * by: 4 * by + 4, 4 * bx: 4 * bx + 4] = res[i]
+        self.ry[y0: y0 + 16, x0: x0 + 16] = np.clip(pred_y + mb, 0, 255)
+        self._recon_chroma(mx, my, qp, 0, CZD, CZA,
+                           cpreds=(pred_u, pred_v))
+
+    def _decode_mb_intra(self, r: BitReader, mx: int, my: int, mb_type: int):
         if mb_type == 25:  # I_PCM (§7.3.5, §8.3.5)
             r.byte_align()
             self._store_pcm(r, mx, my)
@@ -940,15 +1402,18 @@ class _SliceDecoder:
                     )
         return CZD, CZA
 
-    def _recon_chroma(self, mx, my, qp, chroma_mode, CZD, CZA):
+    def _recon_chroma(self, mx, my, qp, chroma_mode, CZD, CZA, cpreds=None):
         cy0, cx0 = my * 8, mx * 8
         has_top, has_left = my > 0, mx > 0
         for comp in range(2):
             recon = self.ru if comp == 0 else self.rv
             qpc = self._qpc(qp, comp)
             cqp6, crem = divmod(qpc, 6)
-            cpred = self._predc(recon, chroma_mode, cy0, cx0,
-                                has_top, has_left)
+            if cpreds is not None:  # inter MB: MC prediction (8.4.2)
+                cpred = cpreds[comp]
+            else:
+                cpred = self._predc(recon, chroma_mode, cy0, cx0,
+                                    has_top, has_left)
             CF2 = _H2 @ CZD[comp] @ _H2
             dcC = ((CF2 * _V_A[crem]) << cqp6) >> 1
             CDQ = dequant4x4(CZA[comp], qpc)
@@ -1064,6 +1529,83 @@ class _SliceDecoder:
                                     _edge_filter(plane, cy0 + xr // 2, cx0,
                                                  8, False, bs, ia, ib, True)
 
+    # ---- deblocking with derived boundary strengths (spec 8.7.2.1) ------
+
+    def _bs(self, pgx: int, pgy: int, qgx: int, qgy: int,
+            any_intra: bool, mb_edge: bool) -> int:
+        """Boundary strength for the edge between 4x4 blocks p (pgx, pgy)
+        and q (qgx, qgy)."""
+        if any_intra:
+            return 4 if mb_edge else 3
+        if self.nnz_y[pgy, pgx] or self.nnz_y[qgy, qgx]:
+            return 2
+        if self.refpid[pgy, pgx] != self.refpid[qgy, qgx]:
+            return 1
+        if (abs(int(self.mv[pgy, pgx, 0]) - int(self.mv[qgy, qgx, 0])) >= 4
+                or abs(int(self.mv[pgy, pgx, 1])
+                       - int(self.mv[qgy, qgx, 1])) >= 4):
+            return 1
+        return 0
+
+    def _deblock_general(self, off_a: int, off_b: int):
+        """§8.7 deblocking for pictures with inter MBs: per-4x4-edge bS
+        (8.7.2.1) instead of the all-intra constants; chroma edges reuse
+        the co-located luma bS.  Same MB/edge ordering as ``_deblock``."""
+        qpm = self.qp_map
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                qq = int(qpm[my, mx])
+                intra_q = bool(self.mb_intra[my, mx])
+                y0, x0 = my * 16, mx * 16
+                cy0, cx0 = my * 8, mx * 8
+                for vertical in (True, False):
+                    for xr in (0, 4, 8, 12):
+                        if xr == 0:
+                            if (mx if vertical else my) == 0:
+                                continue
+                            pmx, pmy = (mx - 1, my) if vertical else (mx, my - 1)
+                        else:
+                            pmx, pmy = mx, my
+                        qp_p = int(qpm[pmy, pmx])
+                        any_intra = intra_q or bool(self.mb_intra[pmy, pmx])
+                        qav = (qp_p + qq + 1) >> 1
+                        ia = int(np.clip(qav + off_a, 0, 51))
+                        ib = int(np.clip(qav + off_b, 0, 51))
+                        for seg in range(4):
+                            if vertical:
+                                qgx, qgy = mx * 4 + xr // 4, my * 4 + seg
+                                pgx, pgy = qgx - 1, qgy
+                            else:
+                                qgx, qgy = mx * 4 + seg, my * 4 + xr // 4
+                                pgx, pgy = qgx, qgy - 1
+                            bs = self._bs(pgx, pgy, qgx, qgy,
+                                          any_intra, xr == 0)
+                            if bs == 0:
+                                continue
+                            if vertical:
+                                _edge_filter(self.ry, y0 + 4 * seg, x0 + xr,
+                                             4, True, bs, ia, ib, False)
+                            else:
+                                _edge_filter(self.ry, y0 + xr, x0 + 4 * seg,
+                                             4, False, bs, ia, ib, False)
+                            if xr in (0, 8):
+                                for comp, plane in ((0, self.ru),
+                                                    (1, self.rv)):
+                                    cq = (self._qpc(qp_p, comp)
+                                          + self._qpc(qq, comp) + 1) >> 1
+                                    ca = int(np.clip(cq + off_a, 0, 51))
+                                    cb = int(np.clip(cq + off_b, 0, 51))
+                                    if vertical:
+                                        _edge_filter(
+                                            plane, cy0 + 2 * seg,
+                                            cx0 + xr // 2, 2, True,
+                                            bs, ca, cb, True)
+                                    else:
+                                        _edge_filter(
+                                            plane, cy0 + xr // 2,
+                                            cx0 + 2 * seg, 2, False,
+                                            bs, ca, cb, True)
+
 
 # ---------------------------------------------------------------------------
 # frame-level API
@@ -1114,6 +1656,7 @@ class PureH264Decoder:
         self.sps: Optional[_SpsExt] = None
         self.pps: Optional[_Pps] = None
         self.length_size = 4
+        self.dpb = Dpb()
         if extradata:
             from mixlab_tpu.av.avc import DecoderConfigurationRecord
 
@@ -1151,6 +1694,14 @@ class PureH264Decoder:
                 raise H264DecodeError("slice before SPS/PPS")
             import os
 
+            nal_ref_idc = (unit[0] >> 5) & 3
+            # route by slice type: intra pictures keep the fast tiers
+            # (their header parse predates the inter support and assumes
+            # all-IDR intra streams); anything else goes through the full
+            # header parser with the reference buffer attached
+            pr = BitReader(rbsp)
+            pr.ue()  # first_mb_in_slice
+            is_intra_idr = nal_type == 5 and pr.ue() % 5 == 2
             if self.pps.entropy_cabac:
                 # CABAC entropy tier: native C++ twin first, Python
                 # scalar fallback (both share this module's recon math)
@@ -1160,16 +1711,23 @@ class PureH264Decoder:
                 )
 
                 dec = None
-                if os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") != "1":
+                if (is_intra_idr
+                        and os.environ.get("MIXLAB_PURE_H264_SCALAR", "0")
+                        != "1"):
                     dec = NativeCabacSliceDecoder(self.sps, self.pps)
                     if not dec.decode_slice(BitReader(rbsp), nal_type):
                         dec = None
                 if dec is None:
-                    dec = CabacSliceDecoder(self.sps, self.pps)
-                    dec.decode_slice(BitReader(rbsp), nal_type)
+                    dec = CabacSliceDecoder(self.sps, self.pps, self.dpb)
+                    dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
+            elif not is_intra_idr:
+                # inter pictures (and non-IDR intra): the scalar tier owns
+                # the full slice-header semantics (ref lists, marking)
+                dec = _SliceDecoder(self.sps, self.pps, self.dpb)
+                dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
             elif os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
-                dec = _SliceDecoder(self.sps, self.pps)
-                dec.decode_slice(BitReader(rbsp), nal_type)
+                dec = _SliceDecoder(self.sps, self.pps, self.dpb)
+                dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
             else:
                 # tier 1: C++ full baseline-intra decoder (all modes +
                 # deblocking; tests/test_h264dec_intra_full.py).
@@ -1194,13 +1752,35 @@ class PureH264Decoder:
                         dec = FastSliceDecoder(self.sps, self.pps)
                         dec.decode_slice(BitReader(rbsp), nal_type)
                     except H264Unsupported:
-                        dec = _SliceDecoder(self.sps, self.pps)
-                        dec.decode_slice(BitReader(rbsp), nal_type)
+                        dec = _SliceDecoder(self.sps, self.pps, self.dpb)
+                        dec.decode_slice(BitReader(rbsp), nal_type,
+                                         nal_ref_idc)
+            full_y = np.clip(dec.ry, 0, 255).astype(np.uint8)
+            full_u = np.clip(dec.ru, 0, 255).astype(np.uint8)
+            full_v = np.clip(dec.rv, 0, 255).astype(np.uint8)
+            # reference picture marking (8.2.5): IDR resets the buffer;
+            # the fast intra tiers decode IDR-only streams, so their
+            # default frame_num/marking attributes are the IDR values
+            if nal_type == 5:
+                self.dpb.clear()
+            if nal_ref_idc != 0:
+                frame_num = getattr(dec, "frame_num", 0)
+                for op, diff in getattr(dec, "marking_ops", []):
+                    if op == 1:
+                        max_fn = 1 << self.sps.log2_max_frame_num
+                        self.dpb.mmco_forget_short(
+                            frame_num - diff, frame_num, max_fn)
+                if getattr(dec, "adaptive_marking", False):
+                    self.dpb.pics.append(RefPic(
+                        self.dpb._next_pid, frame_num,
+                        full_y, full_u, full_v))
+                    self.dpb._next_pid += 1
+                else:
+                    self.dpb.store(frame_num, full_y, full_u, full_v,
+                                   self.sps.max_num_ref_frames)
             w, h = self.sps.info.width, self.sps.info.height
-            y = np.clip(dec.ry, 0, 255).astype(np.uint8)[:h, :w]
-            u = np.clip(dec.ru, 0, 255).astype(np.uint8)[: h // 2, : w // 2]
-            v = np.clip(dec.rv, 0, 255).astype(np.uint8)[: h // 2, : w // 2]
-            return y, u, v
+            return (full_y[:h, :w], full_u[: h // 2, : w // 2],
+                    full_v[: h // 2, : w // 2])
         return None  # SEI/AUD/filler: ignored
 
     def decode(self, packet: bytes, pts: int = 0):
