@@ -1,28 +1,38 @@
-"""Pure-Python CABAC intra H.264 entropy decoder (zero dependencies).
+"""Pure-Python CABAC H.264 entropy decoder (zero dependencies).
 
 Round-5 extension of the zero-dep video tier: x264's DEFAULT entropy
 coder is CABAC, so a pure tier that only speaks CAVLC covers our own
 encoder's output but few third-party sources.  This module adds the
-CABAC arithmetic decoding engine (spec 9.3.1.2/9.3.3.2) and the I-slice
-syntax decode (9.3.2/9.3.3.1) for the complete intra toolset already
-reconstructed by av/h264dec.py — all nine I_4x4 modes, Intra_16x16,
-chroma prediction, chained mb_qp_delta, I_PCM with mid-slice engine
-re-initialization, and §8.7 deblocking via the shared ``_deblock``.
+CABAC arithmetic decoding engine (spec 9.3.1.2/9.3.3.2) and the I- and
+P-slice syntax decode (9.3.2/9.3.3.1): the complete intra toolset (all
+nine I_4x4 modes, Intra_16x16, chroma prediction, chained mb_qp_delta,
+I_PCM with mid-slice engine re-initialization) plus the full P-slice
+layer — mb_skip_flag, all P mb_types and sub-8x8 shapes, unary ref_idx
+with the same-MB partition context, UEG3 mvd with the |mvd| neighbor
+contexts, intra-in-P (ctxIdxOffset-17 suffix) — feeding the motion
+compensation, MV prediction, and derived-bS deblocking shared with the
+CAVLC tier (av/h264dec.py, av/h264mc.py).
 
 ``CabacSliceDecoder`` subclasses ``_SliceDecoder``: it replaces ONLY the
 entropy layer (context-modelled binary arithmetic coding instead of
-Exp-Golomb/CAVLC) and feeds the same reconstruction methods
-(``_recon_i16_mb`` / ``_recon_i4_mb`` / ``_store_pcm``), so recon
-correctness is shared with the CAVLC tier's differential suite.
+Exp-Golomb/CAVLC) and feeds the same reconstruction methods, so recon
+correctness is shared with the CAVLC tier's differential suites.
 
 Validated bit-exact against libavcodec on real x264 CABAC streams
-(tests/test_h264dec_cabac.py).  Normative tables (context init, LPS
-range, state transitions) come from av/cabac_tables.py — recovered and
-cross-validated by tools/extract_cabac_tables.py.
+(tests/test_h264dec_cabac.py intra, tests/test_h264dec_inter.py P).
+Normative tables (context init, LPS range, state transitions) come from
+av/cabac_tables.py — recovered and cross-validated by
+tools/extract_cabac_tables.py.  The cabac_init_idc 0 column is pinned
+behaviorally by every P differential (x264 and ffmpeg-family encoders
+only ever emit idc 0); columns 1/2 are symbol-identified and
+cross-binary validated but have no behavioral pin — no encoder in this
+image emits them, and context-shifted streams desync before a full
+frame decodes on either decoder.
 
-Scope: frame-coded I slices, 4x4 transform (profile main intra;
-transform_8x8 streams are rejected with a typed error at PPS parse).
-The reference decodes all H.264 via ffmpeg FFI
+Scope: frame-coded I/P slices, 4x4 transform (profile main;
+transform_8x8 streams are rejected with a typed error at PPS parse,
+B slices with a typed error at the slice header).  The reference
+decodes all H.264 via ffmpeg FFI
 (/root/reference/src/rtmp/mod.rs:260-338); this tier exists so the
 zero-dependency build can ingest realistic third-party RTMP video.
 
@@ -35,19 +45,32 @@ from __future__ import annotations
 
 import numpy as np
 
-from mixlab_tpu.av.cabac_tables import INIT_I, LPS_RANGE, TRANS_LPS, TRANS_MPS
+from mixlab_tpu.av.cabac_tables import (
+    INIT_I,
+    INIT_PB,
+    LPS_RANGE,
+    TRANS_LPS,
+    TRANS_MPS,
+)
 from mixlab_tpu.av.h264cavlc import ZIGZAG, _BLK_POS
 from mixlab_tpu.av.h264dec import BitReader, H264DecodeError, _SliceDecoder
 
 # normative-table blob for the C++ twin (mixlab_native.cpp h264cabac::Engine):
-# INIT_I int8 pairs [2048] + LPS_RANGE [256] + TRANS_LPS [64] + TRANS_MPS [64]
+# INIT_I [2048] + INIT_PB[3] [6144] + LPS_RANGE [256] + TRANS_LPS [64]
+# + TRANS_MPS [64]
+def _pack_init(table):
+    return b"".join(bytes(((m + 256) % 256, (n + 256) % 256))
+                    for m, n in table)
+
+
 _TABLES_PACKED = (
-    b"".join(bytes(((m + 256) % 256, (n + 256) % 256)) for m, n in INIT_I)
+    _pack_init(INIT_I)
+    + b"".join(_pack_init(t) for t in INIT_PB)
     + bytes(v for row in LPS_RANGE for v in row)
     + bytes(TRANS_LPS)
     + bytes(TRANS_MPS)
 )
-assert len(_TABLES_PACKED) == 2432
+assert len(_TABLES_PACKED) == 8576
 
 # significant/last ctx offsets per ctxBlockCat (frame coding, 4x4 cats)
 _SIG_CAT_OFF = (0, 15, 29, 44, 47)
@@ -63,13 +86,14 @@ class _CabacEngine:
 
     __slots__ = ("r", "range", "offset", "state", "mps")
 
-    def __init__(self, r: BitReader, qp: int):
-        # context variable init (spec 9.3.1.1), I-slice column — once per
-        # slice; an I_PCM reinit() restarts only the arithmetic engine
+    def __init__(self, r: BitReader, qp: int, init_table=INIT_I):
+        # context variable init (spec 9.3.1.1) — the I column or the
+        # cabac_init_idc-selected P/B column — once per slice; an I_PCM
+        # reinit() restarts only the arithmetic engine
         qp = min(max(qp, 0), 51)
         state = bytearray(1024)
         mps = bytearray(1024)
-        for i, (m, n) in enumerate(INIT_I):
+        for i, (m, n) in enumerate(init_table):
             pre = ((m * qp) >> 4) + n
             pre = 1 if pre < 1 else (126 if pre > 126 else pre)
             if pre <= 63:
@@ -141,15 +165,14 @@ class CabacSliceDecoder(_SliceDecoder):
                      nal_ref_idc: int = 1):
         first_mb, qp, disable_idc, off_a, off_b = self._parse_slice_header(
             r, nal_unit_type, nal_ref_idc)
-        if self.slice_type != 2:
-            raise H264DecodeError(
-                "CABAC inter slices pending (av/h264cabac.py P support)")
         # cabac_alignment_one_bit (7.3.3): pad bits up to the byte
         # boundary are all 1
         while r.pos & 7:
             if not r.bit():
                 raise H264DecodeError("bad cabac_alignment_one_bit")
-        self.eng = _CabacEngine(r, qp)
+        is_p = self.slice_type == 0
+        table = INIT_PB[self.cabac_init_idc] if is_p else INIT_I
+        self.eng = _CabacEngine(r, qp, table)
 
         mbw, mbh = self.mbw, self.mbh
         # neighbor state for context derivation (9.3.3.1.1)
@@ -157,12 +180,15 @@ class CabacSliceDecoder(_SliceDecoder):
         self.mb_inxn = np.zeros((mbh, mbw), bool)
         self.mb_is16 = np.zeros((mbh, mbw), bool)
         self.mb_pcm = np.zeros((mbh, mbw), bool)
+        self.mb_skip = np.zeros((mbh, mbw), bool)
         self.mb_cbp = np.zeros((mbh, mbw), np.int64)  # luma | chroma << 4
         self.chroma_mode_map = np.zeros((mbh, mbw), np.int64)
         self.cbf_ldc = np.zeros((mbh, mbw), np.int8)  # luma DC (I16 only)
         self.cbf_l = np.zeros((mbh * 4, mbw * 4), np.int8)  # luma 4x4
         self.cbf_cdc = np.zeros((2, mbh, mbw), np.int8)  # chroma DC
         self.cbf_c = np.zeros((2, mbh * 2, mbw * 2), np.int8)  # chroma AC
+        # |mvd| per 4x4 cell and component (mvd ctx, 9.3.3.1.1.7)
+        self.absmvd = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         self.prev_qp_delta_nz = False
 
         mb_addr, n_mbs = first_mb, mbw * mbh
@@ -170,7 +196,14 @@ class CabacSliceDecoder(_SliceDecoder):
             if mb_addr >= n_mbs:
                 raise H264DecodeError("CABAC slice overruns the picture")
             mx, my = mb_addr % mbw, mb_addr // mbw
-            self._decode_mb_cabac(r, mx, my)
+            if is_p and self._read_skip_flag(mx, my):
+                self._p_skip_mb(mx, my)
+                self.mb_skip[my, mx] = True
+                self.prev_qp_delta_nz = False
+            elif is_p:
+                self._decode_mb_cabac_p(r, mx, my)
+            else:
+                self._decode_mb_cabac(r, mx, my)
             self.mb_decoded[my, mx] = True
             mb_addr += 1
             if self.eng.terminate():  # end_of_slice_flag
@@ -179,7 +212,10 @@ class CabacSliceDecoder(_SliceDecoder):
             raise H264DecodeError(
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks")
         if disable_idc != 1:
-            self._deblock(off_a, off_b)
+            if is_p:
+                self._deblock_general(off_a, off_b)
+            else:
+                self._deblock(off_a, off_b)
 
     # ---- macroblock layer ------------------------------------------------
 
@@ -199,7 +235,10 @@ class CabacSliceDecoder(_SliceDecoder):
         if eng.decision(7):
             cbp_chroma = 2 if eng.decision(8) else 1
         pred_mode = (eng.decision(9) << 1) | eng.decision(10)
+        self._finish_i16_cabac(mx, my, cbp_luma, cbp_chroma, pred_mode)
 
+    def _finish_i16_cabac(self, mx: int, my: int, cbp_luma: int,
+                          cbp_chroma: int, pred_mode: int):
         chroma_mode = self._read_chroma_mode(mx, my)
         qp = self._read_qp_delta(mx, my)
         self.mb_is16[my, mx] = True
@@ -281,6 +320,201 @@ class CabacSliceDecoder(_SliceDecoder):
             Z[i] = flat.reshape(4, 4)
         CZD, CZA = self._read_chroma_cabac(mx, my, cbp_chroma)
         self._recon_i4_mb(mx, my, modes, qp, Z, chroma_mode, CZD, CZA)
+
+    # ---- P macroblock layer (spec 7.3.5, 9.3.3.1) ------------------------
+
+    def _read_skip_flag(self, mx: int, my: int) -> bool:
+        """mb_skip_flag (9.3.3.1.1.1): condTermFlagN = 1 iff mbAddrN is
+        available and NOT skipped."""
+        cond_a = mx > 0 and not self.mb_skip[my, mx - 1]
+        cond_b = my > 0 and not self.mb_skip[my - 1, mx]
+        return bool(self.eng.decision(11 + cond_a + cond_b))
+
+    def _read_ref_idx_cabac(self, gx: int, gy: int) -> int:
+        """ref_idx_l0: unary, ctx 54-59 (9.3.3.1.1.6); present only when
+        the list has more than one active entry (7.3.5.1)."""
+        if self.num_ref_active == 1:
+            return 0
+        eng = self.eng
+
+        def nref(cx, cy):
+            """Neighbor ref for the ctx: cells of earlier partitions in
+            the CURRENT MB are known from the ref-read phase (refknown)
+            before their MVs decode."""
+            if (cx < 0 or cy < 0 or cx >= self.mbw * 4
+                    or cy >= self.mbh * 4):
+                return -2
+            if self.refknown[cy, cx] or self.decoded4[cy, cx]:
+                return int(self.refidx[cy, cx])
+            return -2
+
+        inc = (nref(gx - 1, gy) > 0) + 2 * (nref(gx, gy - 1) > 0)
+        if not eng.decision(54 + inc):
+            idx = 0
+        else:
+            idx = 1
+            while idx < 32 and eng.decision(58 if idx == 1 else 59):
+                idx += 1
+            if idx >= 32:
+                raise H264DecodeError("ref_idx unary overflow")
+        n = len(self.list0)
+        if idx >= n or self.list0[idx] is None:
+            raise H264DecodeError(f"ref_idx {idx} outside the {n}-entry "
+                                  "reference list")
+        return idx
+
+    def _read_mvd_cabac(self, gx: int, gy: int, comp: int) -> int:
+        """mvd_l0 component: UEG3 (prefix TU ctx-coded to 9, EG3 bypass
+        suffix, bypass sign), ctx 40-46 / 47-53 (9.3.3.1.1.7)."""
+        eng = self.eng
+        base = 40 if comp == 0 else 47
+
+        def amvd(cx, cy):
+            if (cx < 0 or cy < 0 or cx >= self.mbw * 4
+                    or cy >= self.mbh * 4 or not self.decoded4[cy, cx]):
+                return 0
+            return int(self.absmvd[cy, cx, comp])
+
+        e = amvd(gx - 1, gy) + amvd(gx, gy - 1)
+        inc = 0 if e < 3 else (2 if e > 32 else 1)
+        if not eng.decision(base + inc):
+            return 0
+        val, ctx = 1, 3
+        while val < 9 and eng.decision(base + ctx):
+            if ctx < 6:
+                ctx += 1
+            val += 1
+        if val >= 9:  # EG3 escape suffix in bypass
+            k = 3
+            while eng.bypass():
+                val += 1 << k
+                k += 1
+                if k > 24:
+                    raise H264DecodeError("mvd suffix overflow")
+            while k:
+                k -= 1
+                val += eng.bypass() << k
+        return -val if eng.bypass() else val
+
+    def _decode_mb_cabac_p(self, r: BitReader, mx: int, my: int):
+        eng = self.eng
+        # mb_type, P prefix (ctx 14-17, binarization 9.3.2.5)
+        if eng.decision(14):
+            # intra MB in a P slice: suffix with ctxIdxOffset 17 —
+            # element-position contexts 17 / 18 / 19,19 / 20,20
+            self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
+            if eng.decision(17) == 0:
+                self._decode_i4_mb_cabac(mx, my)
+                return
+            if eng.terminate():
+                self._decode_pcm_cabac(r, mx, my)
+                return
+            cbp_luma = 15 if eng.decision(18) else 0
+            cbp_chroma = 0
+            if eng.decision(19):
+                cbp_chroma = 2 if eng.decision(19) else 1
+            pred_mode = (eng.decision(20) << 1) | eng.decision(20)
+            self._finish_i16_cabac(mx, my, cbp_luma, cbp_chroma, pred_mode)
+            return
+        if eng.decision(15) == 0:
+            mb_type = 3 * eng.decision(16)  # P_L0_16x16 / P_8x8
+        else:
+            mb_type = 2 - eng.decision(17)  # P_L0_L0_8x16 / _16x8
+        self._mark_inter(mx, my)
+        parts = []
+        if mb_type in (0, 1, 2):
+            from mixlab_tpu.av.h264dec import _P_PARTS
+
+            shapes = _P_PARTS[mb_type]
+            hint = {0: (None,), 1: ("16x8_top", "16x8_bot"),
+                    2: ("8x16_left", "8x16_right")}[mb_type]
+            refs = []
+            for px, py_, w, h in shapes:
+                gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                ref = self._read_ref_idx_cabac(gx, gy)
+                self.refidx[gy: gy + h // 4, gx: gx + w // 4] = ref
+                self.refknown[gy: gy + h // 4, gx: gx + w // 4] = True
+                refs.append(ref)
+            for (px, py_, w, h), ref, hn in zip(shapes, refs, hint):
+                gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                dx = self._read_mvd_cabac(gx, gy, 0)
+                dy = self._read_mvd_cabac(gx, gy, 1)
+                px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, hn)
+                self._set_part(mx, my, px, py_, w, h, ref,
+                               px_x + dx, px_y + dy)
+                self._set_absmvd(gx, gy, w // 4, h // 4, dx, dy)
+                parts.append((px, py_, w, h, ref, px_x + dx, px_y + dy))
+        else:  # P_8x8 (CABAC has no P_8x8ref0, Table 9-34)
+            from mixlab_tpu.av.h264dec import _P_SUB_PARTS
+
+            subs = []
+            for _ in range(4):
+                # sub_mb_type binarization (Table 9-38, ctx 21-23)
+                if eng.decision(21):
+                    subs.append(0)  # P_L0_8x8
+                elif not eng.decision(22):
+                    subs.append(1)  # P_L0_8x4
+                elif eng.decision(23):
+                    subs.append(2)  # P_L0_4x8
+                else:
+                    subs.append(3)  # P_L0_4x4
+            refs = []
+            for b8 in range(4):
+                bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
+                gx, gy = mx * 4 + bx0 // 4, my * 4 + by0 // 4
+                ref = self._read_ref_idx_cabac(gx, gy)
+                self.refidx[gy: gy + 2, gx: gx + 2] = ref
+                self.refknown[gy: gy + 2, gx: gx + 2] = True
+                refs.append(ref)
+            for b8 in range(4):
+                bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
+                ref = refs[b8]
+                for sx, sy, w, h in _P_SUB_PARTS[subs[b8]]:
+                    px, py_ = bx0 + sx, by0 + sy
+                    gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                    dx = self._read_mvd_cabac(gx, gy, 0)
+                    dy = self._read_mvd_cabac(gx, gy, 1)
+                    px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, None)
+                    self._set_part(mx, my, px, py_, w, h, ref,
+                                   px_x + dx, px_y + dy)
+                    self._set_absmvd(gx, gy, w // 4, h // 4, dx, dy)
+                    parts.append((px, py_, w, h, ref, px_x + dx, px_y + dy))
+        pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
+
+        cbp_luma, cbp_chroma = self._read_cbp(mx, my)
+        self.mb_cbp[my, mx] = cbp_luma | (cbp_chroma << 4)
+        if cbp_luma or cbp_chroma:
+            qp = self._read_qp_delta(mx, my)
+        else:
+            qp = self.qp_prev
+            self.qp_map[my, mx] = qp
+            self.prev_qp_delta_nz = False
+
+        gy0, gx0 = my * 4, mx * 4
+        Z = np.zeros((16, 4, 4), np.int64)
+        for i, (bx, by) in enumerate(_BLK_POS):
+            if not (cbp_luma >> (i >> 2)) & 1:
+                continue
+            gx, gy = gx0 + bx, gy0 + by
+            coeffs = self._residual(
+                2, self._cbf_inc_luma4(gx, gy, cur_intra=False), (gy, gx), 16)
+            if coeffs is None:
+                continue
+            self.cbf_l[gy, gx] = 1
+            self.nnz_y[gy, gx] = sum(1 for c in coeffs if c)  # deblock bS
+            flat = np.zeros(16, np.int64)
+            for k, z in enumerate(ZIGZAG):
+                flat[z] = coeffs[k]
+            Z[i] = flat.reshape(4, 4)
+        CZD, CZA = self._read_chroma_cabac(mx, my, cbp_chroma,
+                                           cur_intra=False)
+        self._recon_inter_mb(mx, my, qp, Z, CZD, CZA,
+                             pred_y, pred_u, pred_v)
+
+    def _set_absmvd(self, gx: int, gy: int, w4: int, h4: int,
+                    dx: int, dy: int):
+        self.absmvd[gy: gy + h4, gx: gx + w4, 0] = abs(dx)
+        self.absmvd[gy: gy + h4, gx: gx + w4, 1] = abs(dy)
 
     def _decode_pcm_cabac(self, r: BitReader, mx: int, my: int):
         """I_PCM: raw samples start at the next byte boundary after the
@@ -368,13 +602,15 @@ class CabacSliceDecoder(_SliceDecoder):
             cbp_chroma = 2 if eng.decision(81 + cond_a + 2 * cond_b) else 1
         return cbp_luma, cbp_chroma
 
-    def _read_chroma_cabac(self, mx: int, my: int, cbp_chroma: int):
+    def _read_chroma_cabac(self, mx: int, my: int, cbp_chroma: int,
+                           cur_intra: bool = True):
         CZD = [np.zeros((2, 2), np.int64), np.zeros((2, 2), np.int64)]
         CZA = [np.zeros((4, 4, 4), np.int64), np.zeros((4, 4, 4), np.int64)]
         if cbp_chroma:
             for comp in range(2):
-                dc = self._residual(3, self._cbf_inc_chroma_dc(mx, my, comp),
-                                    None, 4)
+                dc = self._residual(
+                    3, self._cbf_inc_chroma_dc(mx, my, comp, cur_intra),
+                    None, 4)
                 if dc is not None:
                     self.cbf_cdc[comp, my, mx] = 1
                     CZD[comp] = np.array(
@@ -384,7 +620,8 @@ class CabacSliceDecoder(_SliceDecoder):
                 for i in range(4):
                     gx, gy = mx * 2 + i % 2, my * 2 + i // 2
                     coeffs = self._residual(
-                        4, self._cbf_inc_chroma_ac(gx, gy, comp), None, 15)
+                        4, self._cbf_inc_chroma_ac(gx, gy, comp, cur_intra),
+                        None, 15)
                     if coeffs is None:
                         continue
                     self.cbf_c[comp, gy, gx] = 1
@@ -408,30 +645,32 @@ class CabacSliceDecoder(_SliceDecoder):
 
         return cond(mx - 1, my) + 2 * cond(mx, my - 1)
 
-    def _cbf_inc_luma4(self, gx: int, gy: int) -> int:
+    def _cbf_inc_luma4(self, gx: int, gy: int, cur_intra: bool = True) -> int:
         def cond(nx, ny):
             if nx < 0 or ny < 0:
-                return 1
+                return 1 if cur_intra else 0  # 9.3.3.1.1.9
             if self.mb_pcm[ny >> 2, nx >> 2]:
                 return 1
             return int(self.cbf_l[ny, nx])
 
         return cond(gx - 1, gy) + 2 * cond(gx, gy - 1)
 
-    def _cbf_inc_chroma_dc(self, mx: int, my: int, comp: int) -> int:
+    def _cbf_inc_chroma_dc(self, mx: int, my: int, comp: int,
+                           cur_intra: bool = True) -> int:
         def cond(nx, ny):
             if nx < 0 or ny < 0:
-                return 1
+                return 1 if cur_intra else 0
             if self.mb_pcm[ny, nx]:
                 return 1
             return int(self.cbf_cdc[comp, ny, nx])
 
         return cond(mx - 1, my) + 2 * cond(mx, my - 1)
 
-    def _cbf_inc_chroma_ac(self, gx: int, gy: int, comp: int) -> int:
+    def _cbf_inc_chroma_ac(self, gx: int, gy: int, comp: int,
+                           cur_intra: bool = True) -> int:
         def cond(nx, ny):
             if nx < 0 or ny < 0:
-                return 1
+                return 1 if cur_intra else 0
             if self.mb_pcm[ny >> 1, nx >> 1]:
                 return 1
             return int(self.cbf_c[comp, ny, nx])

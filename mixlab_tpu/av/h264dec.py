@@ -1,13 +1,22 @@
-"""Pure-Python CAVLC intra H.264 decoder (zero dependencies).
+"""Pure-Python H.264 decoder (zero dependencies): full-intra + P-slice.
 
 The inverse of the zero-dep encoder tier (av/h264cavlc.py + av/h264enc.py)
-and a real-world intra decoder: IDR I-slices, CAVLC entropy coding, the
-FULL intra toolset — I_4x4 macroblocks with all nine 4x4 prediction modes,
-Intra_16x16 with all four modes, all four chroma modes, chained
-``mb_qp_delta``, I_PCM, and the §8.7 in-loop deblocking filter.  That is
-the complete coding surface of baseline-profile intra streams, so this
-tier decodes what third-party encoders (x264 at profile=baseline, intra
-only) actually emit — not just our own encoder's output.  Three jobs:
+and a real-world decoder for what third-party encoders actually emit:
+
+  * the FULL intra toolset — I_4x4 with all nine prediction modes,
+    Intra_16x16 with all four, all four chroma modes, chained
+    ``mb_qp_delta``, I_PCM — with CAVLC entropy here and CABAC via the
+    sibling tier (av/h264cabac.py) feeding the same reconstruction;
+  * INTER prediction (round 5): P slices with every mb_type and sub-8x8
+    partition shape, quarter-sample motion compensation (av/h264mc.py),
+    median MV prediction with the 16x8/8x16 directional shortcuts and
+    P_Skip inference (8.4.1), a multi-picture DPB with sliding-window
+    and MMCO-1 marking, reference list initialization + the full
+    8.2.4.3.1 modification process, and explicit weighted prediction;
+  * the §8.7 in-loop deblocking filter, with derived per-edge boundary
+    strengths for inter pictures (8.7.2.1).
+
+Three jobs:
 
   * an in-tree round-trip oracle for the pure encoder that is independent
     of libavcodec (tests decode our own streams and compare against the
@@ -15,21 +24,21 @@ only) actually emit — not just our own encoder's output.  Three jobs:
   * zero-dependency RTMP video ingest: ``PureH264Decoder`` is duck-type
     compatible with ``native/avshim.VideoDecoder`` (rtmp/mod.rs:260-338
     uses ffmpeg here; this build falls back to the pure tier on images
-    with no codec libraries), and
-  * differential validation against libavcodec on real x264 streams
-    (tests/test_h264dec_intra_full.py): bit-exact planes across QP sweeps,
-    deblock on/off, and adaptive-quant per-MB deltas.
+    with no codec libraries) and decodes default x264 output
+    (profile=main, CABAC, inter), and
+  * differential validation against libavcodec on real x264 streams:
+    bit-exact planes across QP sweeps, deblock variants, adaptive-quant
+    deltas (tests/test_h264dec_intra_full.py), and the full inter suite
+    (tests/test_h264dec_inter.py).
 
-CABAC intra streams decode via the sibling entropy tier
-(av/h264cabac.py, round 5) feeding this module's reconstruction.  Out of
-scope (rejected with a typed error, never mis-decoded): inter
-prediction, I_8x8 (transform_8x8), scaling matrices, fields, and
-multi-slice pictures — the general case is what the libavcodec shim is
-for.
+Out of scope (rejected with a typed error, never mis-decoded): B slices,
+I_8x8 (transform_8x8), scaling matrices, long-term references, fields,
+and multi-slice pictures — the general case is what the libavcodec shim
+is for.
 
-Spec references: ITU-T H.264 §7.3 (syntax), §8.3 (intra prediction),
-§8.5 (transform/dequant), §8.7 (deblocking), §9.1/9.2 (Exp-Golomb,
-CAVLC).
+Spec references: ITU-T H.264 §7.3 (syntax), §8.2.4/8.2.5 (lists, DPB),
+§8.3 (intra prediction), §8.4 (inter prediction), §8.5
+(transform/dequant), §8.7 (deblocking), §9.1/9.2 (Exp-Golomb, CAVLC).
 """
 
 from __future__ import annotations
@@ -755,6 +764,10 @@ class _SliceDecoder:
         self.refidx = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.refpid = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.decoded4 = np.zeros((mbh * 4, mbw * 4), bool)
+        # ref_idx known before the partition's MV is (CABAC reads all
+        # ref_idx of an MB before any mvd, and the ref_idx ctx depends on
+        # earlier same-MB partitions' refs, 9.3.3.1.1.6)
+        self.refknown = np.zeros((mbh * 4, mbw * 4), bool)
         self.mb_intra = np.ones((mbh, mbw), bool)
         self.list0: List[RefPic] = []
         self.wp = None  # (log_wd_y, log_wd_c, [(wy,oy,wu,ou,wv,ov)])
@@ -1695,14 +1708,30 @@ class PureH264Decoder:
             import os
 
             nal_ref_idc = (unit[0] >> 5) & 3
-            # route by slice type: intra pictures keep the fast tiers
-            # (their header parse predates the inter support and assumes
-            # all-IDR intra streams); anything else goes through the full
-            # header parser with the reference buffer attached
+            # route by slice type: intra-IDR pictures keep the fast intra
+            # tiers (their header parse predates the inter support and
+            # assumes all-IDR intra streams); P slices go to the native
+            # inter tier, falling back to the Python tiers; non-IDR intra
+            # uses the Python tiers with the full header parser
             pr = BitReader(rbsp)
             pr.ue()  # first_mb_in_slice
-            is_intra_idr = nal_type == 5 and pr.ue() % 5 == 2
-            if self.pps.entropy_cabac:
+            slice_type_peek = pr.ue() % 5
+            is_intra_idr = nal_type == 5 and slice_type_peek == 2
+            scalar_only = os.environ.get(
+                "MIXLAB_PURE_H264_SCALAR", "0") == "1"
+            dec = None
+            if slice_type_peek == 0 and not scalar_only:
+                # native P tier (CAVLC and CABAC; C++ macroblock layer)
+                from mixlab_tpu.av.h264dec_fast import (
+                    NativeInterSliceDecoder,
+                )
+
+                nd = NativeInterSliceDecoder(self.sps, self.pps, self.dpb)
+                if nd.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc):
+                    dec = nd
+            if dec is not None:
+                pass
+            elif self.pps.entropy_cabac:
                 # CABAC entropy tier: native C++ twin first, Python
                 # scalar fallback (both share this module's recon math)
                 from mixlab_tpu.av.h264cabac import (
@@ -1710,10 +1739,7 @@ class PureH264Decoder:
                     NativeCabacSliceDecoder,
                 )
 
-                dec = None
-                if (is_intra_idr
-                        and os.environ.get("MIXLAB_PURE_H264_SCALAR", "0")
-                        != "1"):
+                if is_intra_idr and not scalar_only:
                     dec = NativeCabacSliceDecoder(self.sps, self.pps)
                     if not dec.decode_slice(BitReader(rbsp), nal_type):
                         dec = None
@@ -1721,11 +1747,11 @@ class PureH264Decoder:
                     dec = CabacSliceDecoder(self.sps, self.pps, self.dpb)
                     dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
             elif not is_intra_idr:
-                # inter pictures (and non-IDR intra): the scalar tier owns
-                # the full slice-header semantics (ref lists, marking)
+                # CAVLC P (no native lib) and non-IDR intra: the scalar
+                # tier owns the full slice-header semantics
                 dec = _SliceDecoder(self.sps, self.pps, self.dpb)
                 dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
-            elif os.environ.get("MIXLAB_PURE_H264_SCALAR", "0") == "1":
+            elif scalar_only:
                 dec = _SliceDecoder(self.sps, self.pps, self.dpb)
                 dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
             else:

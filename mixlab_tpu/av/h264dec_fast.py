@@ -51,9 +51,11 @@ from mixlab_tpu.av.h264dec import (
     _RUN_DEC,
     _TOTAL_ZEROS_DEC,
     BitReader,
+    Dpb,
     H264DecodeError,
     H264Unsupported,
     _Pps,
+    _SliceDecoder,
     _SpsExt,
 )
 
@@ -395,6 +397,114 @@ class NativeFullSliceDecoder:
         if int(state[1]) != n_total:
             raise H264DecodeError(
                 f"slice ended after {int(state[1])}/{n_total} macroblocks")
+        r.pos = int(state[0])
+        return True
+
+
+# ---------------------------------------------------------------------------
+# native P-slice decoder (C++ h264_decode_pslice, round 5)
+# ---------------------------------------------------------------------------
+
+_NATIVE_P_ERRORS = {
+    -3: "truncated I_PCM",
+    -4: "bad mb_type",
+    -7: "bad Exp-Golomb code",
+    -8: "bitstream truncated",
+    -9: "bad intra_chroma_pred_mode",
+    -10: "bad coded_block_pattern",
+    -11: "intra prediction without required neighbors",
+    -20: "invalid CABAC initial codIOffset",
+    -21: "CABAC level overflow",
+    -22: "CABAC slice overruns the picture",
+    -24: "mb_qp_delta unary overflow",
+    -25: "bad cabac_alignment_one_bit",
+    -33: "bad P sub_mb_type",
+    -34: "ref_idx unary overflow",
+    -35: "mvd suffix overflow",
+    -36: "mb_skip_run overruns the picture",
+}
+
+
+class NativeInterSliceDecoder(_SliceDecoder):
+    """P-slice decoder backed by the C++ twin (mixlab_native.cpp
+    h264_decode_pslice): the slice header parses in Python (ref list
+    init + modification, weights, marking — shared with the scalar
+    tier), then the macroblock layer, fractional-sample MC and
+    derived-bS deblocking run natively for BOTH entropy modes.
+    Bit-exact vs the Python tiers AND libavcodec
+    (tests/test_h264dec_inter.py) — the tier that makes codec-less
+    ingest of real (inter-coded) RTMP video practical."""
+
+    def __init__(self, sps: _SpsExt, pps: _Pps, dpb: Dpb):
+        self.sps = sps
+        self.pps = pps
+        self.dpb = dpb
+        mbw, mbh = sps.mb_width, sps.mb_height
+        self.mbw, self.mbh = mbw, mbh
+        self.ry = np.zeros((mbh * 16, mbw * 16), np.uint8)
+        self.ru = np.zeros((mbh * 8, mbw * 8), np.uint8)
+        self.rv = np.zeros((mbh * 8, mbw * 8), np.uint8)
+        # header-parse defaults normally seeded by _SliceDecoder.__init__
+        self.cabac_init_idc = 0
+        self.adaptive_marking = False
+        self.marking_ops = []
+        self.frame_num = 0
+        self.is_ref = True
+
+    def decode_slice(self, r: BitReader, nal_unit_type: int,
+                     nal_ref_idc: int = 1) -> bool:
+        """Returns False when the native library is unavailable or the
+        slice is not P (caller falls back to the Python tiers); raises on
+        stream errors."""
+        from mixlab_tpu import native
+        from mixlab_tpu.av.h264cabac import _TABLES_PACKED as _CABAC_BLOB
+
+        _first_mb, qp, disable_idc, off_a, off_b = self._parse_slice_header(
+            r, nal_unit_type, nal_ref_idc)
+        if self.slice_type != 0:
+            return False
+        pics = []
+        slot_of = {}
+        ref_slot = np.full(self.num_ref_active, -1, np.int64)
+        ref_pid = np.full(self.num_ref_active, -1, np.int64)
+        for i, p in enumerate(self.list0):
+            if p is None:
+                continue
+            if id(p) not in slot_of:
+                slot_of[id(p)] = len(pics)
+                pics.append(p)
+            ref_slot[i] = slot_of[id(p)]
+            ref_pid[i] = p.pid
+        refs_y = np.stack([p.y for p in pics])
+        refs_u = np.stack([p.u for p in pics])
+        refs_v = np.stack([p.v for p in pics])
+        wp_arr = None
+        if self.wp is not None:
+            log_y, log_c, entries = self.wp
+            wp_arr = np.array(
+                [log_y, log_c] + [v for e in entries for v in e], np.int64)
+        state = np.zeros(3, np.int64)
+        code = native.h264_decode_pslice(
+            bytes(r.data) + b"\0" * 8, len(r.data), r.pos,
+            self.mbw, self.mbh, qp,
+            self.pps.chroma_qp_offset, self.pps.chroma_qp_offset2,
+            disable_idc, off_a, off_b,
+            1 if self.pps.entropy_cabac else 0, self.cabac_init_idc,
+            self.num_ref_active, refs_y, refs_u, refs_v,
+            ref_slot, ref_pid, wp_arr, _TABLES_PACKED, _CABAC_BLOB,
+            self.ry, self.ru, self.rv, state)
+        if code is None:
+            return False
+        if code == -23:
+            raise H264DecodeError(
+                f"slice ended after {int(state[1])}/{self.mbw * self.mbh}"
+                " macroblocks")
+        if code == -32:
+            raise H264DecodeError(
+                f"ref_idx {int(state[2])} outside the reference list")
+        if code != 0:
+            raise H264DecodeError(
+                _NATIVE_P_ERRORS.get(code, f"native P decode error {code}"))
         r.pos = int(state[0])
         return True
 

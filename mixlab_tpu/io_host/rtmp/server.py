@@ -159,8 +159,10 @@ class ShimDecoder(MediaDecoder):
 
 
 class PureTierDecoder(MediaDecoder):
-    """Zero-dependency ingest tier: H.264 video through the pure CAVLC
-    intra decoder (av/h264dec.py), AAC-LC audio through the pure decoder
+    """Zero-dependency ingest tier: H.264 video through the pure decoder
+    (av/h264dec.py — full intra AND inter P slices, CAVLC and CABAC,
+    i.e. what default x264/OBS publishers actually send, with C++ twins
+    at realtime+ rates), AAC-LC audio through the pure decoder
     (av/aacdec.py, tables recovered clean-room by
     tools/extract_aac_tables.py) — no codec libraries at all.  The
     reference simply fails to build without ffmpeg/fdk

@@ -101,6 +101,16 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_char_p]             # cabac tables blob
         + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
     )
+    lib.h264_decode_pslice.restype = ctypes.c_int64
+    lib.h264_decode_pslice.argtypes = (
+        [ctypes.c_char_p]               # data (padded RBSP)
+        + [ctypes.c_int64] * 14         # n_bytes..n_ref_slots
+        + [ctypes.c_void_p] * 5         # refs_y/u/v, ref_slot, ref_pid
+        + [ctypes.c_int64]              # has_wp
+        + [ctypes.c_void_p]             # wp
+        + [ctypes.c_char_p] * 2         # cavlc tables, cabac blob
+        + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
+    )
     lib.h264_encode_frame.restype = ctypes.c_int64
     lib.h264_encode_frame.argtypes = (
         [ctypes.c_void_p] * 3           # py, pu, pv
@@ -274,6 +284,40 @@ def h264_decode_islice_cabac(padded: bytes, n_bytes: int, start_pos: int,
         padded, n_bytes, start_pos, mbw, mbh, slice_qp,
         chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b,
         cabac_tables, ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
+        out_state.ctypes.data))
+
+
+def h264_decode_pslice(padded: bytes, n_bytes: int, start_pos: int,
+                       mbw: int, mbh: int, slice_qp: int,
+                       chroma_qp_off: int, chroma_qp_off2: int,
+                       disable_idc: int, off_a: int, off_b: int,
+                       is_cabac: int, cabac_init_idc: int,
+                       num_ref_active: int, refs_y: np.ndarray,
+                       refs_u: np.ndarray, refs_v: np.ndarray,
+                       ref_slot: np.ndarray, ref_pid: np.ndarray,
+                       wp: Optional[np.ndarray], cavlc_tables: bytes,
+                       cabac_blob: bytes, ry: np.ndarray, ru: np.ndarray,
+                       rv: np.ndarray,
+                       out_state: np.ndarray) -> Optional[int]:
+    """P-slice decode (CAVLC or CABAC): macroblock layer, MC prediction +
+    deblocking into the uint8 planes (mixlab_native.cpp
+    h264_decode_pslice).  refs_y/u/v are stacked full reference planes;
+    ref_slot/ref_pid map list0 entries to slots/identities; wp is the
+    explicit-weight table or None.  Returns the C error code (0 = ok) or
+    None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.h264_decode_pslice(
+        padded, n_bytes, start_pos, mbw, mbh, slice_qp,
+        chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b,
+        is_cabac, cabac_init_idc, num_ref_active, len(refs_y),
+        refs_y.ctypes.data, refs_u.ctypes.data, refs_v.ctypes.data,
+        ref_slot.ctypes.data, ref_pid.ctypes.data,
+        0 if wp is None else 1,
+        None if wp is None else wp.ctypes.data,
+        cavlc_tables, cabac_blob,
+        ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
         out_state.ctypes.data))
 
 

@@ -330,6 +330,9 @@ struct NnzGrid {
     int w;
     NnzGrid(int h_, int w_) : v(static_cast<size_t>(h_) * w_, -1), w(w_) {}
     inline int16_t& at(int y, int x) { return v[static_cast<size_t>(y) * w + x]; }
+    inline int16_t cat(int y, int x) const {
+        return v[static_cast<size_t>(y) * w + x];
+    }
 };
 
 static int nc_of(NnzGrid& nnz, int mx, int my, int bx, int by, int grid) {
@@ -1197,6 +1200,36 @@ constexpr int kCbpIntra[48] = {
     16, 3,  5,  10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1,  2,  4,
     8,  17, 18, 20, 24, 6,  9,  22, 25, 32, 33, 34, 36, 40, 38, 41};
 
+// Table 9-4, inter column (twin of h264dec._CBP_INTER)
+constexpr int kCbpInter[48] = {
+    0,  16, 1,  2,  4,  8,  32, 3,  5,  10, 12, 15, 47, 7,  11, 13,
+    14, 6,  9,  31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41};
+
+// P partition shapes by mb_type (Table 7-13): {px, py, w, h}
+constexpr int kPParts[3][2][4] = {
+    {{0, 0, 16, 16}, {0, 0, 0, 0}},
+    {{0, 0, 16, 8}, {0, 8, 16, 8}},
+    {{0, 0, 8, 16}, {8, 0, 8, 16}}};
+constexpr int kPPartN[3] = {1, 2, 2};
+// sub-partition shapes by sub_mb_type (Table 7-17): {sx, sy, w, h}
+constexpr int kPSub[4][4][4] = {
+    {{0, 0, 8, 8}, {0}, {0}, {0}},
+    {{0, 0, 8, 4}, {0, 4, 8, 4}, {0}, {0}},
+    {{0, 0, 4, 8}, {4, 0, 4, 8}, {0}, {0}},
+    {{0, 0, 4, 4}, {4, 0, 4, 4}, {0, 4, 4, 4}, {4, 4, 4, 4}}};
+constexpr int kPSubN[4] = {1, 2, 2, 4};
+
+// MV-prediction directional hints (8.4.1.3)
+enum MvpHint { kHintNone = 0, kHint16x8Top, kHint16x8Bot,
+               kHint8x16Left, kHint8x16Right };
+
+inline int64_t median3(int64_t a, int64_t b, int64_t c) {
+    const int64_t mn = a < b ? (a < c ? a : c) : (b < c ? b : c);
+    const int64_t mx = a > b ? (a > c ? a : c) : (b > c ? b : c);
+    return a + b + c - mn - mx;
+}
+
 // Table 8-15 (offset 0): QPc for qPi >= 30
 constexpr int kQpc30[22] = {29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
                             36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39};
@@ -1250,6 +1283,22 @@ struct Dec {
     int qp_off_u, qp_off_v;
     const uint8_t* tables;
 
+    // ---- inter state (round 5: P slices; twin of h264dec.py) ----------
+    bool is_p = false;
+    int num_ref_active = 1;
+    int n_ref_slots = 0;
+    const uint8_t *refs_y = nullptr, *refs_u = nullptr, *refs_v = nullptr;
+    const int64_t* ref_slot = nullptr;  // [num_ref_active] -> slot or -1
+    const int64_t* ref_pid = nullptr;   // [num_ref_active] picture identity
+    bool has_wp = false;
+    const int64_t* wp = nullptr;  // log_y, log_c, then 6 per list entry
+    std::vector<int32_t> mvf;     // [4h*4w*2] quarter-pel motion field
+    std::vector<int8_t> ridx;     // [4h*4w] list0 index, -1 intra/unset
+    std::vector<int32_t> rpid;    // [4h*4w] stored-picture id (deblock bS)
+    std::vector<uint8_t> dec4;    // [4h*4w] partition decoded (6.4.9)
+    std::vector<uint8_t> rknown;  // [4h*4w] ref known pre-MV (CABAC ctx)
+    std::vector<uint8_t> mbintra; // [h*w], 1 = intra (I slices: all)
+
     Dec(int w, int h, uint8_t* y, uint8_t* u, uint8_t* v, int offu, int offv,
         const uint8_t* tab)
         : mbw(w), mbh(h), ry(y), ru(u), rv(v), yw(w * 16), cw(w * 8),
@@ -1257,7 +1306,510 @@ struct Dec {
           i4m((size_t)h * 4 * w * 4, -1), qpmap((size_t)h * w, 0),
           qp_prev(26), qp_off_u(offu), qp_off_v(offv), tables(tab) {}
 
+    void init_inter(int n_active, int n_slots, const uint8_t* rys,
+                    const uint8_t* rus, const uint8_t* rvs,
+                    const int64_t* slots, const int64_t* pids,
+                    bool wp_on, const int64_t* wp_tab) {
+        is_p = true;
+        num_ref_active = n_active;
+        n_ref_slots = n_slots;
+        refs_y = rys;
+        refs_u = rus;
+        refs_v = rvs;
+        ref_slot = slots;
+        ref_pid = pids;
+        has_wp = wp_on;
+        wp = wp_tab;
+        const size_t n4 = (size_t)mbw * 4 * mbh * 4;
+        mvf.assign(n4 * 2, 0);
+        ridx.assign(n4, -1);
+        rpid.assign(n4, -1);
+        dec4.assign(n4, 0);
+        rknown.assign(n4, 0);
+        mbintra.assign((size_t)mbw * mbh, 1);
+    }
+
     inline int8_t& i4mode(int gy, int gx) { return i4m[(size_t)gy * mbw * 4 + gx]; }
+    inline size_t c4(int gy, int gx) const { return (size_t)gy * mbw * 4 + gx; }
+
+    // ---- motion vector prediction (spec 8.4.1.3) -----------------------
+
+    // refIdx of cell: -2 location unavailable/undecoded, -1 intra
+    inline void nbinfo(int cx, int cy, int* ref, int* vx, int* vy) const {
+        if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4 ||
+            !dec4[c4(cy, cx)]) {
+            *ref = -2; *vx = 0; *vy = 0;
+            return;
+        }
+        const int rr = ridx[c4(cy, cx)];
+        if (rr < 0) { *ref = -1; *vx = 0; *vy = 0; return; }
+        *ref = rr;
+        *vx = mvf[c4(cy, cx) * 2];
+        *vy = mvf[c4(cy, cx) * 2 + 1];
+    }
+
+    void mvp(int gx, int gy, int w4, int h4, int ref, int hint,
+             int* ox, int* oy) const {
+        int ar, ax, ay, br, bx, by, cr, cx, cy;
+        nbinfo(gx - 1, gy, &ar, &ax, &ay);
+        nbinfo(gx, gy - 1, &br, &bx, &by);
+        nbinfo(gx + w4, gy - 1, &cr, &cx, &cy);
+        if (cr == -2) nbinfo(gx - 1, gy - 1, &cr, &cx, &cy);  // D subst
+        if (hint == kHint16x8Top && br == ref) { *ox = bx; *oy = by; return; }
+        if ((hint == kHint16x8Bot || hint == kHint8x16Left) && ar == ref) {
+            *ox = ax; *oy = ay; return;
+        }
+        if (hint == kHint8x16Right && cr == ref) { *ox = cx; *oy = cy; return; }
+        const int na = ar == ref, nb = br == ref, nc = cr == ref;
+        if (na + nb + nc == 1) {
+            if (na) { *ox = ax; *oy = ay; }
+            else if (nb) { *ox = bx; *oy = by; }
+            else { *ox = cx; *oy = cy; }
+            return;
+        }
+        if (br == -2 && cr == -2 && ar != -2) { *ox = ax; *oy = ay; return; }
+        *ox = (int)median3(ax, bx, cx);
+        *oy = (int)median3(ay, by, cy);
+    }
+
+    void set_part(int mx, int my, int px, int py, int w, int h, int ref,
+                  int vx, int vy) {
+        const int gx = mx * 4 + px / 4, gy = my * 4 + py / 4;
+        const int32_t pid = (int32_t)ref_pid[ref];
+        for (int ty = gy; ty < gy + h / 4; ty++)
+            for (int tx = gx; tx < gx + w / 4; tx++) {
+                mvf[c4(ty, tx) * 2] = vx;
+                mvf[c4(ty, tx) * 2 + 1] = vy;
+                ridx[c4(ty, tx)] = (int8_t)ref;
+                rpid[c4(ty, tx)] = pid;
+                dec4[c4(ty, tx)] = 1;
+            }
+    }
+
+    void mark_inter(int mx, int my) {
+        mbintra[(size_t)my * mbw + mx] = 0;
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                i4mode(ty, tx) = 2;  // DC to I_4x4 mode prediction (8.3.1.1)
+    }
+
+    // ---- fractional-sample MC (spec 8.4.2.2; twin of av/h264mc.py) ----
+
+    const uint8_t* plane_of(int ref, int comp) const {
+        const int64_t slot = ref_slot[ref];
+        if (slot < 0 || slot >= n_ref_slots) throw ParseErr{-32, ref};
+        const size_t ysz = (size_t)mbw * 16 * mbh * 16;
+        const size_t csz = (size_t)mbw * 8 * mbh * 8;
+        if (comp == 0) return refs_y + (size_t)slot * ysz;
+        return (comp == 1 ? refs_u : refs_v) + (size_t)slot * csz;
+    }
+
+    void luma_mc(const uint8_t* pl, int x, int y, int w, int h, int vx,
+                 int vy, int64_t* out) const {
+        const int W = yw, H = mbh * 16;
+        const int xi = x + (vx >> 2), yi = y + (vy >> 2);
+        const int xf = vx & 3, yf = vy & 3;
+        if (xf == 0 && yf == 0) {
+            for (int yy = 0; yy < h; yy++) {
+                int sy = yi + yy; sy = sy < 0 ? 0 : sy >= H ? H - 1 : sy;
+                for (int xx = 0; xx < w; xx++) {
+                    int sx = xi + xx; sx = sx < 0 ? 0 : sx >= W ? W - 1 : sx;
+                    out[yy * w + xx] = pl[(size_t)sy * W + sx];
+                }
+            }
+            return;
+        }
+        // padded full-sample region (h+5) x (w+5), edge clamped
+        const int pw = w + 5, ph = h + 5;
+        int64_t pad[21 * 21];
+        for (int yy = 0; yy < ph; yy++) {
+            int sy = yi - 2 + yy; sy = sy < 0 ? 0 : sy >= H ? H - 1 : sy;
+            for (int xx = 0; xx < pw; xx++) {
+                int sx = xi - 2 + xx; sx = sx < 0 ? 0 : sx >= W ? W - 1 : sx;
+                pad[yy * pw + xx] = pl[(size_t)sy * W + sx];
+            }
+        }
+        auto tap = [](const int64_t* p, int stride) -> int64_t {
+            return p[0] - 5 * p[stride] + 20 * p[2 * stride] +
+                   20 * p[3 * stride] - 5 * p[4 * stride] + p[5 * stride];
+        };
+        if (yf == 0) {  // horizontal half b + quarter averages
+            for (int yy = 0; yy < h; yy++)
+                for (int xx = 0; xx < w; xx++) {
+                    const int64_t braw = tap(&pad[(yy + 2) * pw + xx], 1);
+                    const int64_t b = clip255((braw + 16) >> 5);
+                    if (xf == 2) { out[yy * w + xx] = b; continue; }
+                    const int64_t o = pad[(yy + 2) * pw + xx + (xf == 1 ? 2 : 3)];
+                    out[yy * w + xx] = (o + b + 1) >> 1;
+                }
+            return;
+        }
+        if (xf == 0) {  // vertical half h + quarter averages
+            for (int yy = 0; yy < h; yy++)
+                for (int xx = 0; xx < w; xx++) {
+                    const int64_t vraw = tap(&pad[yy * pw + xx + 2], pw);
+                    const int64_t hh = clip255((vraw + 16) >> 5);
+                    if (yf == 2) { out[yy * w + xx] = hh; continue; }
+                    const int64_t o = pad[(yy + (yf == 1 ? 2 : 3)) * pw + xx + 2];
+                    out[yy * w + xx] = (o + hh + 1) >> 1;
+                }
+            return;
+        }
+        if (xf == 2) {  // j column, plus f/q vertical quarters
+            int64_t braw[21 * 16];  // (h+5) x w raw horizontal sums
+            for (int yy = 0; yy < ph; yy++)
+                for (int xx = 0; xx < w; xx++)
+                    braw[yy * w + xx] = tap(&pad[yy * pw + xx], 1);
+            for (int yy = 0; yy < h; yy++)
+                for (int xx = 0; xx < w; xx++) {
+                    const int64_t jraw = tap(&braw[yy * w + xx], w);
+                    const int64_t j = clip255((jraw + 512) >> 10);
+                    if (yf == 2) { out[yy * w + xx] = j; continue; }
+                    const int row = yf == 1 ? 2 : 3;
+                    const int64_t b =
+                        clip255((braw[(yy + row) * w + xx] + 16) >> 5);
+                    out[yy * w + xx] = (b + j + 1) >> 1;
+                }
+            return;
+        }
+        if (yf == 2) {  // i/k: horizontal quarters of j
+            int64_t vraw[16 * 21];  // h x (w+5) raw vertical sums
+            for (int yy = 0; yy < h; yy++)
+                for (int xx = 0; xx < pw; xx++)
+                    vraw[yy * pw + xx] = tap(&pad[yy * pw + xx], pw);
+            for (int yy = 0; yy < h; yy++)
+                for (int xx = 0; xx < w; xx++) {
+                    const int64_t jraw = tap(&vraw[yy * pw + xx], 1);
+                    const int64_t j = clip255((jraw + 512) >> 10);
+                    const int col = xf == 1 ? 2 : 3;
+                    const int64_t hv =
+                        clip255((vraw[yy * pw + xx + col] + 16) >> 5);
+                    out[yy * w + xx] = (hv + j + 1) >> 1;
+                }
+            return;
+        }
+        // corner quarters e/g/p/r: nearest half-sample average
+        const int row = yf == 1 ? 2 : 3, col = xf == 1 ? 2 : 3;
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++) {
+                const int64_t b =
+                    clip255((tap(&pad[(yy + row) * pw + xx], 1) + 16) >> 5);
+                const int64_t hv =
+                    clip255((tap(&pad[yy * pw + xx + col], pw) + 16) >> 5);
+                out[yy * w + xx] = (b + hv + 1) >> 1;
+            }
+    }
+
+    void chroma_mc(const uint8_t* pl, int x, int y, int w, int h, int vx,
+                   int vy, int64_t* out) const {
+        const int W = cw, H = mbh * 8;
+        const int xi = x + (vx >> 3), yi = y + (vy >> 3);
+        const int xf = vx & 7, yf = vy & 7;
+        int64_t pad[9 * 9];
+        for (int yy = 0; yy <= h; yy++) {
+            int sy = yi + yy; sy = sy < 0 ? 0 : sy >= H ? H - 1 : sy;
+            for (int xx = 0; xx <= w; xx++) {
+                int sx = xi + xx; sx = sx < 0 ? 0 : sx >= W ? W - 1 : sx;
+                pad[yy * (w + 1) + xx] = pl[(size_t)sy * W + sx];
+            }
+        }
+        for (int yy = 0; yy < h; yy++)
+            for (int xx = 0; xx < w; xx++) {
+                const int64_t a = pad[yy * (w + 1) + xx];
+                const int64_t b = pad[yy * (w + 1) + xx + 1];
+                const int64_t c = pad[(yy + 1) * (w + 1) + xx];
+                const int64_t d = pad[(yy + 1) * (w + 1) + xx + 1];
+                out[yy * w + xx] =
+                    ((8 - xf) * (8 - yf) * a + xf * (8 - yf) * b +
+                     (8 - xf) * yf * c + xf * yf * d + 32) >> 6;
+            }
+    }
+
+    static void wp_apply(int64_t* blk, int n, int64_t w, int64_t o,
+                         int64_t log_wd) {
+        if (log_wd >= 1) {
+            const int64_t r = (int64_t)1 << (log_wd - 1);
+            for (int i = 0; i < n; i++)
+                blk[i] = clip255(((blk[i] * w + r) >> log_wd) + o);
+        } else {
+            for (int i = 0; i < n; i++) blk[i] = clip255(blk[i] * w + o);
+        }
+    }
+
+    struct Part { int px, py, w, h, ref, vx, vy; };
+
+    void inter_pred_mb(int mx, int my, const Part* parts, int np,
+                       int64_t* py_, int64_t* pu, int64_t* pv) const {
+        const int y0 = my * 16, x0 = mx * 16;
+        int64_t by_[256], bu[64], bv[64];
+        for (int p = 0; p < np; p++) {
+            const Part& pt = parts[p];
+            luma_mc(plane_of(pt.ref, 0), x0 + pt.px, y0 + pt.py, pt.w, pt.h,
+                    pt.vx, pt.vy, by_);
+            chroma_mc(plane_of(pt.ref, 1), (x0 + pt.px) / 2,
+                      (y0 + pt.py) / 2, pt.w / 2, pt.h / 2, pt.vx, pt.vy,
+                      bu);
+            chroma_mc(plane_of(pt.ref, 2), (x0 + pt.px) / 2,
+                      (y0 + pt.py) / 2, pt.w / 2, pt.h / 2, pt.vx, pt.vy,
+                      bv);
+            if (has_wp) {
+                const int64_t log_y = wp[0], log_c = wp[1];
+                const int64_t* e = wp + 2 + 6 * pt.ref;
+                wp_apply(by_, pt.w * pt.h, e[0], e[1], log_y);
+                wp_apply(bu, pt.w * pt.h / 4, e[2], e[3], log_c);
+                wp_apply(bv, pt.w * pt.h / 4, e[4], e[5], log_c);
+            }
+            for (int yy = 0; yy < pt.h; yy++)
+                for (int xx = 0; xx < pt.w; xx++)
+                    py_[(pt.py + yy) * 16 + pt.px + xx] = by_[yy * pt.w + xx];
+            for (int yy = 0; yy < pt.h / 2; yy++)
+                for (int xx = 0; xx < pt.w / 2; xx++) {
+                    pu[(pt.py / 2 + yy) * 8 + pt.px / 2 + xx] =
+                        bu[yy * (pt.w / 2) + xx];
+                    pv[(pt.py / 2 + yy) * 8 + pt.px / 2 + xx] =
+                        bv[yy * (pt.w / 2) + xx];
+                }
+        }
+    }
+
+    void p_skip_mb(int mx, int my) {
+        mark_inter(mx, my);
+        const int gx = mx * 4, gy = my * 4;
+        int ar, ax, ay, br, bx, by;
+        nbinfo(gx - 1, gy, &ar, &ax, &ay);
+        nbinfo(gx, gy - 1, &br, &bx, &by);
+        int vx = 0, vy = 0;
+        if (!(ar == -2 || br == -2 || (ar == 0 && ax == 0 && ay == 0) ||
+              (br == 0 && bx == 0 && by == 0)))
+            mvp(gx, gy, 4, 4, 0, kHintNone, &vx, &vy);
+        if (num_ref_active < 1 || ref_slot[0] < 0) throw ParseErr{-32, 0};
+        set_part(mx, my, 0, 0, 16, 16, 0, vx, vy);
+        int64_t py_[256], pu[64], pv[64];
+        const Part pt{0, 0, 16, 16, 0, vx, vy};
+        inter_pred_mb(mx, my, &pt, 1, py_, pu, pv);
+        const int y0 = my * 16, x0 = mx * 16, cy0 = my * 8, cx0 = mx * 8;
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                ry[(size_t)(y0 + yy) * yw + x0 + xx] =
+                    (uint8_t)py_[yy * 16 + xx];
+        for (int yy = 0; yy < 8; yy++)
+            for (int xx = 0; xx < 8; xx++) {
+                ru[(size_t)(cy0 + yy) * cw + cx0 + xx] = (uint8_t)pu[yy * 8 + xx];
+                rv[(size_t)(cy0 + yy) * cw + cx0 + xx] = (uint8_t)pv[yy * 8 + xx];
+            }
+        for (int ty = gy; ty < gy + 4; ty++)
+            for (int tx = gx; tx < gx + 4; tx++) nnz_y.at(ty, tx) = 0;
+        for (int ty = my * 2; ty < my * 2 + 2; ty++)
+            for (int tx = mx * 2; tx < mx * 2 + 2; tx++) {
+                nnz_u.at(ty, tx) = 0;
+                nnz_v.at(ty, tx) = 0;
+            }
+        qpmap[(size_t)my * mbw + mx] = (int8_t)qp_prev;  // QPy unchanged
+    }
+
+    void recon_inter(int mx, int my, int qp, int64_t z[16][16],
+                     int64_t czd[2][4], int64_t cza[2][4][16],
+                     const int64_t* pred_y, const int64_t* pred_u,
+                     const int64_t* pred_v) {
+        const int y0 = my * 16, x0 = mx * 16;
+        for (int i = 0; i < 16; i++) {
+            const int bx = kBlkX[i], by = kBlkY[i];
+            int64_t dq[16], res[16];
+            dequant(z[i], qp, dq);
+            idct4x4(dq, res);
+            for (int y = 0; y < 4; y++)
+                for (int x = 0; x < 4; x++) {
+                    const int64_t o = ((res[y * 4 + x] + 32) >> 6) +
+                                      pred_y[(4 * by + y) * 16 + 4 * bx + x];
+                    ry[(size_t)(y0 + 4 * by + y) * yw + x0 + 4 * bx + x] =
+                        (uint8_t)clip255(o);
+                }
+        }
+        recon_chroma(mx, my, qp, 0, czd, cza, pred_u, pred_v);
+    }
+
+    // CAVLC P macroblock (spec 7.3.5; twin of h264dec._decode_mb_p)
+    int read_ref_idx(Bits& r) {
+        int idx;
+        if (num_ref_active == 1) idx = 0;
+        else if (num_ref_active == 2) idx = 1 - (int)r.read(1);  // te cMax 1
+        else idx = (int)r.ue();
+        if (idx >= num_ref_active || ref_slot[idx] < 0)
+            throw ParseErr{-32, idx};
+        return idx;
+    }
+
+    void decode_mb_p(Bits& r, int mx, int my, int64_t mb_type) {
+        mark_inter(mx, my);
+        Part parts[16];
+        int np = 0;
+        if (mb_type <= 2) {
+            const int n = kPPartN[mb_type];
+            int refs[2], dx[2], dy[2];
+            for (int p = 0; p < n; p++) refs[p] = read_ref_idx(r);
+            for (int p = 0; p < n; p++) {
+                dx[p] = (int)r.se();
+                dy[p] = (int)r.se();
+            }
+            for (int p = 0; p < n; p++) {
+                const int* sh = kPParts[mb_type][p];
+                const int gx = mx * 4 + sh[0] / 4, gy = my * 4 + sh[1] / 4;
+                int hint = kHintNone;
+                if (mb_type == 1) hint = p == 0 ? kHint16x8Top : kHint16x8Bot;
+                if (mb_type == 2) hint = p == 0 ? kHint8x16Left : kHint8x16Right;
+                int px_x, px_y;
+                mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[p], hint, &px_x, &px_y);
+                const int vx = px_x + dx[p], vy = px_y + dy[p];
+                set_part(mx, my, sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy);
+                parts[np++] = Part{sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy};
+            }
+        } else {  // P_8x8 (3) / P_8x8ref0 (4)
+            if (mb_type > 4) throw ParseErr{-4, mb_type};
+            int subs[4], refs[4] = {0, 0, 0, 0};
+            for (int b = 0; b < 4; b++) {
+                const int64_t st = r.ue();
+                if (st > 3) throw ParseErr{-33, st};
+                subs[b] = (int)st;
+            }
+            if (mb_type == 3)
+                for (int b = 0; b < 4; b++) refs[b] = read_ref_idx(r);
+            else if (ref_slot[0] < 0)
+                throw ParseErr{-32, 0};
+            int dx[4][4], dy[4][4];
+            for (int b = 0; b < 4; b++)
+                for (int s = 0; s < kPSubN[subs[b]]; s++) {
+                    dx[b][s] = (int)r.se();
+                    dy[b][s] = (int)r.se();
+                }
+            for (int b = 0; b < 4; b++) {
+                const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                for (int s = 0; s < kPSubN[subs[b]]; s++) {
+                    const int* sh = kPSub[subs[b]][s];
+                    const int px = bx0 + sh[0], py = by0 + sh[1];
+                    const int gx = mx * 4 + px / 4, gy = my * 4 + py / 4;
+                    int px_x, px_y;
+                    mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[b], kHintNone,
+                        &px_x, &px_y);
+                    const int vx = px_x + dx[b][s], vy = px_y + dy[b][s];
+                    set_part(mx, my, px, py, sh[2], sh[3], refs[b], vx, vy);
+                    parts[np++] = Part{px, py, sh[2], sh[3], refs[b], vx, vy};
+                }
+            }
+        }
+        int64_t pred_y[256], pred_u[64], pred_v[64];
+        inter_pred_mb(mx, my, parts, np, pred_y, pred_u, pred_v);
+
+        const int64_t cbp_code = r.ue();
+        if (cbp_code >= 48) throw ParseErr{-10, cbp_code};
+        const int cbp = kCbpInter[cbp_code];
+        const int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+        int qp;
+        if (cbp) {
+            qp = (int)(((qp_prev + r.se()) % 52 + 52) % 52);
+            qp_prev = qp;
+        } else {
+            qp = qp_prev;
+        }
+        qpmap[(size_t)my * mbw + mx] = (int8_t)qp;
+
+        const int gy0 = my * 4, gx0 = mx * 4;
+        for (int ty = gy0; ty < gy0 + 4; ty++)
+            for (int tx = gx0; tx < gx0 + 4; tx++) nnz_y.at(ty, tx) = 0;
+        int64_t z[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) z[i][k] = 0;
+        for (int i = 0; i < 16; i++) {
+            if (!((cbp_luma >> (i >> 2)) & 1)) continue;
+            const int bx = kBlkX[i], by = kBlkY[i];
+            const int nC = h264::nc_of(nnz_y, mx, my, bx, by, 4);
+            int64_t scan[16] = {0};
+            const int tot = h264::read_block(r, nC, 16, scan, tables);
+            for (int k = 0; k < 16; k++) z[i][kZigzag[k]] = scan[k];
+            nnz_y.at(gy0 + by, gx0 + bx) = (int16_t)tot;
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma(r, mx, my, cbp_chroma, czd, cza);
+        recon_inter(mx, my, qp, z, czd, cza, pred_y, pred_u, pred_v);
+    }
+
+    // ---- deblocking with derived bS (spec 8.7.2.1) ---------------------
+
+    int bs_of(int pgx, int pgy, int qgx, int qgy, bool any_intra,
+              bool mb_edge) const {
+        if (any_intra) return mb_edge ? 4 : 3;
+        if (nnz_y.cat(pgy, pgx) || nnz_y.cat(qgy, qgx)) return 2;
+        if (rpid[c4(pgy, pgx)] != rpid[c4(qgy, qgx)]) return 1;
+        const int dvx = mvf[c4(pgy, pgx) * 2] - mvf[c4(qgy, qgx) * 2];
+        const int dvy = mvf[c4(pgy, pgx) * 2 + 1] - mvf[c4(qgy, qgx) * 2 + 1];
+        if (dvx >= 4 || dvx <= -4 || dvy >= 4 || dvy <= -4) return 1;
+        return 0;
+    }
+
+    void deblock_general(int off_a, int off_b) {
+        for (int my = 0; my < mbh; my++)
+            for (int mx = 0; mx < mbw; mx++) {
+                const int qq = qpmap[(size_t)my * mbw + mx];
+                const bool intra_q = mbintra[(size_t)my * mbw + mx];
+                const int y0 = my * 16, x0 = mx * 16;
+                const int cy0 = my * 8, cx0 = mx * 8;
+                for (int vi = 1; vi >= 0; vi--) {
+                    const bool vertical = vi == 1;
+                    for (int xr = 0; xr <= 12; xr += 4) {
+                        int pmx = mx, pmy = my;
+                        if (xr == 0) {
+                            if ((vertical ? mx : my) == 0) continue;
+                            if (vertical) pmx = mx - 1; else pmy = my - 1;
+                        }
+                        const int qp_p = qpmap[(size_t)pmy * mbw + pmx];
+                        const bool any_intra =
+                            intra_q || mbintra[(size_t)pmy * mbw + pmx];
+                        const int qav = (qp_p + qq + 1) >> 1;
+                        const int ia = (int)clip3(0, 51, qav + off_a);
+                        const int ib = (int)clip3(0, 51, qav + off_b);
+                        for (int seg = 0; seg < 4; seg++) {
+                            int qgx, qgy, pgx, pgy;
+                            if (vertical) {
+                                qgx = mx * 4 + xr / 4; qgy = my * 4 + seg;
+                                pgx = qgx - 1; pgy = qgy;
+                            } else {
+                                qgx = mx * 4 + seg; qgy = my * 4 + xr / 4;
+                                pgx = qgx; pgy = qgy - 1;
+                            }
+                            const int bs = bs_of(pgx, pgy, qgx, qgy,
+                                                 any_intra, xr == 0);
+                            if (bs == 0) continue;
+                            if (vertical)
+                                edge_filter(ry, yw, y0 + 4 * seg, x0 + xr, 4,
+                                            true, bs, ia, ib, false);
+                            else
+                                edge_filter(ry, yw, y0 + xr, x0 + 4 * seg, 4,
+                                            false, bs, ia, ib, false);
+                            if (xr == 0 || xr == 8) {
+                                for (int comp = 0; comp < 2; comp++) {
+                                    uint8_t* plane = comp == 0 ? ru : rv;
+                                    const int off =
+                                        comp == 0 ? qp_off_u : qp_off_v;
+                                    const int cq = (qpc_of(qp_p, off) +
+                                                    qpc_of(qq, off) + 1) >> 1;
+                                    const int cia =
+                                        (int)clip3(0, 51, cq + off_a);
+                                    const int cib =
+                                        (int)clip3(0, 51, cq + off_b);
+                                    if (vertical)
+                                        edge_filter(plane, cw, cy0 + 2 * seg,
+                                                    cx0 + xr / 2, 2, true,
+                                                    bs, cia, cib, true);
+                                    else
+                                        edge_filter(plane, cw, cy0 + xr / 2,
+                                                    cx0 + 2 * seg, 2, false,
+                                                    bs, cia, cib, true);
+                                }
+                            }
+                        }
+                    }
+                }
+            }
+    }
 
     // ---- residual helpers ------------------------------------------------
 
@@ -1598,7 +2150,9 @@ struct Dec {
     }
 
     void recon_chroma(int mx, int my, int qp, int chroma_mode,
-                      int64_t czd[2][4], int64_t cza[2][4][16]) {
+                      int64_t czd[2][4], int64_t cza[2][4][16],
+                      const int64_t* cpred_u = nullptr,
+                      const int64_t* cpred_v = nullptr) {
         const int cy0 = my * 8, cx0 = mx * 8;
         const bool ht = my > 0, hl = mx > 0;
         for (int comp = 0; comp < 2; comp++) {
@@ -1606,7 +2160,11 @@ struct Dec {
             const int qpc = qpc_of(qp, comp == 0 ? qp_off_u : qp_off_v);
             const int cq6 = qpc / 6, crem = qpc % 6;
             int64_t pred[64];
-            predc(plane, chroma_mode, cy0, cx0, ht, hl, pred);
+            const int64_t* cp = comp == 0 ? cpred_u : cpred_v;
+            if (cp != nullptr)  // inter MB: MC prediction (8.4.2)
+                for (int i = 0; i < 64; i++) pred[i] = cp[i];
+            else
+                predc(plane, chroma_mode, cy0, cx0, ht, hl, pred);
             // CF2 = H2 CZD H2 on the 2x2 (row-major czd: [0 1; 2 3])
             const int64_t a = czd[comp][0], b = czd[comp][1];
             const int64_t c = czd[comp][2], d = czd[comp][3];
@@ -1994,12 +2552,13 @@ using h264full::Dec;
 constexpr int kSigOff[5] = {0, 15, 29, 44, 47};
 constexpr int kLevOff[5] = {0, 10, 20, 30, 39};
 
-// table blob layout (av/h264cabac.py _pack_cabac_tables):
-//   [0:2048)     INIT_I (m, n) int8 pairs, ctxIdx 0..1023
-//   [2048:2304)  LPS_RANGE[64][4]
-//   [2304:2368)  TRANS_LPS[64]
-//   [2368:2432)  TRANS_MPS[64]
-constexpr int64_t kCabacBlobSize = 2432;
+// table blob layout (av/h264cabac.py _TABLES_PACKED):
+//   [0:2048)      INIT_I (m, n) int8 pairs, ctxIdx 0..1023
+//   [2048:8192)   INIT_PB[3] — cabac_init_idc 0..2 columns (round 5)
+//   [8192:8448)   LPS_RANGE[64][4]
+//   [8448:8512)   TRANS_LPS[64]
+//   [8512:8576)   TRANS_MPS[64]
+constexpr int64_t kCabacBlobSize = 8576;
 
 // Binary arithmetic decoding engine (spec 9.3.3.2); bits are consumed one
 // at a time so Bits::pos is the precise arithmetic consumption point
@@ -2013,11 +2572,13 @@ struct Engine {
     Bits* r = nullptr;
     int64_t range = 0, offset = 0;
 
-    Engine(const uint8_t* blob, int qp)
-        : lps(blob + 2048), tlps(blob + 2304), tmps(blob + 2368) {
-        // context variable init (spec 9.3.1.1), I-slice column — once per
-        // slice; a reinit() after I_PCM restarts only the arithmetic part
-        const int8_t* init = reinterpret_cast<const int8_t*>(blob);
+    // table: 0 = I column, 1..3 = cabac_init_idc 0..2 of the P/B columns
+    Engine(const uint8_t* blob, int qp, int table = 0)
+        : lps(blob + 8192), tlps(blob + 8448), tmps(blob + 8512) {
+        // context variable init (spec 9.3.1.1) — once per slice; a
+        // reinit() after I_PCM restarts only the arithmetic part
+        const int8_t* init =
+            reinterpret_cast<const int8_t*>(blob + 2048 * table);
         qp = qp < 0 ? 0 : qp > 51 ? 51 : qp;
         for (int i = 0; i < 1024; i++) {
             int pre = ((init[2 * i] * qp) >> 4) + init[2 * i + 1];
@@ -2093,20 +2654,25 @@ struct CDec {
     std::vector<uint8_t> fl;                      // cbf luma 4x4 [4h][4w]
     std::vector<uint8_t> fcdc;                    // cbf chroma DC [2][h][w]
     std::vector<uint8_t> fc;                      // cbf chroma AC [2][2h][2w]
+    std::vector<uint8_t> skip;                    // mb_skip_flag [h][w]
+    std::vector<int32_t> absmvd;                  // |mvd| [4h*4w*2]
     bool prev_qp_nz = false;
 
-    CDec(Dec& dd, const uint8_t* blob, int qp)
-        : d(dd), eng(blob, qp), mbw(dd.mbw), mbh(dd.mbh),
+    CDec(Dec& dd, const uint8_t* blob, int qp, int table = 0)
+        : d(dd), eng(blob, qp, table), mbw(dd.mbw), mbh(dd.mbh),
           inxn((size_t)mbw * mbh, 0), is16((size_t)mbw * mbh, 0),
           pcm((size_t)mbw * mbh, 0), cmode((size_t)mbw * mbh, 0),
           cbp((size_t)mbw * mbh, 0), fldc((size_t)mbw * mbh, 0),
           fl((size_t)mbw * 4 * mbh * 4, 0),
           fcdc(2 * (size_t)mbw * mbh, 0),
-          fc(2 * (size_t)mbw * 2 * mbh * 2, 0) {}
+          fc(2 * (size_t)mbw * 2 * mbh * 2, 0),
+          skip((size_t)mbw * mbh, 0),
+          absmvd(2 * (size_t)mbw * 4 * mbh * 4, 0) {}
 
     inline size_t mi(int my, int mx) const { return (size_t)my * mbw + mx; }
 
     // ---- coded_block_flag ctxIdxInc (9.3.3.1.1.9) -------------------------
+    // unavailable neighbor counts 1 only when the CURRENT MB is intra
 
     int cbf_inc_luma_dc(int mx, int my) const {
         auto cond = [&](int nx, int ny) -> int {
@@ -2118,27 +2684,29 @@ struct CDec {
         return cond(mx - 1, my) + 2 * cond(mx, my - 1);
     }
 
-    int cbf_inc_luma4(int gx, int gy) const {
+    int cbf_inc_luma4(int gx, int gy, bool cur_intra = true) const {
         auto cond = [&](int nx, int ny) -> int {
-            if (nx < 0 || ny < 0) return 1;
+            if (nx < 0 || ny < 0) return cur_intra ? 1 : 0;
             if (pcm[mi(ny >> 2, nx >> 2)]) return 1;
             return fl[(size_t)ny * mbw * 4 + nx];
         };
         return cond(gx - 1, gy) + 2 * cond(gx, gy - 1);
     }
 
-    int cbf_inc_chroma_dc(int mx, int my, int comp) const {
+    int cbf_inc_chroma_dc(int mx, int my, int comp,
+                          bool cur_intra = true) const {
         auto cond = [&](int nx, int ny) -> int {
-            if (nx < 0 || ny < 0) return 1;
+            if (nx < 0 || ny < 0) return cur_intra ? 1 : 0;
             if (pcm[mi(ny, nx)]) return 1;
             return fcdc[(size_t)comp * mbw * mbh + mi(ny, nx)];
         };
         return cond(mx - 1, my) + 2 * cond(mx, my - 1);
     }
 
-    int cbf_inc_chroma_ac(int gx, int gy, int comp) const {
+    int cbf_inc_chroma_ac(int gx, int gy, int comp,
+                          bool cur_intra = true) const {
         auto cond = [&](int nx, int ny) -> int {
-            if (nx < 0 || ny < 0) return 1;
+            if (nx < 0 || ny < 0) return cur_intra ? 1 : 0;
             if (pcm[mi(ny >> 1, nx >> 1)]) return 1;
             return fc[((size_t)comp * mbh * 2 + ny) * mbw * 2 + nx];
         };
@@ -2268,7 +2836,8 @@ struct CDec {
     }
 
     void read_chroma_cabac(int mx, int my, int cbp_chroma,
-                           int64_t czd[2][4], int64_t cza[2][4][16]) {
+                           int64_t czd[2][4], int64_t cza[2][4][16],
+                           bool cur_intra = true) {
         for (int c = 0; c < 2; c++) {
             for (int i = 0; i < 4; i++) czd[c][i] = 0;
             for (int i = 0; i < 4; i++)
@@ -2277,7 +2846,8 @@ struct CDec {
         if (cbp_chroma) {
             for (int comp = 0; comp < 2; comp++) {
                 int64_t dc[4] = {0};
-                if (residual(3, cbf_inc_chroma_dc(mx, my, comp), 4, dc)) {
+                if (residual(3, cbf_inc_chroma_dc(mx, my, comp, cur_intra),
+                             4, dc)) {
                     fcdc[(size_t)comp * mbw * mbh + mi(my, mx)] = 1;
                     for (int i = 0; i < 4; i++) czd[comp][i] = dc[i];
                 }
@@ -2288,8 +2858,9 @@ struct CDec {
                 for (int i = 0; i < 4; i++) {
                     const int gx = mx * 2 + i % 2, gy = my * 2 + i / 2;
                     int64_t scan[15] = {0};
-                    if (!residual(4, cbf_inc_chroma_ac(gx, gy, comp), 15,
-                                  scan))
+                    if (!residual(4,
+                                  cbf_inc_chroma_ac(gx, gy, comp, cur_intra),
+                                  15, scan))
                         continue;
                     fc[((size_t)comp * mbh * 2 + gy) * mbw * 2 + gx] = 1;
                     for (int k = 0; k < 15; k++)
@@ -2317,7 +2888,11 @@ struct CDec {
         int cbp_chroma = 0;
         if (eng.decision(7)) cbp_chroma = eng.decision(8) ? 2 : 1;
         const int pred_mode = (eng.decision(9) << 1) | eng.decision(10);
+        finish_i16(mx, my, cbp_luma, cbp_chroma, pred_mode);
+    }
 
+    void finish_i16(int mx, int my, int cbp_luma, int cbp_chroma,
+                    int pred_mode) {
         const int chroma_mode = read_chroma_mode(mx, my);
         const int qp = read_qp_delta(mx, my);
         is16[mi(my, mx)] = 1;
@@ -2352,6 +2927,225 @@ struct CDec {
         int64_t czd[2][4], cza[2][4][16];
         read_chroma_cabac(mx, my, cbp_chroma, czd, cza);
         d.recon_i16(mx, my, pred_mode, qp, zd, za, chroma_mode, czd, cza);
+    }
+
+    // ---- P macroblock layer (spec 7.3.5, 9.3.3.1; round 5) --------------
+
+    int read_skip_flag(int mx, int my) {
+        const bool ca = mx > 0 && !skip[mi(my, mx - 1)];
+        const bool cb = my > 0 && !skip[mi(my - 1, mx)];
+        return eng.decision(11 + ca + cb);
+    }
+
+    // ref_idx_l0: unary ctx 54-59; cells of earlier same-MB partitions
+    // are visible through Dec::rknown before their MVs decode
+    int read_ref_idx(int gx, int gy) {
+        if (d.num_ref_active == 1) return 0;
+        auto nref = [&](int cx, int cy) -> int {
+            if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4)
+                return -2;
+            if (d.rknown[d.c4(cy, cx)] || d.dec4[d.c4(cy, cx)])
+                return d.ridx[d.c4(cy, cx)];
+            return -2;
+        };
+        const int inc = (nref(gx - 1, gy) > 0) + 2 * (nref(gx, gy - 1) > 0);
+        int idx = 0;
+        if (eng.decision(54 + inc)) {
+            idx = 1;
+            while (idx < 32 && eng.decision(idx == 1 ? 58 : 59)) idx++;
+            if (idx >= 32) throw ParseErr{-34, 0};
+        }
+        if (idx >= d.num_ref_active || d.ref_slot[idx] < 0)
+            throw ParseErr{-32, idx};
+        return idx;
+    }
+
+    void note_ref(int gx, int gy, int w4, int h4, int ref) {
+        for (int ty = gy; ty < gy + h4; ty++)
+            for (int tx = gx; tx < gx + w4; tx++) {
+                d.ridx[d.c4(ty, tx)] = (int8_t)ref;
+                d.rknown[d.c4(ty, tx)] = 1;
+            }
+    }
+
+    // mvd_l0: UEG3 — TU prefix ctx-coded to 9, EG3 bypass suffix + sign
+    int read_mvd(int gx, int gy, int comp) {
+        const int base = comp == 0 ? 40 : 47;
+        auto amvd = [&](int cx, int cy) -> int {
+            if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4 ||
+                !d.dec4[d.c4(cy, cx)])
+                return 0;
+            return absmvd[d.c4(cy, cx) * 2 + comp];
+        };
+        const int e = amvd(gx - 1, gy) + amvd(gx, gy - 1);
+        const int inc = e < 3 ? 0 : (e > 32 ? 2 : 1);
+        if (!eng.decision(base + inc)) return 0;
+        int64_t val = 1;
+        int ctx = 3;
+        while (val < 9 && eng.decision(base + ctx)) {
+            if (ctx < 6) ctx++;
+            val++;
+        }
+        if (val >= 9) {  // EG3 escape suffix in bypass
+            int k = 3;
+            while (eng.bypass()) {
+                val += (int64_t)1 << k;
+                k++;
+                if (k > 24) throw ParseErr{-35, 0};
+            }
+            while (k) {
+                k--;
+                val += (int64_t)eng.bypass() << k;
+            }
+        }
+        return eng.bypass() ? (int)-val : (int)val;
+    }
+
+    void note_absmvd(int gx, int gy, int w4, int h4, int dx, int dy) {
+        for (int ty = gy; ty < gy + h4; ty++)
+            for (int tx = gx; tx < gx + w4; tx++) {
+                absmvd[d.c4(ty, tx) * 2] = dx < 0 ? -dx : dx;
+                absmvd[d.c4(ty, tx) * 2 + 1] = dy < 0 ? -dy : dy;
+            }
+    }
+
+    void decode_mb_p(Bits& r, int mx, int my) {
+        using Part = Dec::Part;
+        // mb_type, P prefix (ctx 14-17, binarization 9.3.2.5)
+        if (eng.decision(14)) {
+            // intra MB in a P slice: ctxIdxOffset-17 suffix, element-
+            // position contexts 17 / 18 / 19,19 / 20,20
+            for (int ty = my * 4; ty < my * 4 + 4; ty++)
+                for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                    d.dec4[d.c4(ty, tx)] = 1;
+            if (eng.decision(17) == 0) {
+                mb_i4(mx, my);
+                return;
+            }
+            if (eng.terminate()) {
+                mb_pcm(r, mx, my);
+                return;
+            }
+            const int cbp_luma = eng.decision(18) ? 15 : 0;
+            int cbp_chroma = 0;
+            if (eng.decision(19)) cbp_chroma = eng.decision(19) ? 2 : 1;
+            const int pred_mode = (eng.decision(20) << 1) | eng.decision(20);
+            finish_i16(mx, my, cbp_luma, cbp_chroma, pred_mode);
+            return;
+        }
+        int64_t mb_type;
+        if (eng.decision(15) == 0)
+            mb_type = 3 * eng.decision(16);  // P_L0_16x16 / P_8x8
+        else
+            mb_type = 2 - eng.decision(17);  // P_L0_L0_8x16 / _16x8
+        d.mark_inter(mx, my);
+        Part parts[16];
+        int np = 0;
+        if (mb_type <= 2) {
+            const int n = h264full::kPPartN[mb_type];
+            int refs[2];
+            for (int p = 0; p < n; p++) {
+                const int* sh = h264full::kPParts[mb_type][p];
+                const int gx = mx * 4 + sh[0] / 4, gy = my * 4 + sh[1] / 4;
+                refs[p] = read_ref_idx(gx, gy);
+                note_ref(gx, gy, sh[2] / 4, sh[3] / 4, refs[p]);
+            }
+            for (int p = 0; p < n; p++) {
+                const int* sh = h264full::kPParts[mb_type][p];
+                const int gx = mx * 4 + sh[0] / 4, gy = my * 4 + sh[1] / 4;
+                const int dx = read_mvd(gx, gy, 0);
+                const int dy = read_mvd(gx, gy, 1);
+                int hint = h264full::kHintNone;
+                if (mb_type == 1)
+                    hint = p == 0 ? h264full::kHint16x8Top
+                                  : h264full::kHint16x8Bot;
+                if (mb_type == 2)
+                    hint = p == 0 ? h264full::kHint8x16Left
+                                  : h264full::kHint8x16Right;
+                int px_x, px_y;
+                d.mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[p], hint,
+                      &px_x, &px_y);
+                const int vx = px_x + dx, vy = px_y + dy;
+                d.set_part(mx, my, sh[0], sh[1], sh[2], sh[3], refs[p], vx,
+                           vy);
+                note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy);
+                parts[np++] = Part{sh[0], sh[1], sh[2], sh[3], refs[p], vx,
+                                   vy};
+            }
+        } else {  // P_8x8 (CABAC has no P_8x8ref0, Table 9-34)
+            int subs[4], refs[4];
+            for (int b = 0; b < 4; b++) {
+                // sub_mb_type binarization (Table 9-38, ctx 21-23)
+                if (eng.decision(21)) subs[b] = 0;          // 8x8
+                else if (!eng.decision(22)) subs[b] = 1;    // 8x4
+                else if (eng.decision(23)) subs[b] = 2;     // 4x8
+                else subs[b] = 3;                           // 4x4
+            }
+            for (int b = 0; b < 4; b++) {
+                const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                const int gx = mx * 4 + bx0 / 4, gy = my * 4 + by0 / 4;
+                refs[b] = read_ref_idx(gx, gy);
+                note_ref(gx, gy, 2, 2, refs[b]);
+            }
+            for (int b = 0; b < 4; b++) {
+                const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                for (int s = 0; s < h264full::kPSubN[subs[b]]; s++) {
+                    const int* sh = h264full::kPSub[subs[b]][s];
+                    const int px = bx0 + sh[0], py = by0 + sh[1];
+                    const int gx = mx * 4 + px / 4, gy = my * 4 + py / 4;
+                    const int dx = read_mvd(gx, gy, 0);
+                    const int dy = read_mvd(gx, gy, 1);
+                    int px_x, px_y;
+                    d.mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[b],
+                          h264full::kHintNone, &px_x, &px_y);
+                    const int vx = px_x + dx, vy = px_y + dy;
+                    d.set_part(mx, my, px, py, sh[2], sh[3], refs[b], vx,
+                               vy);
+                    note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy);
+                    parts[np++] =
+                        Part{px, py, sh[2], sh[3], refs[b], vx, vy};
+                }
+            }
+        }
+        int64_t pred_y[256], pred_u[64], pred_v[64];
+        d.inter_pred_mb(mx, my, parts, np, pred_y, pred_u, pred_v);
+
+        int cbp_luma, cbp_chroma;
+        read_cbp(mx, my, &cbp_luma, &cbp_chroma);
+        cbp[mi(my, mx)] = cbp_luma | (cbp_chroma << 4);
+        int qp;
+        if (cbp_luma || cbp_chroma) {
+            qp = read_qp_delta(mx, my);
+        } else {
+            qp = d.qp_prev;
+            d.qpmap[mi(my, mx)] = (int8_t)qp;
+            prev_qp_nz = false;
+        }
+
+        const int gy0 = my * 4, gx0 = mx * 4;
+        for (int ty = gy0; ty < gy0 + 4; ty++)
+            for (int tx = gx0; tx < gx0 + 4; tx++) d.nnz_y.at(ty, tx) = 0;
+        int64_t z[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) z[i][k] = 0;
+        for (int i = 0; i < 16; i++) {
+            if (!((cbp_luma >> (i >> 2)) & 1)) continue;
+            const int bx = h264::kBlkX[i], by = h264::kBlkY[i];
+            const int gx = gx0 + bx, gy = gy0 + by;
+            int64_t scan[16] = {0};
+            if (!residual(2, cbf_inc_luma4(gx, gy, false), 16, scan))
+                continue;
+            fl[(size_t)gy * mbw * 4 + gx] = 1;
+            int tot = 0;
+            for (int k = 0; k < 16; k++) {
+                z[i][h264enc::kZigzag[k]] = scan[k];
+                if (scan[k]) tot++;
+            }
+            d.nnz_y.at(gy, gx) = (int16_t)tot;  // deblock bS
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma_cabac(mx, my, cbp_chroma, czd, cza, false);
+        d.recon_inter(mx, my, qp, z, czd, cza, pred_y, pred_u, pred_v);
     }
 
     void mb_i4(int mx, int my) {
@@ -2541,6 +3335,117 @@ int64_t h264_decode_islice_cabac(
         if (mb_addr != n_total) throw ParseErr{-23, mb_addr};
         if (disable_idc != 1)
             dec.deblock(static_cast<int>(off_a), static_cast<int>(off_b));
+    } catch (const ParseErr& e) {
+        out_state[0] = r.pos;
+        out_state[1] = mb_addr;
+        out_state[2] = e.detail;
+        return e.code;
+    }
+    out_state[0] = r.pos;
+    out_state[1] = mb_addr;
+    out_state[2] = 0;
+    return 0;
+}
+
+// Decode the macroblock layer + deblocking of one P slice, CAVLC or
+// CABAC (round 5; twin of h264dec._decode_mb_p / h264cabac P support).
+// data: unescaped RBSP padded with >= 8 zero bytes; start_pos: bit
+// position after the slice header (CABAC: BEFORE cabac_alignment).
+// refs_y/u/v: n_ref_slots stacked FULL planes; ref_slot/ref_pid map each
+// of the num_ref_active list0 entries to a slot (-1 = missing) and its
+// stored-picture id.  wp: {log_wd_y, log_wd_c, then wy,oy,wu,ou,wv,ov per
+// list entry} when has_wp.  cabac_blob: the 8576-byte table blob
+// (ignored for CAVLC; cavlc_tables ignored for CABAC).
+int64_t h264_decode_pslice(
+    const uint8_t* data, int64_t n_bytes, int64_t start_pos, int64_t mbw,
+    int64_t mbh, int64_t slice_qp, int64_t chroma_qp_off,
+    int64_t chroma_qp_off2, int64_t disable_idc, int64_t off_a,
+    int64_t off_b, int64_t is_cabac, int64_t cabac_init_idc,
+    int64_t num_ref_active, int64_t n_ref_slots, const uint8_t* refs_y,
+    const uint8_t* refs_u, const uint8_t* refs_v, const int64_t* ref_slot,
+    const int64_t* ref_pid, int64_t has_wp, const int64_t* wp,
+    const uint8_t* cavlc_tables, const uint8_t* cabac_blob, uint8_t* ry,
+    uint8_t* ru, uint8_t* rv, int64_t* out_state) {
+    using h264::Bits;
+    using h264::ParseErr;
+
+    Bits r{data, n_bytes * 8, start_pos};
+    h264full::Dec dec(static_cast<int>(mbw), static_cast<int>(mbh), ry, ru,
+                      rv, static_cast<int>(chroma_qp_off),
+                      static_cast<int>(chroma_qp_off2), cavlc_tables);
+    dec.qp_prev = static_cast<int>(slice_qp);
+    dec.init_inter(static_cast<int>(num_ref_active),
+                   static_cast<int>(n_ref_slots), refs_y, refs_u, refs_v,
+                   ref_slot, ref_pid, has_wp != 0, wp);
+
+    const int64_t n_total = mbw * mbh;
+    int64_t mb_addr = 0;
+    try {
+        if (is_cabac) {
+            while (r.pos & 7)
+                if (!r.read(1)) throw ParseErr{-25, r.pos};
+            h264cabac::CDec c(dec, cabac_blob, static_cast<int>(slice_qp),
+                              1 + static_cast<int>(cabac_init_idc));
+            c.pcm_data = data;
+            c.pcm_nbytes = n_bytes;
+            c.eng.reinit(r);
+            for (;;) {
+                if (mb_addr >= n_total) throw ParseErr{-22, mb_addr};
+                const int mx = static_cast<int>(mb_addr % mbw);
+                const int my = static_cast<int>(mb_addr / mbw);
+                if (c.read_skip_flag(mx, my)) {
+                    dec.p_skip_mb(mx, my);
+                    c.skip[c.mi(my, mx)] = 1;
+                    c.prev_qp_nz = false;
+                } else {
+                    c.decode_mb_p(r, mx, my);
+                }
+                mb_addr++;
+                if (c.eng.terminate()) break;  // end_of_slice_flag
+            }
+            if (mb_addr != n_total) throw ParseErr{-23, mb_addr};
+        } else {
+            int64_t stop = -1;
+            for (int64_t b = n_bytes - 1; b >= 0; b--) {
+                if (data[b]) {
+                    stop = b * 8 + (7 - __builtin_ctz(data[b]));
+                    break;
+                }
+            }
+            while (mb_addr < n_total && r.pos < stop) {
+                const int64_t skip_run = r.ue();
+                if (mb_addr + skip_run > n_total)
+                    throw ParseErr{-36, skip_run};
+                for (int64_t s = 0; s < skip_run; s++) {
+                    dec.p_skip_mb(static_cast<int>(mb_addr % mbw),
+                                  static_cast<int>(mb_addr / mbw));
+                    mb_addr++;
+                }
+                if (mb_addr < n_total && r.pos < stop) {
+                    const int mx = static_cast<int>(mb_addr % mbw);
+                    const int my = static_cast<int>(mb_addr / mbw);
+                    const int64_t mb_type = r.ue();
+                    if (mb_type >= 5) {  // intra MB in a P slice
+                        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+                            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                                dec.dec4[dec.c4(ty, tx)] = 1;
+                        const int64_t it = mb_type - 5;
+                        if (it == 25) dec.decode_mb_ipcm(r, mx, my, data,
+                                                         n_bytes);
+                        else if (it == 0) dec.decode_mb_i4(r, mx, my);
+                        else if (it <= 24) dec.decode_mb_i16(r, mx, my, it);
+                        else throw ParseErr{-4, mb_type};
+                    } else {
+                        dec.decode_mb_p(r, mx, my, mb_type);
+                    }
+                    mb_addr++;
+                }
+            }
+            if (mb_addr != n_total) throw ParseErr{-23, mb_addr};
+        }
+        if (disable_idc != 1)
+            dec.deblock_general(static_cast<int>(off_a),
+                                static_cast<int>(off_b));
     } catch (const ParseErr& e) {
         out_state[0] = r.pos;
         out_state[1] = mb_addr;

@@ -239,6 +239,154 @@ def test_cavlc_p_weightp_ref_list_modification():
 
 
 # ---------------------------------------------------------------------------
+# CABAC P-slices (x264's true default: profile=main + cabac + inter)
+# ---------------------------------------------------------------------------
+
+CABAC = ("preset=veryfast,profile=main,tune=zerolatency,"
+         "g=250,threads=1,")
+
+
+@pytest.mark.parametrize("kind", ["pan", "still", "cut"])
+@pytest.mark.parametrize("qp", [17, 26, 38])
+def test_cabac_p_content_qp(kind, qp):
+    frames = _content(kind, 128, 96, 10, seed=qp)
+    ed, pk = _x264(128, 96, CABAC + f"qp={qp}", frames)
+    assert _assert_bitexact(ed, pk, f"cabac-{kind}@qp{qp}") == 10
+
+
+def test_cabac_p_fractional_mvs():
+    frames = _smooth(_content("pan", 160, 112, 12, seed=3))
+    ed, pk = _x264(160, 112, CABAC + "qp=20,x264-params=me=umh:subme=7",
+                   frames)
+    _assert_bitexact(ed, pk, "cabac-frac")
+
+
+def test_cabac_p_sub8x8_all_shapes():
+    rng = np.random.default_rng(4)
+    w, h, n = 128, 96, 8
+    base = rng.integers(0, 256, (h + 16, w + 16), dtype=np.uint8)
+    frames = []
+    for _ in range(n):
+        y = np.zeros((h, w), np.uint8)
+        for ty in range(0, h, 8):
+            for tx in range(0, w, 8):
+                dy = int(rng.integers(-2, 3))
+                dx = int(rng.integers(-2, 3))
+                y[ty:ty + 8, tx:tx + 8] = base[8 + ty + dy:16 + ty + dy,
+                                               8 + tx + dx:16 + tx + dx]
+        frames.append((y, np.full((h // 2, w // 2), 100, np.uint8),
+                       np.full((h // 2, w // 2), 140, np.uint8)))
+    ed, pk = _x264(
+        w, h, CABAC + "qp=14,"
+        "x264-params=partitions=all:me=umh:subme=7:merange=4", frames)
+    _assert_bitexact(ed, pk, "cabac-sub8x8")
+
+
+def test_cabac_p_weightp_multiref_mixedref():
+    """The combination that found the same-MB ref_idx context bug: the
+    ref_idx ctx (9.3.3.1.1.6) depends on refs of earlier partitions in
+    the CURRENT MB, which CABAC reads before any mvd."""
+    rng = np.random.default_rng(8)
+    base = rng.integers(30, 220, (96, 128), dtype=np.uint8)
+    frames = []
+    for i in range(16):
+        fade = np.clip(base.astype(np.int32) * (20 - i) // 20
+                       + rng.integers(-4, 5, base.shape), 0, 255)
+        frames.append((fade.astype(np.uint8),
+                       np.full((48, 64), 90, np.uint8),
+                       np.full((48, 64), 150, np.uint8)))
+    for params in ("weightp=2:ref=3", "weightp=2:ref=3:mixed-refs=1",
+                   "weightp=2:ref=5:partitions=all"):
+        ed, pk = _x264(
+            128, 96,
+            "preset=medium,profile=main,tune=zerolatency,g=250,threads=1,"
+            f"qp=18,x264-params={params}", frames)
+        _assert_bitexact(ed, pk, f"cabac-{params}")
+
+
+def test_cabac_p_intra_mbs_in_p():
+    """Intra MBs inside P slices (scenecut=0 forces the cut frame to
+    stay P): I_4x4 and Intra_16x16 with the ctxIdxOffset-17 suffix."""
+    w, h = 128, 96
+    grad = (np.add.outer(np.arange(h * 2), np.arange(w * 2)) // 3
+            % 256).astype(np.uint8)
+    frames = []
+    for i in range(12):
+        if i < 5:
+            y = np.full((h, w), 60, np.uint8)
+            y[:, (i * 8) % w:] = 180
+        else:
+            y = grad[3 * (i - 5):3 * (i - 5) + h,
+                     2 * (i - 5):2 * (i - 5) + w].copy()
+        frames.append((y, np.full((h // 2, w // 2), 100, np.uint8),
+                       np.full((h // 2, w // 2), 140, np.uint8)))
+    ed, pk = _x264(w, h, CABAC + "qp=30,x264-params=scenecut=0", frames)
+    _assert_bitexact(ed, pk, "cabac-intra-in-p")
+
+
+def test_cabac_p_aq_crop():
+    frames = _content("cut", 120, 84, 10, seed=13)
+    ed, pk = _x264(120, 84, CABAC + "crf=28,x264-params=aq-mode=2", frames)
+    _assert_bitexact(ed, pk, "cabac-aq-crop")
+
+
+def test_cabac_p_hostile_bytes_typed():
+    frames = _content("pan", 64, 48, 4, seed=29)
+    ed, pk = _x264(64, 48, CABAC + "qp=24", frames)
+    rng = np.random.default_rng(37)
+    for _, _, _, data in pk:
+        for _ in range(40):
+            buf = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            dec = PureH264Decoder()
+            dec.decode_annexb(ed)
+            try:
+                dec.decode_annexb(bytes(buf))
+            except H264DecodeError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# tier equivalence: native C++ P decoder vs the scalar Python tiers
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("profile_opts", [
+    "profile=baseline",                      # CAVLC P
+    "profile=main",                          # CABAC P
+    "profile=main,x264-params=weightp=2:ref=3",  # CABAC + WP + multiref
+])
+def test_native_p_tier_matches_scalar(profile_opts, monkeypatch):
+    """The same stream through the default (native) routing and the
+    forced-scalar Python routing must produce identical planes — pins
+    both tiers against each other on top of the libavcodec
+    differentials."""
+    frames = _content("cut", 128, 96, 8, seed=41)
+    ed, pk = _x264(
+        128, 96,
+        f"preset=veryfast,{profile_opts},tune=zerolatency,g=250,threads=1,"
+        "qp=22", frames)
+
+    def run():
+        dec = PureH264Decoder()
+        dec.decode_annexb(ed)
+        out = []
+        for _, _, _, data in pk:
+            out.extend(dec.decode_annexb(data))
+        return out
+
+    native_out = run()
+    monkeypatch.setenv("MIXLAB_PURE_H264_SCALAR", "1")
+    scalar_out = run()
+    assert len(native_out) == len(scalar_out) == len(pk)
+    for i, (a, b) in enumerate(zip(native_out, scalar_out)):
+        for name, x, y in (("Y", a[1], b[1]), ("U", a[2], b[2]),
+                           ("V", a[3], b[3])):
+            assert np.array_equal(x, y), f"{name} tier mismatch, frame {i}"
+
+
+# ---------------------------------------------------------------------------
 # hostile / truncated bytes stay typed errors
 # ---------------------------------------------------------------------------
 

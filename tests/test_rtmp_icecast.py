@@ -569,3 +569,118 @@ def test_rtmp_pure_tier_x264_third_party_ingest():
     finally:
         rtmp_server.DECODER_FACTORY = rtmp_server.default_decoder_factory
         recv.close()
+
+
+def test_rtmp_pure_tier_x264_default_inter_ingest():
+    """Round 5: a third-party x264 stream at x264's TRUE defaults —
+    profile=main, CABAC, INTER P slices, long GOP — published over real
+    RTMP sockets into the zero-dep tier, bit-exact vs libavcodec.  This
+    is what real publishers (OBS etc.) actually send; before the inter
+    decoder the pure tier rejected every such stream with a typed error
+    and needed the libavcodec shim."""
+    from mixlab_tpu.av.avc import (
+        DecoderConfigurationRecord,
+        NalUnit,
+        UnitType,
+        annexb_to_avcc,
+        split_annexb,
+    )
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        pytest.skip("libavcodec shim unavailable (needed to run x264)")
+
+    w, h = 320, 192
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (h * 2, w * 2), dtype=np.uint8)
+    cu = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    frames = []
+    for i in range(8):  # panning window -> real motion vectors
+        oy, ox = 3 * i, 2 * i
+        frames.append((
+            base[oy:oy + h, ox:ox + w].copy(),
+            cu[oy // 2:oy // 2 + h // 2, ox // 2:ox // 2 + w // 2].copy(),
+            np.full((h // 2, w // 2), 140 + i, np.uint8)))
+
+    enc = avshim.VideoEncoder(
+        w, h, fps=10,
+        opts="preset=veryfast,profile=main,tune=zerolatency,g=250,qp=26,"
+             "threads=1",
+    )
+    for i, (y, u, v) in enumerate(frames):
+        enc.send(y, u, v, i)
+    enc.flush()
+    pk = enc.receive()
+    extradata = enc.extradata()
+    enc.close()
+    assert len(pk) == len(frames)
+    assert sum(1 for _, _, key, _ in pk if not key) >= 6, \
+        "expected mostly inter frames from g=250"
+
+    ref = avshim.VideoDecoder("h264")
+    oracle = []
+    for i, (pts, _dts, _key, data) in enumerate(pk):
+        oracle.extend(ref.decode((extradata if i == 0 else b"") + data, pts))
+    oracle.extend(ref.flush())
+    ref.close()
+    assert len(oracle) == len(frames)
+
+    sps = [n for n in map(NalUnit.parse, split_annexb(extradata))
+           if n.kind == UnitType.SEQUENCE_PARAMETER_SET]
+    pps = [n for n in map(NalUnit.parse, split_annexb(extradata))
+           if n.kind == UnitType.PICTURE_PARAMETER_SET]
+    assert sps and pps
+    dcr = DecoderConfigurationRecord(
+        profile_indication=sps[0].to_bytes()[1],
+        profile_compatibility=sps[0].to_bytes()[2],
+        level_indication=sps[0].to_bytes()[3],
+        sps=sps, pps=pps,
+    )
+
+    recv = source_mod.RTMP_MOUNTPOINTS.listen("x264inter")
+    rtmp_server.DECODER_FACTORY = rtmp_server.PureTierDecoder
+
+    async def go():
+        async def on_conn(reader, writer):
+            try:
+                await rtmp_server.accept(reader, writer)
+            except (ConnectionError, asyncio.IncompleteReadError):
+                pass
+
+        server = await asyncio.start_server(on_conn, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        client = await rtmp_client.start("127.0.0.1", port, "x264inter",
+                                         "key")
+        client.publish_video(0, flv.VideoPacket(
+            flv.VideoFrameType.KEY_FRAME, flv.VideoPacketType.SEQUENCE_HEADER,
+            0, dcr.to_bytes()).to_bytes())
+        for i, (_pts, _dts, key, data) in enumerate(pk):
+            avcc, _ = annexb_to_avcc(data)
+            ft = (flv.VideoFrameType.KEY_FRAME if key
+                  else flv.VideoFrameType.INTER_FRAME)
+            client.publish_video(100 * (i + 1), flv.VideoPacket(
+                ft, flv.VideoPacketType.NALU, 0, avcc).to_bytes())
+        await asyncio.sleep(1.2)
+        await client.close()
+        server.close()
+
+    try:
+        asyncio.run(go())
+        got = []
+        while True:
+            f = recv.read_video()
+            if f is None:
+                break
+            got.append(f)
+        assert len(got) == len(frames), (
+            f"pure tier delivered {len(got)}/{len(frames)} inter frames")
+        for i, (f, (_, oy, ou, ov)) in enumerate(zip(got, oracle)):
+            vy = np.asarray(f.data.picture.planes["y"])
+            vu = np.asarray(f.data.picture.planes["u"])
+            vv = np.asarray(f.data.picture.planes["v"])
+            assert np.array_equal(vy, oy), f"Y differs (frame {i})"
+            assert np.array_equal(vu, ou), f"U differs (frame {i})"
+            assert np.array_equal(vv, ov), f"V differs (frame {i})"
+    finally:
+        rtmp_server.DECODER_FACTORY = rtmp_server.default_decoder_factory
+        recv.close()

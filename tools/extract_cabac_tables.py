@@ -177,6 +177,41 @@ def find_init_i(blobs):
     return [struct.unpack("bb", i_blk[2 * i:2 * i + 2]) for i in range(1024)]
 
 
+def find_init_pb(blobs):
+    """The three cabac_init_idc columns for P/B slices (round 5, inter
+    support), read by symbol name like the I column and cross-validated:
+    each 2048-byte table must be one of the four anchor hits in every
+    shared object, and the four hits must be exactly {I, PB0, PB1, PB2}."""
+    archive = next((Path(p) for p in CANDIDATE_ARCHIVES if Path(p).exists()),
+                   None)
+    if archive is None:
+        raise SystemExit("libavcodec.a not found")
+    obj = _ar_member(archive.read_bytes(), "h264_cabac.o")
+    pb_blk = _elf_symbol_bytes(obj, "cabac_context_init_PB", 3 * 2048)
+    tables = [pb_blk[k * 2048:(k + 1) * 2048] for k in range(3)]
+    for k, t in enumerate(tables):
+        if t[:22] != INIT_ANCHOR:
+            raise SystemExit(f"init_PB[{k}] fails the ctx0..10 anchor")
+    confirmed = 0
+    for name, data in blobs:
+        offs = [m.start() for m in re.finditer(re.escape(INIT_ANCHOR), data)]
+        if len(offs) != 4:
+            continue
+        for k, t in enumerate(tables):
+            hits = [o for o in offs if data[o:o + 2048] == t]
+            if len(hits) != 1:
+                raise SystemExit(
+                    f"{name}: init_PB[{k}] matches {len(hits)} of the 4 "
+                    "anchor hits (expected exactly 1)")
+        confirmed += 1
+    if confirmed < 2:
+        raise SystemExit(f"init_PB confirmed in only {confirmed} binaries")
+    return [
+        [struct.unpack("bb", t[2 * i:2 * i + 2]) for i in range(1024)]
+        for t in tables
+    ]
+
+
 def find_lps_range(blobs):
     for name, data in blobs:
         for m in re.finditer(re.escape(LPS_PACKED_ANCHOR), data):
@@ -230,6 +265,7 @@ def main():
         raise SystemExit("need both libx264 and libavcodec binaries")
 
     init_i = find_init_i(blobs)
+    init_pb = find_init_pb(blobs)
     lps, lps_src = find_lps_range(blobs)
     trans, trans_src = find_trans_lps(blobs)
 
@@ -252,6 +288,19 @@ def main():
     for i in range(0, 1024, 8):
         row = ", ".join(f"({m},{n})" for m, n in init_i[i:i + 8])
         lines.append(f"    {row},")
+    lines += [
+        "]",
+        "",
+        "# Table 9-12..9-33, P/B columns by cabac_init_idc 0..2:",
+        "# (m, n) per ctxIdx 0..1023  [symbol-identified, x-checked]",
+        "INIT_PB = [",
+    ]
+    for k in range(3):
+        lines.append("  [")
+        for i in range(0, 1024, 8):
+            row = ", ".join(f"({m},{n})" for m, n in init_pb[k][i:i + 8])
+            lines.append(f"    {row},")
+        lines.append("  ],")
     lines += [
         "]",
         "",

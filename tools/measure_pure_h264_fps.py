@@ -26,9 +26,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
-def content(kind, w, h, n, seed=0):
+def content(kind, w, h, n, seed=0, pan=False):
     rng = np.random.default_rng(seed)
     frames = []
+    if pan:  # temporally coherent: a panning window over a fixed texture
+        if kind == "gradient":
+            base = (np.add.outer(np.arange(h * 2), np.arange(w * 2)) * 2
+                    % 256).astype(np.uint8)
+        else:
+            base = rng.integers(0, 256, (h * 2, w * 2), dtype=np.uint8)
+        cu = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        cv = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for i in range(n):
+            oy, ox = (3 * i) % h, (2 * i) % w
+            frames.append((
+                base[oy:oy + h, ox:ox + w].copy(),
+                cu[oy // 2:oy // 2 + h // 2,
+                   ox // 2:ox // 2 + w // 2].copy(),
+                cv[oy // 2:oy // 2 + h // 2,
+                   ox // 2:ox // 2 + w // 2].copy()))
+        return frames
     for i in range(n):
         if kind == "gradient":
             y = (np.add.outer(np.arange(h), np.arange(w)) * (2 + i) % 256).astype(np.uint8)
@@ -102,12 +119,23 @@ def main():
         ("cabac", "preset=veryfast,profile=main,tune=zerolatency,"
                   "g=1,crf=30,threads=1",
          (("native", None), ("scalar", 3))),
+        # inter streams (round 5): what real RTMP publishers send — the
+        # default x264 broadcast shape (CABAC, P slices, gop 250) plus the
+        # CAVLC-inter variant
+        ("inter-cavlc", "preset=veryfast,profile=baseline,"
+                        "tune=zerolatency,g=250,crf=30,threads=1",
+         (("native", None), ("scalar", 3))),
+        ("inter-cabac", "preset=veryfast,profile=main,tune=zerolatency,"
+                        "g=250,crf=30,threads=1",
+         (("native", None), ("scalar", 3))),
     )
     for prof, opts, tiers in profiles:
         for kind in ("gradient", "noise"):
-            ed, pk = encode(w, h, content(kind, w, h, n_frames), opts)
+            frames = content(kind, w, h, n_frames,
+                             pan="inter" in prof)
+            ed, pk = encode(w, h, frames, opts)
             kbps = sum(len(d) for *_x, d in pk) * 8 * 30 / n_frames / 1000
-            line = f"{prof:8s} {kind:9s} ({kbps:7.0f} kb/s)"
+            line = f"{prof:11s} {kind:9s} ({kbps:7.0f} kb/s)"
             for tier, cap in tiers:
                 fps = time_tier(ed, pk, tier, max_frames=cap)
                 line += f"  {tier}: {fps:7.1f} fps"
