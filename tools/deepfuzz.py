@@ -80,6 +80,33 @@ def _seed_h264_x264():
     return ed, pk
 
 
+def _seed_h264_inter(profile):
+    """Shim-encoded x264 INTER stream (round 5): returns (extradata,
+    idr_packet, p_packets) so the fuzz target can warm the DPB with the
+    real IDR and mutate only P slices."""
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        return None
+    enc = avshim.VideoEncoder(
+        64, 48, fps=10,
+        opts=f"preset=veryfast,{profile},tune=zerolatency,g=250,qp=24,"
+             "threads=1,x264-params=ref=3",
+    )
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+    for i in range(5):
+        y = base[2 * i:2 * i + 48, i:i + 64].copy()
+        u = np.full((24, 32), 90 + i, np.uint8)
+        v = np.full((24, 32), 150, np.uint8)
+        enc.send(y, u, v, i)
+    enc.flush()
+    pk = [data for _pts, _dts, _key, data in enc.receive()]
+    ed = enc.extradata()
+    enc.close()
+    return ed, pk[0], pk[1:]
+
+
 def _seed_aac():
     """Our pure AAC encoder's ADTS frames."""
     from mixlab_tpu.av.aac import adts_frame
@@ -184,6 +211,23 @@ def build_targets():
                         h264_allowed))
         targets.append(("h264_annexb_cold", [ed_x + x_samples[0]],
                         h264_annexb_cold, h264_allowed))
+
+    # --- inter (P-slice) surface, round 5: fuzzed P packets hit the MV
+    # prediction / MC / ref-list / marking paths of a WARM decoder whose
+    # DPB holds real reference pictures (CAVLC and CABAC variants) ---
+    for label, prof in (("h264_p_cavlc", "profile=baseline"),
+                        ("h264_p_cabac", "profile=main")):
+        inter = _seed_h264_inter(prof)
+        if inter is None:
+            continue
+        ed_i, idr_i, p_samples = inter
+
+        def h264_p(blob, _rng, _ed=ed_i, _idr=idr_i):
+            d = PureH264Decoder()
+            d.decode_annexb(_ed + _idr)  # warm DPB with the real IDR
+            d.decode_annexb(blob)
+
+        targets.append((label, p_samples, h264_p, h264_allowed))
 
     def h264_dcr(blob, _rng):
         PureH264Decoder(blob)
