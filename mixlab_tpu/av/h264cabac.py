@@ -187,8 +187,8 @@ class CabacSliceDecoder(_SliceDecoder):
         self.cbf_l = np.zeros((mbh * 4, mbw * 4), np.int8)  # luma 4x4
         self.cbf_cdc = np.zeros((2, mbh, mbw), np.int8)  # chroma DC
         self.cbf_c = np.zeros((2, mbh * 2, mbw * 2), np.int8)  # chroma AC
-        # |mvd| per 4x4 cell and component (mvd ctx, 9.3.3.1.1.7)
-        self.absmvd = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
+        # |mvd| per 4x4 cell, list, and component (mvd ctx, 9.3.3.1.1.7)
+        self.absmvd = np.zeros((mbh * 4, mbw * 4, 2, 2), np.int64)
         self.prev_qp_delta_nz = False
 
         mb_addr, n_mbs = first_mb, mbw * mbh
@@ -330,10 +330,10 @@ class CabacSliceDecoder(_SliceDecoder):
         cond_b = my > 0 and not self.mb_skip[my - 1, mx]
         return bool(self.eng.decision(11 + cond_a + cond_b))
 
-    def _read_ref_idx_cabac(self, gx: int, gy: int) -> int:
-        """ref_idx_l0: unary, ctx 54-59 (9.3.3.1.1.6); present only when
+    def _read_ref_idx_cabac(self, gx: int, gy: int, lx: int = 0) -> int:
+        """ref_idx_lX: unary, ctx 54-59 (9.3.3.1.1.6); present only when
         the list has more than one active entry (7.3.5.1)."""
-        if self.num_ref_active == 1:
+        if self.num_ref_active[lx] == 1:
             return 0
         eng = self.eng
 
@@ -344,8 +344,8 @@ class CabacSliceDecoder(_SliceDecoder):
             if (cx < 0 or cy < 0 or cx >= self.mbw * 4
                     or cy >= self.mbh * 4):
                 return -2
-            if self.refknown[cy, cx] or self.decoded4[cy, cx]:
-                return int(self.refidx[cy, cx])
+            if self.refknown[cy, cx, lx] or self.decoded4[cy, cx]:
+                return int(self.refidx[cy, cx, lx])
             return -2
 
         inc = (nref(gx - 1, gy) > 0) + 2 * (nref(gx, gy - 1) > 0)
@@ -357,15 +357,18 @@ class CabacSliceDecoder(_SliceDecoder):
                 idx += 1
             if idx >= 32:
                 raise H264DecodeError("ref_idx unary overflow")
-        n = len(self.list0)
-        if idx >= n or self.list0[idx] is None:
+        lst = self.lists[lx]
+        n = len(lst)
+        if idx >= n or lst[idx] is None:
             raise H264DecodeError(f"ref_idx {idx} outside the {n}-entry "
                                   "reference list")
         return idx
 
-    def _read_mvd_cabac(self, gx: int, gy: int, comp: int) -> int:
-        """mvd_l0 component: UEG3 (prefix TU ctx-coded to 9, EG3 bypass
-        suffix, bypass sign), ctx 40-46 / 47-53 (9.3.3.1.1.7)."""
+    def _read_mvd_cabac(self, gx: int, gy: int, comp: int,
+                        lx: int = 0) -> int:
+        """mvd_lX component: UEG3 (prefix TU ctx-coded to 9, EG3 bypass
+        suffix, bypass sign), ctx 40-46 / 47-53 (9.3.3.1.1.7); the
+        neighbor |mvd| context is per-list."""
         eng = self.eng
         base = 40 if comp == 0 else 47
 
@@ -373,7 +376,7 @@ class CabacSliceDecoder(_SliceDecoder):
             if (cx < 0 or cy < 0 or cx >= self.mbw * 4
                     or cy >= self.mbh * 4 or not self.decoded4[cy, cx]):
                 return 0
-            return int(self.absmvd[cy, cx, comp])
+            return int(self.absmvd[cy, cx, lx, comp])
 
         e = amvd(gx - 1, gy) + amvd(gx, gy - 1)
         inc = 0 if e < 3 else (2 if e > 32 else 1)
@@ -432,8 +435,8 @@ class CabacSliceDecoder(_SliceDecoder):
             for px, py_, w, h in shapes:
                 gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
                 ref = self._read_ref_idx_cabac(gx, gy)
-                self.refidx[gy: gy + h // 4, gx: gx + w // 4] = ref
-                self.refknown[gy: gy + h // 4, gx: gx + w // 4] = True
+                self.refidx[gy: gy + h // 4, gx: gx + w // 4, 0] = ref
+                self.refknown[gy: gy + h // 4, gx: gx + w // 4, 0] = True
                 refs.append(ref)
             for (px, py_, w, h), ref, hn in zip(shapes, refs, hint):
                 gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
@@ -443,7 +446,8 @@ class CabacSliceDecoder(_SliceDecoder):
                 self._set_part(mx, my, px, py_, w, h, ref,
                                px_x + dx, px_y + dy)
                 self._set_absmvd(gx, gy, w // 4, h // 4, dx, dy)
-                parts.append((px, py_, w, h, ref, px_x + dx, px_y + dy))
+                parts.append((px, py_, w, h, (ref, -1),
+                              ((px_x + dx, px_y + dy), (0, 0))))
         else:  # P_8x8 (CABAC has no P_8x8ref0, Table 9-34)
             from mixlab_tpu.av.h264dec import _P_SUB_PARTS
 
@@ -463,8 +467,8 @@ class CabacSliceDecoder(_SliceDecoder):
                 bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
                 gx, gy = mx * 4 + bx0 // 4, my * 4 + by0 // 4
                 ref = self._read_ref_idx_cabac(gx, gy)
-                self.refidx[gy: gy + 2, gx: gx + 2] = ref
-                self.refknown[gy: gy + 2, gx: gx + 2] = True
+                self.refidx[gy: gy + 2, gx: gx + 2, 0] = ref
+                self.refknown[gy: gy + 2, gx: gx + 2, 0] = True
                 refs.append(ref)
             for b8 in range(4):
                 bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
@@ -478,7 +482,8 @@ class CabacSliceDecoder(_SliceDecoder):
                     self._set_part(mx, my, px, py_, w, h, ref,
                                    px_x + dx, px_y + dy)
                     self._set_absmvd(gx, gy, w // 4, h // 4, dx, dy)
-                    parts.append((px, py_, w, h, ref, px_x + dx, px_y + dy))
+                    parts.append((px, py_, w, h, (ref, -1),
+                                  ((px_x + dx, px_y + dy), (0, 0))))
         pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
 
         cbp_luma, cbp_chroma = self._read_cbp(mx, my)
@@ -512,9 +517,9 @@ class CabacSliceDecoder(_SliceDecoder):
                              pred_y, pred_u, pred_v)
 
     def _set_absmvd(self, gx: int, gy: int, w4: int, h4: int,
-                    dx: int, dy: int):
-        self.absmvd[gy: gy + h4, gx: gx + w4, 0] = abs(dx)
-        self.absmvd[gy: gy + h4, gx: gx + w4, 1] = abs(dy)
+                    dx: int, dy: int, lx: int = 0):
+        self.absmvd[gy: gy + h4, gx: gx + w4, lx, 0] = abs(dx)
+        self.absmvd[gy: gy + h4, gx: gx + w4, lx, 1] = abs(dy)
 
     def _decode_pcm_cabac(self, r: BitReader, mx: int, my: int):
         """I_PCM: raw samples start at the next byte boundary after the
@@ -760,11 +765,14 @@ class NativeCabacSliceDecoder(_SliceDecoder):
     def __init__(self, sps, pps):
         self.sps = sps
         self.pps = pps
+        self.dpb = None
         mbw, mbh = sps.mb_width, sps.mb_height
         self.mbw, self.mbh = mbw, mbh
         self.ry = np.zeros((mbh * 16, mbw * 16), np.uint8)
         self.ru = np.zeros((mbh * 8, mbw * 8), np.uint8)
         self.rv = np.zeros((mbh * 8, mbw * 8), np.uint8)
+        self.lists = [[], []]
+        self.num_ref_active = [1, 1]
 
     def decode_slice(self, r: BitReader, nal_unit_type: int) -> bool:
         """Returns False when the native library is unavailable (caller

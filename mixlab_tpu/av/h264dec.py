@@ -67,7 +67,7 @@ from mixlab_tpu.av.h264cavlc import (
     dequant4x4,
     idct4x4,
 )
-from mixlab_tpu.av.sps import SpsInfo, _BitReader, parse_sps
+from mixlab_tpu.av.sps import SpsError, SpsInfo, _BitReader, parse_sps
 
 
 class H264DecodeError(Exception):
@@ -285,6 +285,48 @@ class _Pps:
             self.chroma_qp_offset2 = r.se()
 
 
+def _parse_vui_reorder(r: BitReader) -> Optional[int]:
+    """Walk VUI parameters (spec E.1.1) far enough to read
+    max_num_reorder_frames; None when bitstream_restriction is absent."""
+
+    def hrd():
+        cpb_cnt = r.ue() + 1
+        if cpb_cnt > 32:
+            raise H264DecodeError("bad HRD cpb_cnt")
+        r.bits(8)
+        for _ in range(cpb_cnt):
+            r.ue(), r.ue(), r.bit()
+        r.bits(20)
+
+    if r.bit():  # aspect_ratio_info
+        if r.bits(8) == 255:
+            r.bits(32)
+    if r.bit():  # overscan_info
+        r.bit()
+    if r.bit():  # video_signal_type
+        r.bits(4)
+        if r.bit():
+            r.bits(24)
+    if r.bit():  # chroma_loc_info
+        r.ue(), r.ue()
+    if r.bit():  # timing_info
+        r.bits(65)
+    nal_hrd = r.bit()
+    if nal_hrd:
+        hrd()
+    vcl_hrd = r.bit()
+    if vcl_hrd:
+        hrd()
+    if nal_hrd or vcl_hrd:
+        r.bit()  # low_delay_hrd
+    r.bit()  # pic_struct_present
+    if not r.bit():  # bitstream_restriction_flag
+        return None
+    r.bit()
+    r.ue(), r.ue(), r.ue(), r.ue()
+    return r.ue()  # max_num_reorder_frames
+
+
 class _SpsExt:
     """SPS fields the slice header consumes beyond SpsInfo."""
 
@@ -333,6 +375,19 @@ class _SpsExt:
                 "exceeds the decoder pixel cap")
         if not r.bit():
             raise H264DecodeError("interlaced streams unsupported")
+        self.direct_8x8_inference = bool(r.bit())
+        if r.bit():  # frame_cropping (sizes come from SpsInfo)
+            r.ue(), r.ue(), r.ue(), r.ue()
+        # VUI: only max_num_reorder_frames matters here (B-picture output
+        # delay); None when VUI/bitstream_restriction is absent
+        self.num_reorder_frames: Optional[int] = None
+        if r.bit():  # vui_parameters_present_flag
+            try:
+                self.num_reorder_frames = _parse_vui_reorder(r)
+            except (SpsError, H264DecodeError):
+                # decoding never NEEDED the VUI before this field existed;
+                # a malformed one degrades to the conservative default
+                self.num_reorder_frames = None
 
 
 # ---------------------------------------------------------------------------
@@ -343,33 +398,52 @@ class _SpsExt:
 class RefPic:
     """One stored reference picture: FULL (MB-aligned, uncropped) planes —
     unrestricted MVs reference the area beyond the crop window, clamped at
-    the full picture edge (8.4.2.2.1)."""
+    the full picture edge (8.4.2.2.1) — plus the POC and the per-4x4
+    co-located motion B direct modes consult (8.4.1.2.2/8.4.1.2.3):
+    ``mv[gy, gx, lx, comp]``, the raw ``refidx`` (colZeroFlag needs
+    refIdxCol == 0), and the referenced picture's identity (``refpid``)
+    and POC (``refpoc``).  ``mv`` is None for pictures decoded by a tier
+    that does not export motion (a later B direct raises a typed
+    error)."""
 
-    __slots__ = ("pid", "frame_num", "y", "u", "v")
+    __slots__ = ("pid", "frame_num", "poc", "y", "u", "v",
+                 "mv", "refidx", "refpid", "refpoc")
 
-    def __init__(self, pid, frame_num, y, u, v):
+    def __init__(self, pid, frame_num, y, u, v, poc=0, motion=None):
         self.pid = pid
         self.frame_num = frame_num
+        self.poc = poc
         self.y, self.u, self.v = y, u, v
+        if motion is not None:
+            self.mv, self.refidx, self.refpid, self.refpoc = motion
+        else:
+            self.mv = self.refidx = self.refpid = self.refpoc = None
 
 
 class Dpb:
     """Short-term reference bookkeeping: sliding window (8.2.5.3), MMCO 1
-    (8.2.5.4.1), P list0 initialization by descending PicNum (8.2.4.2.1)
-    and the short-term re-ordering process (8.2.4.3.1).  Long-term
-    references raise typed errors (x264 never emits them; the libavcodec
-    shim covers such streams)."""
+    (8.2.5.4.1), P list0 initialization by descending PicNum (8.2.4.2.1),
+    B list0/list1 initialization by POC order (8.2.4.2.3), the short-term
+    re-ordering process (8.2.4.3.1), and the cross-picture POC predictor
+    state (8.2.1).  Long-term references raise typed errors (x264 never
+    emits them; the libavcodec shim covers such streams)."""
 
     def __init__(self):
         self.pics: List[RefPic] = []
         self._next_pid = 0
+        # POC predictor state (8.2.1.1 / 8.2.1.3)
+        self.prev_poc_msb = 0
+        self.prev_poc_lsb = 0
+        self.prev_fno = 0
+        self.prev_frame_num = 0
 
     def clear(self):
         self.pics.clear()
 
-    def store(self, frame_num: int, y, u, v, max_refs: int):
+    def store(self, frame_num: int, y, u, v, max_refs: int,
+              poc: int = 0, motion=None):
         """Sliding-window decoded reference picture marking (8.2.5.3)."""
-        pic = RefPic(self._next_pid, frame_num, y, u, v)
+        pic = RefPic(self._next_pid, frame_num, y, u, v, poc, motion)
         self._next_pid += 1
         self.pics.append(pic)
         while len(self.pics) > max(max_refs, 1):
@@ -396,6 +470,22 @@ class Dpb:
             self.pics,
             key=lambda p: -self._pic_num(p, cur_frame_num, max_frame_num),
         )
+
+    def init_lists_b(self, cur_poc: int):
+        """RefPicList0/RefPicList1 before modification for a B slice
+        (8.2.4.2.3, frame coding, short-term only): list0 = past refs by
+        descending POC then future refs by ascending POC; list1 the
+        mirror; if the lists come out identical with more than one entry,
+        the first two of list1 swap."""
+        past = sorted((p for p in self.pics if p.poc < cur_poc),
+                      key=lambda p: -p.poc)
+        future = sorted((p for p in self.pics if p.poc > cur_poc),
+                        key=lambda p: p.poc)
+        l0 = past + future
+        l1 = future + past
+        if len(l1) > 1 and l0 == l1:
+            l1[0], l1[1] = l1[1], l0[0]
+        return l0, l1
 
 
 # ---------------------------------------------------------------------------
@@ -756,27 +846,41 @@ class _SliceDecoder:
         self.qp_map = np.zeros((mbh, mbw), np.int64)
         self.i4_modes = np.full((mbh * 4, mbw * 4), -1, np.int64)
         self.qp_prev = 26
-        # inter state (P slices): per-4x4 motion field, list0 ref index
-        # (-1 = intra/none), stored-picture identity (deblocking bS), and
-        # decode-order availability for MV prediction (6.4.9 semantics)
+        # inter state (P/B slices): per-4x4-per-list motion field
+        # [gy, gx, lx, comp], per-list ref index (-1 = intra/unused),
+        # stored-picture identity + POC (deblocking bS, direct modes),
+        # and decode-order availability for MV prediction (6.4.9)
         self.slice_type = 2
-        self.mv = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
-        self.refidx = np.full((mbh * 4, mbw * 4), -1, np.int64)
-        self.refpid = np.full((mbh * 4, mbw * 4), -1, np.int64)
+        self.mv = np.zeros((mbh * 4, mbw * 4, 2, 2), np.int64)
+        self.refidx = np.full((mbh * 4, mbw * 4, 2), -1, np.int64)
+        self.refpid = np.full((mbh * 4, mbw * 4, 2), -1, np.int64)
+        self.refpoc = np.zeros((mbh * 4, mbw * 4, 2), np.int64)
         self.decoded4 = np.zeros((mbh * 4, mbw * 4), bool)
         # ref_idx known before the partition's MV is (CABAC reads all
         # ref_idx of an MB before any mvd, and the ref_idx ctx depends on
         # earlier same-MB partitions' refs, 9.3.3.1.1.6)
-        self.refknown = np.zeros((mbh * 4, mbw * 4), bool)
+        self.refknown = np.zeros((mbh * 4, mbw * 4, 2), bool)
         self.mb_intra = np.ones((mbh, mbw), bool)
-        self.list0: List[RefPic] = []
-        self.wp = None  # (log_wd_y, log_wd_c, [(wy,oy,wu,ou,wv,ov)])
+        self.lists: List[List[RefPic]] = [[], []]
+        # explicit WP: (log_wd_y, log_wd_c, [per-list [(wy,oy,wu,ou,wv,ov)]])
+        self.wp = None
+        self.implicit_wp = False  # B + weighted_bipred_idc == 2
+        self.direct_spatial = True
+        self.poc = 0
         self.frame_num = 0
         self.is_ref = True
         self.marking_ops: List[Tuple[int, int]] = []
         self.adaptive_marking = False
-        self.num_ref_active = 1
+        self.num_ref_active = [1, 1]
         self.cabac_init_idc = 0
+
+    @property
+    def list0(self) -> List[RefPic]:
+        return self.lists[0]
+
+    @property
+    def list1(self) -> List[RefPic]:
+        return self.lists[1]
 
     def _nC(self, nnz, mx, my, bx, by, grid) -> int:
         def lookup(tx, ty):
@@ -801,123 +905,195 @@ class _SliceDecoder:
             return int(nB)
         return 0
 
+    def _compute_poc(self, r: BitReader, nal_unit_type: int) -> Optional[int]:
+        """PicOrderCnt of the current (frame) picture (spec 8.2.1),
+        consuming the slice header's POC syntax; ``None`` when the POC
+        type is outside this decoder's scope (only B prediction ever
+        consults it)."""
+        sps, dpb = self.sps, self.dpb
+        if sps.poc_type == 0:
+            lsb = r.bits(sps.log2_max_poc_lsb)
+            if self.pps.bottom_field_poc:
+                r.se()  # delta_pic_order_cnt_bottom (frame coding: unused)
+            if dpb is None:
+                return None
+            if nal_unit_type == 5:
+                dpb.prev_poc_msb = dpb.prev_poc_lsb = 0
+            max_lsb = 1 << sps.log2_max_poc_lsb
+            if (lsb < dpb.prev_poc_lsb
+                    and dpb.prev_poc_lsb - lsb >= max_lsb // 2):
+                msb = dpb.prev_poc_msb + max_lsb
+            elif (lsb > dpb.prev_poc_lsb
+                    and lsb - dpb.prev_poc_lsb > max_lsb // 2):
+                msb = dpb.prev_poc_msb - max_lsb
+            else:
+                msb = dpb.prev_poc_msb
+            if self.is_ref:
+                dpb.prev_poc_msb, dpb.prev_poc_lsb = msb, lsb
+            return msb + lsb
+        if sps.poc_type == 1:
+            if not sps.delta_poc_always_zero:
+                r.se()
+                if self.pps.bottom_field_poc:
+                    r.se()
+            return None  # full type-1 POC: no encoder in scope emits it
+        # poc_type 2 (8.2.1.3): output order == decode order
+        if dpb is None:
+            return None
+        if nal_unit_type == 5:
+            fno = 0
+        elif dpb.prev_frame_num > self.frame_num:
+            fno = dpb.prev_fno + (1 << sps.log2_max_frame_num)
+        else:
+            fno = dpb.prev_fno
+        dpb.prev_fno, dpb.prev_frame_num = fno, self.frame_num
+        return 2 * (fno + self.frame_num) - (0 if self.is_ref else 1)
+
+    def _parse_ref_list_modification(self, r: BitReader, lst, num_active):
+        """ref_pic_list_modification for one list (7.3.3.1 / 8.2.4.3.1):
+        a fixed working array of num_active+1 slots, exactly the spec's
+        shift-insert-compact process (x264 weightp=2 uses this to
+        duplicate a reference with different weights)."""
+        max_fn = 1 << self.sps.log2_max_frame_num
+        arr = (list(lst) + [None] * (num_active + 1))[:num_active + 1]
+        ref_idx = 0
+        pic_num_pred = self.frame_num
+        while True:
+            idc = r.ue()
+            if idc == 3:
+                break
+            if idc > 3:
+                raise H264DecodeError(
+                    f"bad ref list modification idc {idc}")
+            if idc == 2:
+                raise H264Unsupported(
+                    "long-term references unsupported")
+            diff = r.ue() + 1
+            no_wrap = (pic_num_pred - diff if idc == 0
+                       else pic_num_pred + diff)
+            no_wrap = (no_wrap + max_fn) % max_fn
+            pic_num_pred = no_wrap
+            pic_num = (no_wrap if no_wrap <= self.frame_num
+                       else no_wrap - max_fn)
+            pic = next(
+                (p for p in self.dpb.pics
+                 if Dpb._pic_num(p, self.frame_num, max_fn)
+                 == pic_num), None)
+            if pic is None:
+                raise H264DecodeError(
+                    f"ref list modification: no pic_num {pic_num}")
+            if ref_idx > num_active:
+                raise H264DecodeError(
+                    "ref list modification overruns the list")
+            arr[ref_idx + 1:] = arr[ref_idx:-1]
+            arr[ref_idx] = pic
+            ref_idx += 1
+            n_idx = ref_idx
+            for c_idx in range(ref_idx, num_active + 1):
+                if arr[c_idx] is not pic:
+                    arr[n_idx] = arr[c_idx]
+                    n_idx += 1
+            for k in range(n_idx, num_active + 1):
+                arr[k] = None
+        return arr
+
+    def _parse_weight_entries(self, r: BitReader, num_active: int,
+                              log_y: int, log_c: int):
+        entries = []
+        for _ in range(num_active):
+            wy, oy = 1 << log_y, 0
+            wu = wv = 1 << log_c
+            ou = ov = 0
+            if r.bit():
+                wy, oy = r.se(), r.se()
+            if r.bit():
+                wu, ou = r.se(), r.se()
+                wv, ov = r.se(), r.se()
+            entries.append((wy, oy, wu, ou, wv, ov))
+        return entries
+
     def _parse_slice_header(self, r: BitReader, nal_unit_type: int,
                             nal_ref_idc: int = 1):
         """Slice header shared by the CAVLC and CABAC tiers (spec 7.3.3),
-        I and P slices; returns (first_mb, qp, disable_idc, off_a, off_b),
+        I/P/B slices; returns (first_mb, qp, disable_idc, off_a, off_b),
         seeds the mb_qp_delta chain, and stashes the inter slice state
-        (slice_type, list0, weights, marking ops, cabac_init_idc) on
-        self."""
+        (slice_type, lists, POC, weights, marking ops, cabac_init_idc)
+        on self."""
         sps, pps = self.sps, self.pps
         first_mb = r.ue()
         if first_mb != 0:
             # intra-pred availability would need slice-boundary tracking
             raise H264DecodeError("multi-slice pictures unsupported")
         slice_type = r.ue() % 5
-        if slice_type not in (0, 2):
+        if slice_type not in (0, 1, 2):
             raise H264Unsupported(
-                f"slice type {slice_type} unsupported (I/P only)")
+                f"slice type {slice_type} unsupported (I/P/B only)")
         self.slice_type = slice_type
         is_p = slice_type == 0
+        is_b = slice_type == 1
         r.ue()  # pps id (single-PPS streams)
         self.frame_num = r.bits(sps.log2_max_frame_num)
         self.is_ref = nal_ref_idc != 0
         if nal_unit_type == 5:
             r.ue()  # idr_pic_id
-        if sps.poc_type == 0:
-            r.bits(sps.log2_max_poc_lsb)
-            if pps.bottom_field_poc:
-                r.se()  # delta_pic_order_cnt_bottom
-        elif sps.poc_type == 1 and not sps.delta_poc_always_zero:
-            r.se()
-            if pps.bottom_field_poc:
-                r.se()
+        poc = self._compute_poc(r, nal_unit_type)
+        self.poc = poc
         if pps.redundant_pic_cnt_present and r.ue() != 0:
             raise H264Unsupported("redundant pictures unsupported")
-        num_active = pps.num_ref_idx_l0
-        if is_p:
+        if is_b:
+            self.direct_spatial = bool(r.bit())
+        num_active = [pps.num_ref_idx_l0, pps.num_ref_idx_l1]
+        if is_p or is_b:
             if pps.constrained_intra_pred:
                 raise H264Unsupported(
-                    "constrained_intra_pred P slices unsupported")
-            if r.bit():  # num_ref_idx_active_override_flag
-                num_active = r.ue() + 1
-            if num_active > 16:
-                raise H264DecodeError("num_ref_idx_l0_active > 16")
+                    "constrained_intra_pred inter slices unsupported")
             if self.dpb is None:
-                raise H264Unsupported("P slice without reference buffer")
+                raise H264Unsupported("inter slice without reference buffer")
+            if r.bit():  # num_ref_idx_active_override_flag
+                num_active[0] = r.ue() + 1
+                if is_b:
+                    num_active[1] = r.ue() + 1
+            if max(num_active) > 16:
+                raise H264DecodeError("num_ref_idx_active > 16")
             max_fn = 1 << sps.log2_max_frame_num
-            lst = self.dpb.init_list_p(self.frame_num, max_fn)
-            # ref_pic_list_modification (7.3.3.1 / 8.2.4.3.1): a fixed
-            # working array of num_active+1 slots, exactly the spec's
-            # shift-insert-compact process (x264 weightp=2 uses this to
-            # duplicate a reference with different weights)
-            if r.bit():
-                arr = (list(lst) + [None] * (num_active + 1))[:num_active + 1]
-                ref_idx = 0
-                pic_num_pred = self.frame_num
-                while True:
-                    idc = r.ue()
-                    if idc == 3:
-                        break
-                    if idc > 3:
-                        raise H264DecodeError(
-                            f"bad ref list modification idc {idc}")
-                    if idc == 2:
-                        raise H264Unsupported(
-                            "long-term references unsupported")
-                    diff = r.ue() + 1
-                    no_wrap = (pic_num_pred - diff if idc == 0
-                               else pic_num_pred + diff)
-                    no_wrap = (no_wrap + max_fn) % max_fn
-                    pic_num_pred = no_wrap
-                    pic_num = (no_wrap if no_wrap <= self.frame_num
-                               else no_wrap - max_fn)
-                    pic = next(
-                        (p for p in self.dpb.pics
-                         if Dpb._pic_num(p, self.frame_num, max_fn)
-                         == pic_num), None)
-                    if pic is None:
-                        raise H264DecodeError(
-                            f"ref list modification: no pic_num {pic_num}")
-                    if ref_idx > num_active:
-                        raise H264DecodeError(
-                            "ref list modification overruns the list")
-                    arr[ref_idx + 1:] = arr[ref_idx:-1]
-                    arr[ref_idx] = pic
-                    ref_idx += 1
-                    n_idx = ref_idx
-                    for c_idx in range(ref_idx, num_active + 1):
-                        if arr[c_idx] is not pic:
-                            arr[n_idx] = arr[c_idx]
-                            n_idx += 1
-                    for k in range(n_idx, num_active + 1):
-                        arr[k] = None
-                lst = arr
-            self.list0 = list(lst)[:num_active]
-            while self.list0 and self.list0[-1] is None:
-                self.list0.pop()
-            if not self.list0:
-                raise H264DecodeError("P slice with an empty reference list")
+            if is_b:
+                if poc is None:
+                    raise H264Unsupported(
+                        "B slices need a supported pic_order_cnt_type")
+                init = self.dpb.init_lists_b(poc)
+            else:
+                init = (self.dpb.init_list_p(self.frame_num, max_fn),)
+            for lx, lst in enumerate(init):
+                if r.bit():  # ref_pic_list_modification_flag_lX
+                    lst = self._parse_ref_list_modification(
+                        r, lst, num_active[lx])
+                self.lists[lx] = list(lst)[:num_active[lx]]
+                while self.lists[lx] and self.lists[lx][-1] is None:
+                    self.lists[lx].pop()
+                if not self.lists[lx]:
+                    raise H264DecodeError(
+                        "inter slice with an empty reference list")
             self.num_ref_active = num_active
-            # pred_weight_table (7.3.3.2, explicit WP for P)
+            # pred_weight_table (7.3.3.2): explicit WP for P, explicit
+            # bipred (idc 1) for B; implicit bipred (idc 2) derives the
+            # weights from POC distances per prediction pair (8.4.2.3.1)
             self.wp = None
-            if pps.weighted_pred:
+            self.implicit_wp = is_b and pps.weighted_bipred_idc == 2
+            if self.implicit_wp and poc is None:
+                raise H264Unsupported(
+                    "implicit weighted bipred needs a supported POC type")
+            if (pps.weighted_pred and is_p) or (
+                    is_b and pps.weighted_bipred_idc == 1):
                 log_y = r.ue()
                 log_c = r.ue()
                 if log_y > 7 or log_c > 7:
                     raise H264DecodeError("bad luma/chroma weight denom")
-                entries = []
-                for _ in range(num_active):
-                    wy, oy = 1 << log_y, 0
-                    wu = wv = 1 << log_c
-                    ou = ov = 0
-                    if r.bit():
-                        wy, oy = r.se(), r.se()
-                    if r.bit():
-                        wu, ou = r.se(), r.se()
-                        wv, ov = r.se(), r.se()
-                    entries.append((wy, oy, wu, ou, wv, ov))
-                self.wp = (log_y, log_c, entries)
+                per_list = [self._parse_weight_entries(
+                    r, num_active[0], log_y, log_c)]
+                if is_b:
+                    per_list.append(self._parse_weight_entries(
+                        r, num_active[1], log_y, log_c))
+                self.wp = (log_y, log_c, per_list)
         self.marking_ops = []
         if nal_unit_type == 5:
             r.bit()  # no_output_of_prior_pics
@@ -935,7 +1111,7 @@ class _SliceDecoder:
                     else:
                         raise H264Unsupported(
                             f"memory management control op {op} unsupported")
-        if pps.entropy_cabac and is_p:
+        if pps.entropy_cabac and (is_p or is_b):
             self.cabac_init_idc = r.ue()
             if self.cabac_init_idc > 2:
                 raise H264DecodeError("bad cabac_init_idc")
@@ -1003,16 +1179,17 @@ class _SliceDecoder:
         # constrained_intra_pred_flag == 0)
         self.i4_modes[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = 2
 
-    def _read_ref_idx(self, r: BitReader) -> int:
-        n = len(self.list0)
-        cmax = self.num_ref_active - 1
+    def _read_ref_idx(self, r: BitReader, lx: int = 0) -> int:
+        lst = self.lists[lx]
+        n = len(lst)
+        cmax = self.num_ref_active[lx] - 1
         if cmax == 0:
             idx = 0
         elif cmax == 1:
             idx = 1 - r.bit()  # te(v), cMax 1 (9.1.1)
         else:
             idx = r.ue()
-        if idx >= n or self.list0[idx] is None:
+        if idx >= n or lst[idx] is None:
             raise H264DecodeError(f"ref_idx {idx} outside the {n}-entry "
                                   "reference list")
         return idx
@@ -1032,7 +1209,7 @@ class _SliceDecoder:
             mvx, mvy = self._mvp(gx, gy, 4, 4, 0, None)
         self._set_part(mx, my, 0, 0, 16, 16, 0, mvx, mvy)
         py, pu, pv = self._inter_pred_mb(
-            mx, my, [(0, 0, 16, 16, 0, mvx, mvy)])
+            mx, my, [(0, 0, 16, 16, (0, -1), ((mvx, mvy), (0, 0)))])
         y0, x0 = my * 16, mx * 16
         self.ry[y0: y0 + 16, x0: x0 + 16] = py
         self.ru[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = pu
@@ -1062,7 +1239,8 @@ class _SliceDecoder:
                 px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, hn)
                 mvx, mvy = px_x + dx, px_y + dy
                 self._set_part(mx, my, px, py_, w, h, ref, mvx, mvy)
-                parts.append((px, py_, w, h, ref, mvx, mvy))
+                parts.append((px, py_, w, h, (ref, -1),
+                              ((mvx, mvy), (0, 0))))
         else:  # P_8x8 / P_8x8ref0 (7.3.5.2)
             if mb_type > 4:
                 raise H264DecodeError(f"bad P mb_type {mb_type}")
@@ -1090,7 +1268,8 @@ class _SliceDecoder:
                     px_x, px_y = self._mvp(gx, gy, w // 4, h // 4, ref, None)
                     mvx, mvy = px_x + dx, px_y + dy
                     self._set_part(mx, my, px, py_, w, h, ref, mvx, mvy)
-                    parts.append((px, py_, w, h, ref, mvx, mvy))
+                    parts.append((px, py_, w, h, (ref, -1),
+                                  ((mvx, mvy), (0, 0))))
         pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
 
         cbp_code = r.ue()
@@ -1124,27 +1303,28 @@ class _SliceDecoder:
 
     # ---- motion vector prediction (spec 8.4.1.3) ------------------------
 
-    def _nbinfo(self, cx: int, cy: int) -> Tuple[int, int, int]:
-        """(refIdx, mvx, mvy) of the 4x4 cell (cx, cy): refIdx -2 when the
-        location is unavailable (outside the picture or not yet decoded,
-        6.4.9), -1 when the cell is intra-coded (8.4.1.3.2: mv 0)."""
+    def _nbinfo(self, cx: int, cy: int, lx: int = 0) -> Tuple[int, int, int]:
+        """(refIdx, mvx, mvy) of the 4x4 cell (cx, cy) for list ``lx``:
+        refIdx -2 when the location is unavailable (outside the picture or
+        not yet decoded, 6.4.9), -1 when the cell is intra-coded or does
+        not predict from list lx (8.4.1.3.2: mv 0)."""
         if (cx < 0 or cy < 0 or cx >= self.mbw * 4 or cy >= self.mbh * 4
                 or not self.decoded4[cy, cx]):
             return -2, 0, 0
-        ref = int(self.refidx[cy, cx])
+        ref = int(self.refidx[cy, cx, lx])
         if ref < 0:
             return -1, 0, 0
-        return ref, int(self.mv[cy, cx, 0]), int(self.mv[cy, cx, 1])
+        return ref, int(self.mv[cy, cx, lx, 0]), int(self.mv[cy, cx, lx, 1])
 
     def _mvp(self, gx: int, gy: int, w4: int, h4: int, ref: int,
-             hint: Optional[str]) -> Tuple[int, int]:
+             hint: Optional[str], lx: int = 0) -> Tuple[int, int]:
         """Median motion vector prediction with the 16x8/8x16 directional
         shortcuts (8.4.1.3); (gx, gy) in 4x4-grid units."""
-        a = self._nbinfo(gx - 1, gy)
-        b = self._nbinfo(gx, gy - 1)
-        c = self._nbinfo(gx + w4, gy - 1)
+        a = self._nbinfo(gx - 1, gy, lx)
+        b = self._nbinfo(gx, gy - 1, lx)
+        c = self._nbinfo(gx + w4, gy - 1, lx)
         if c[0] == -2:
-            c = self._nbinfo(gx - 1, gy - 1)  # D substitution (8.4.1.3.2)
+            c = self._nbinfo(gx - 1, gy - 1, lx)  # D substitution (8.4.1.3.2)
         if hint == "16x8_top" and b[0] == ref:
             return b[1], b[2]
         if hint in ("16x8_bot", "8x16_left") and a[0] == ref:
@@ -1159,39 +1339,94 @@ class _SliceDecoder:
         return (_median3(a[1], b[1], c[1]), _median3(a[2], b[2], c[2]))
 
     def _set_part(self, mx: int, my: int, px: int, py: int, w: int, h: int,
-                  ref: int, mvx: int, mvy: int):
+                  ref: int, mvx: int, mvy: int, lx: int = 0):
         gx, gy = mx * 4 + px // 4, my * 4 + py // 4
         w4, h4 = w // 4, h // 4
-        self.mv[gy: gy + h4, gx: gx + w4] = (mvx, mvy)
-        self.refidx[gy: gy + h4, gx: gx + w4] = ref
-        self.refpid[gy: gy + h4, gx: gx + w4] = self.list0[ref].pid
+        self.mv[gy: gy + h4, gx: gx + w4, lx] = (mvx, mvy)
+        self.refidx[gy: gy + h4, gx: gx + w4, lx] = ref
+        pic = self.lists[lx][ref]
+        self.refpid[gy: gy + h4, gx: gx + w4, lx] = pic.pid
+        self.refpoc[gy: gy + h4, gx: gx + w4, lx] = pic.poc
         self.decoded4[gy: gy + h4, gx: gx + w4] = True
 
     # ---- inter prediction + reconstruction (spec 8.4.2) -----------------
 
+    def _implicit_weights(self, pic0: RefPic, pic1: RefPic):
+        """Implicit bipred weights (w0, w1) from POC distances
+        (8.4.2.3.1, weighted_bipred_idc == 2; logWD fixed at 5)."""
+        poc0, poc1 = pic0.poc, pic1.poc
+        td = min(max(poc1 - poc0, -128), 127)
+        if td == 0:
+            return 32, 32
+        tb = min(max(self.poc - poc0, -128), 127)
+        # spec 5.6 "/": integer division truncating toward zero
+        num = 16384 + abs(td) // 2
+        tx = num // td if td > 0 else -(num // -td)
+        dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+        if dsf >> 2 < -64 or dsf >> 2 > 128:
+            return 32, 32
+        w1 = dsf >> 2
+        return 64 - w1, w1
+
+    def _mc_one(self, pic: RefPic, x0: int, y0: int, px: int, py: int,
+                w: int, h: int, mvx: int, mvy: int):
+        from mixlab_tpu.av import h264mc
+
+        by = h264mc.luma_mc(pic.y, x0 + px, y0 + py, w, h, mvx, mvy)
+        bu = h264mc.chroma_mc(pic.u, (x0 + px) // 2, (y0 + py) // 2,
+                              w // 2, h // 2, mvx, mvy)
+        bv = h264mc.chroma_mc(pic.v, (x0 + px) // 2, (y0 + py) // 2,
+                              w // 2, h // 2, mvx, mvy)
+        return by, bu, bv
+
     def _inter_pred_mb(self, mx: int, my: int, parts):
         """Predicted MB planes from the partition list
-        [(px, py, w, h, refIdx, mvx, mvy)] — fractional-sample MC
-        (av/h264mc.py) plus explicit weighted prediction when present."""
+        [(px, py, w, h, (ref0, ref1), ((mvx0, mvy0), (mvx1, mvy1)))]
+        with refN = -1 for an unused list — fractional-sample MC
+        (av/h264mc.py) plus weighted sample prediction (8.4.2.3):
+        explicit per-list weights, implicit POC-derived bipred weights,
+        or the default (p0 + p1 + 1) >> 1 bipred average."""
         from mixlab_tpu.av import h264mc
 
         pred_y = np.empty((16, 16), np.int64)
         pred_u = np.empty((8, 8), np.int64)
         pred_v = np.empty((8, 8), np.int64)
         y0, x0 = my * 16, mx * 16
-        for px, py, w, h, ref, mvx, mvy in parts:
-            pic = self.list0[ref]
-            by = h264mc.luma_mc(pic.y, x0 + px, y0 + py, w, h, mvx, mvy)
-            bu = h264mc.chroma_mc(pic.u, (x0 + px) // 2, (y0 + py) // 2,
-                                  w // 2, h // 2, mvx, mvy)
-            bv = h264mc.chroma_mc(pic.v, (x0 + px) // 2, (y0 + py) // 2,
-                                  w // 2, h // 2, mvx, mvy)
-            if self.wp is not None:
-                log_y, log_c, entries = self.wp
-                wy, oy, wu, ou, wv, ov = entries[ref]
-                by = h264mc.weight_pred(by, wy, oy, log_y)
-                bu = h264mc.weight_pred(bu, wu, ou, log_c)
-                bv = h264mc.weight_pred(bv, wv, ov, log_c)
+        for px, py, w, h, refs, mvs in parts:
+            used = [lx for lx in (0, 1) if refs[lx] >= 0]
+            if len(used) == 1:
+                lx = used[0]
+                ref = refs[lx]
+                pic = self.lists[lx][ref]
+                by, bu, bv = self._mc_one(pic, x0, y0, px, py, w, h, *mvs[lx])
+                if self.wp is not None:
+                    log_y, log_c, per_list = self.wp
+                    wy, oy, wu, ou, wv, ov = per_list[lx][ref]
+                    by = h264mc.weight_pred(by, wy, oy, log_y)
+                    bu = h264mc.weight_pred(bu, wu, ou, log_c)
+                    bv = h264mc.weight_pred(bv, wv, ov, log_c)
+            else:
+                pic0 = self.lists[0][refs[0]]
+                pic1 = self.lists[1][refs[1]]
+                p0 = self._mc_one(pic0, x0, y0, px, py, w, h, *mvs[0])
+                p1 = self._mc_one(pic1, x0, y0, px, py, w, h, *mvs[1])
+                if self.wp is not None:  # explicit bipred (idc 1)
+                    log_y, log_c, per_list = self.wp
+                    e0 = per_list[0][refs[0]]
+                    e1 = per_list[1][refs[1]]
+                    by = h264mc.weight_bipred(
+                        p0[0], p1[0], e0[0], e1[0], e0[1], e1[1], log_y)
+                    bu = h264mc.weight_bipred(
+                        p0[1], p1[1], e0[2], e1[2], e0[3], e1[3], log_c)
+                    bv = h264mc.weight_bipred(
+                        p0[2], p1[2], e0[4], e1[4], e0[5], e1[5], log_c)
+                elif self.implicit_wp:
+                    w0, w1 = self._implicit_weights(pic0, pic1)
+                    by, bu, bv = (
+                        np.clip((a * w0 + b * w1 + 32) >> 6, 0, 255)
+                        for a, b in zip(p0, p1))
+                else:  # default (8.4.2.3.1)
+                    by, bu, bv = ((a + b + 1) >> 1 for a, b in zip(p0, p1))
             pred_y[py: py + h, px: px + w] = by
             pred_u[py // 2: (py + h) // 2, px // 2: (px + w) // 2] = bu
             pred_v[py // 2: (py + h) // 2, px // 2: (px + w) // 2] = bv
@@ -1544,21 +1779,51 @@ class _SliceDecoder:
 
     # ---- deblocking with derived boundary strengths (spec 8.7.2.1) ------
 
+    @staticmethod
+    def _mv_far(a, b) -> bool:
+        return (abs(int(a[0]) - int(b[0])) >= 4
+                or abs(int(a[1]) - int(b[1])) >= 4)
+
     def _bs(self, pgx: int, pgy: int, qgx: int, qgy: int,
             any_intra: bool, mb_edge: bool) -> int:
         """Boundary strength for the edge between 4x4 blocks p (pgx, pgy)
-        and q (qgx, qgy)."""
+        and q (qgx, qgy) (8.7.2.1).  For bi-predicted blocks the rule
+        compares the USED reference pictures as a set (which list holds a
+        picture does not matter), and when both blocks use the same two
+        pictures the MV comparison may match either correspondence."""
         if any_intra:
             return 4 if mb_edge else 3
         if self.nnz_y[pgy, pgx] or self.nnz_y[qgy, qgx]:
             return 2
-        if self.refpid[pgy, pgx] != self.refpid[qgy, qgx]:
+        p_used = [lx for lx in (0, 1) if self.refidx[pgy, pgx, lx] >= 0]
+        q_used = [lx for lx in (0, 1) if self.refidx[qgy, qgx, lx] >= 0]
+        if len(p_used) != len(q_used):
             return 1
-        if (abs(int(self.mv[pgy, pgx, 0]) - int(self.mv[qgy, qgx, 0])) >= 4
-                or abs(int(self.mv[pgy, pgx, 1])
-                       - int(self.mv[qgy, qgx, 1])) >= 4):
+        p_pids = sorted(int(self.refpid[pgy, pgx, lx]) for lx in p_used)
+        q_pids = sorted(int(self.refpid[qgy, qgx, lx]) for lx in q_used)
+        if p_pids != q_pids:
             return 1
-        return 0
+        if len(p_used) == 1:
+            if self._mv_far(self.mv[pgy, pgx, p_used[0]],
+                            self.mv[qgy, qgx, q_used[0]]):
+                return 1
+            return 0
+        pm0, pm1 = self.mv[pgy, pgx, 0], self.mv[pgy, pgx, 1]
+        qm0, qm1 = self.mv[qgy, qgx, 0], self.mv[qgy, qgx, 1]
+        ppid0 = int(self.refpid[pgy, pgx, 0])
+        qpid0 = int(self.refpid[qgy, qgx, 0])
+        straight_far = (self._mv_far(pm0, qm0) or self._mv_far(pm1, qm1))
+        if ppid0 != int(self.refpid[pgy, pgx, 1]):
+            # two distinct pictures: compare per-picture (lists may be
+            # swapped between the blocks)
+            if ppid0 == qpid0:
+                return 1 if straight_far else 0
+            return 1 if (self._mv_far(pm0, qm1)
+                         or self._mv_far(pm1, qm0)) else 0
+        # same picture in both lists: bS 0 if EITHER correspondence is
+        # near (8.7.2.1 last clause)
+        cross_far = (self._mv_far(pm0, qm1) or self._mv_far(pm1, qm0))
+        return 1 if (straight_far and cross_far) else 0
 
     def _deblock_general(self, off_a: int, off_b: int):
         """§8.7 deblocking for pictures with inter MBs: per-4x4-edge bS

@@ -450,6 +450,12 @@ class NativeInterSliceDecoder(_SliceDecoder):
         self.marking_ops = []
         self.frame_num = 0
         self.is_ref = True
+        self.lists = [[], []]
+        self.num_ref_active = [1, 1]
+        self.wp = None
+        self.implicit_wp = False
+        self.direct_spatial = True
+        self.poc = 0
 
     def decode_slice(self, r: BitReader, nal_unit_type: int,
                      nal_ref_idc: int = 1) -> bool:
@@ -465,8 +471,8 @@ class NativeInterSliceDecoder(_SliceDecoder):
             return False
         pics = []
         slot_of = {}
-        ref_slot = np.full(self.num_ref_active, -1, np.int64)
-        ref_pid = np.full(self.num_ref_active, -1, np.int64)
+        ref_slot = np.full(self.num_ref_active[0], -1, np.int64)
+        ref_pid = np.full(self.num_ref_active[0], -1, np.int64)
         for i, p in enumerate(self.list0):
             if p is None:
                 continue
@@ -480,7 +486,8 @@ class NativeInterSliceDecoder(_SliceDecoder):
         refs_v = np.stack([p.v for p in pics])
         wp_arr = None
         if self.wp is not None:
-            log_y, log_c, entries = self.wp
+            log_y, log_c, per_list = self.wp
+            entries = per_list[0]
             wp_arr = np.array(
                 [log_y, log_c] + [v for e in entries for v in e], np.int64)
         state = np.zeros(3, np.int64)
@@ -490,7 +497,7 @@ class NativeInterSliceDecoder(_SliceDecoder):
             self.pps.chroma_qp_offset, self.pps.chroma_qp_offset2,
             disable_idc, off_a, off_b,
             1 if self.pps.entropy_cabac else 0, self.cabac_init_idc,
-            self.num_ref_active, refs_y, refs_u, refs_v,
+            self.num_ref_active[0], refs_y, refs_u, refs_v,
             ref_slot, ref_pid, wp_arr, _TABLES_PACKED, _CABAC_BLOB,
             self.ry, self.ru, self.rv, state)
         if code is None:

@@ -122,3 +122,12 @@ def weight_pred(pred: np.ndarray, w: int, o: int, log_wd: int) -> np.ndarray:
     else:
         out = pred * w + o
     return np.clip(out, 0, 255)
+
+
+def weight_bipred(p0: np.ndarray, p1: np.ndarray, w0: int, w1: int,
+                  o0: int, o1: int, log_wd: int) -> np.ndarray:
+    """Explicit weighted prediction, bi-predictive (8.4.2.3.2,
+    weighted_bipred_idc == 1)."""
+    out = (((p0 * w0 + p1 * w1 + (1 << log_wd)) >> (log_wd + 1))
+           + ((o0 + o1 + 1) >> 1))
+    return np.clip(out, 0, 255)
