@@ -407,14 +407,15 @@ class RefPic:
     error)."""
 
     __slots__ = ("pid", "frame_num", "poc", "y", "u", "v",
-                 "mv", "refidx", "refpid", "refpoc")
+                 "mv", "refidx", "refpid", "refpoc", "intra_only")
 
     def __init__(self, pid, frame_num, y, u, v, poc=0, motion=None):
         self.pid = pid
         self.frame_num = frame_num
         self.poc = poc
         self.y, self.u, self.v = y, u, v
-        if motion is not None:
+        self.intra_only = motion == "intra"
+        if motion is not None and not self.intra_only:
             self.mv, self.refidx, self.refpid, self.refpoc = motion
         else:
             self.mv = self.refidx = self.refpid = self.refpoc = None
@@ -568,6 +569,25 @@ _P_SUB_PARTS = {
     1: ((0, 0, 8, 4), (0, 4, 8, 4)),
     2: ((0, 0, 4, 8), (4, 0, 4, 8)),
     3: ((0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)),
+}
+
+# B macroblock types 1..21 (Table 7-14): shape key into _P_PARTS plus a
+# per-partition prediction mask (1 = list0, 2 = list1, 3 = bi)
+_B_MODES = {
+    1: (0, (1,)), 2: (0, (2,)), 3: (0, (3,)),
+    4: (1, (1, 1)), 5: (2, (1, 1)), 6: (1, (2, 2)), 7: (2, (2, 2)),
+    8: (1, (1, 2)), 9: (2, (1, 2)), 10: (1, (2, 1)), 11: (2, (2, 1)),
+    12: (1, (1, 3)), 13: (2, (1, 3)), 14: (1, (2, 3)), 15: (2, (2, 3)),
+    16: (1, (3, 1)), 17: (2, (3, 1)), 18: (1, (3, 2)), 19: (2, (3, 2)),
+    20: (1, (3, 3)), 21: (2, (3, 3)),
+}
+
+# B sub_mb_type 1..12 (Table 7-18): shape key into _P_SUB_PARTS + mask;
+# sub_mb_type 0 is B_Direct_8x8
+_B_SUB = {
+    1: (0, 1), 2: (0, 2), 3: (0, 3),
+    4: (1, 1), 5: (2, 1), 6: (1, 2), 7: (2, 2), 8: (1, 3), 9: (2, 3),
+    10: (3, 1), 11: (3, 2), 12: (3, 3),
 }
 
 
@@ -1136,17 +1156,20 @@ class _SliceDecoder:
             r, nal_unit_type, nal_ref_idc)
         mb_addr = first_mb
         n_mbs = self.mbw * self.mbh
-        if self.slice_type == 0:  # P slice data (7.3.4)
+        if self.slice_type in (0, 1):  # P/B slice data (7.3.4)
+            skip = (self._p_skip_mb if self.slice_type == 0
+                    else self._b_skip_mb)
+            mb = (self._decode_mb_p if self.slice_type == 0
+                  else self._decode_mb_b)
             while mb_addr < n_mbs and r.more_rbsp_data():
                 skip_run = r.ue()
                 if mb_addr + skip_run > n_mbs:
                     raise H264DecodeError("mb_skip_run overruns the picture")
                 for _ in range(skip_run):
-                    self._p_skip_mb(mb_addr % self.mbw, mb_addr // self.mbw)
+                    skip(mb_addr % self.mbw, mb_addr // self.mbw)
                     mb_addr += 1
                 if mb_addr < n_mbs and r.more_rbsp_data():
-                    self._decode_mb_p(
-                        r, mb_addr % self.mbw, mb_addr // self.mbw)
+                    mb(r, mb_addr % self.mbw, mb_addr // self.mbw)
                     mb_addr += 1
         else:
             while mb_addr < n_mbs and r.more_rbsp_data():
@@ -1157,7 +1180,7 @@ class _SliceDecoder:
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks"
             )
         if disable_idc != 1:
-            if self.slice_type == 0:
+            if self.slice_type in (0, 1):
                 self._deblock_general(off_a, off_b)
             else:
                 self._deblock(off_a, off_b)
@@ -1276,6 +1299,275 @@ class _SliceDecoder:
         if cbp_code >= len(_CBP_INTER):
             raise H264DecodeError("bad coded_block_pattern")
         cbp = _CBP_INTER[cbp_code]
+        self._finish_inter_residual_cavlc(r, mx, my, cbp,
+                                          pred_y, pred_u, pred_v)
+
+    # ---- B macroblocks (spec 7.3.5, 8.4.1.2) -----------------------------
+
+    def _direct_refs_spatial(self):
+        """MB-level spatial-direct reference indices and MV predictors
+        (8.4.1.2.2): derived once per MB from the 16x16 neighbors."""
+        gx0, gy0 = self._dgx0, self._dgy0
+        refs = []
+        for lx in (0, 1):
+            a = self._nbinfo(gx0 - 1, gy0, lx)
+            b = self._nbinfo(gx0, gy0 - 1, lx)
+            c = self._nbinfo(gx0 + 4, gy0 - 1, lx)
+            if c[0] == -2:
+                c = self._nbinfo(gx0 - 1, gy0 - 1, lx)
+            pos = [n[0] for n in (a, b, c) if n[0] >= 0]
+            refs.append(min(pos) if pos else -1)
+        r0, r1 = refs
+        if r0 < 0 and r1 < 0:  # directZeroPredictionFlag
+            return (0, 0), ((0, 0), (0, 0)), True
+        for lx, ref in ((0, r0), (1, r1)):
+            if ref >= len(self.lists[lx]) or (
+                    ref >= 0 and self.lists[lx][ref] is None):
+                raise H264DecodeError(
+                    "spatial direct ref outside the reference list")
+        mvps = tuple(
+            self._mvp(gx0, gy0, 4, 4, ref, None, lx) if ref >= 0 else (0, 0)
+            for lx, ref in ((0, r0), (1, r1)))
+        return (r0, r1), mvps, False
+
+    def _direct_parts(self, mx: int, my: int, blocks=(0, 1, 2, 3)):
+        """Derived motion for B_Skip / B_Direct_16x16 / B_Direct_8x8
+        (8.4.1.2, direct_8x8_inference coding): the part list for the
+        given 8x8 block indices, with the per-list motion state set.
+        Consults the co-located motion of RefPicList1[0]."""
+        col = self.lists[1][0]
+        if col.mv is None and not col.intra_only:
+            raise H264Unsupported(
+                "B direct prediction from a reference picture decoded "
+                "without exported motion")
+        if not self.sps.direct_8x8_inference:
+            raise H264Unsupported(
+                "direct_8x8_inference_flag == 0 unsupported")
+
+        def col_cell(ccy, ccx):
+            """(list, refIdxCol, mvx, mvy) of the co-located 4x4 cell;
+            refIdxCol -1 when it is intra-coded (8.4.1.2.2)."""
+            if col.intra_only:
+                return 0, -1, 0, 0
+            cref = int(col.refidx[ccy, ccx, 0])
+            clx = 0
+            if cref < 0:
+                cref = int(col.refidx[ccy, ccx, 1])
+                clx = 1
+            if cref < 0:
+                return clx, -1, 0, 0
+            return (clx, cref, int(col.mv[ccy, ccx, clx, 0]),
+                    int(col.mv[ccy, ccx, clx, 1]))
+        gx0, gy0 = mx * 4, my * 4
+        self._dgx0, self._dgy0 = gx0, gy0
+        parts = []
+        if self.direct_spatial:
+            (r0, r1), mvps, zero_pred = self._direct_refs_spatial()
+            for b8 in blocks:
+                bx0, by0 = (b8 & 1) * 8, (b8 >> 1) * 8
+                ccx, ccy = gx0 + 3 * (b8 & 1), gy0 + 3 * (b8 >> 1)
+                colzero = False
+                if not zero_pred:
+                    _clx, cref, cmx, cmy = col_cell(ccy, ccx)
+                    if cref == 0:
+                        colzero = -1 <= cmx <= 1 and -1 <= cmy <= 1
+                mvs = []
+                for lx, ref in ((0, r0), (1, r1)):
+                    if ref < 0:
+                        mvs.append((0, 0))
+                    elif zero_pred or (ref == 0 and colzero):
+                        mvs.append((0, 0))
+                    else:
+                        mvs.append(mvps[lx])
+                for lx, ref in ((0, r0), (1, r1)):
+                    if ref >= 0:
+                        self._set_part(mx, my, bx0, by0, 8, 8, ref,
+                                       *mvs[lx], lx)
+                parts.append((bx0, by0, 8, 8, (r0, r1), tuple(mvs)))
+            return parts
+        # temporal direct (8.4.1.2.3)
+        for b8 in blocks:
+            bx0, by0 = (b8 & 1) * 8, (b8 >> 1) * 8
+            ccx, ccy = gx0 + 3 * (b8 & 1), gy0 + 3 * (b8 >> 1)
+            clx, cref, cmx, cmy = col_cell(ccy, ccx)
+            if cref < 0:  # co-located block intra: mvCol = 0, refIdx 0
+                r0 = 0
+                mv0 = mv1 = (0, 0)
+            else:
+                colpid = int(col.refpid[ccy, ccx, clx])
+                colpoc = int(col.refpoc[ccy, ccx, clx])
+                r0 = next(
+                    (i for i, p in enumerate(self.lists[0])
+                     if p is not None and p.pid == colpid), None)
+                if r0 is None:
+                    raise H264DecodeError(
+                        "temporal direct: co-located reference picture "
+                        "not in the current list0")
+                td = min(max(col.poc - colpoc, -128), 127)
+                if td == 0:
+                    mv0 = (cmx, cmy)
+                    mv1 = (0, 0)
+                else:
+                    tb = min(max(self.poc - colpoc, -128), 127)
+                    num = 16384 + abs(td) // 2
+                    tx = num // td if td > 0 else -(num // -td)
+                    dsf = min(max((tb * tx + 32) >> 6, -1024), 1023)
+                    mv0 = ((dsf * cmx + 128) >> 8, (dsf * cmy + 128) >> 8)
+                    mv1 = (mv0[0] - cmx, mv0[1] - cmy)
+            if not self.lists[0] or self.lists[0][r0] is None:
+                raise H264DecodeError("temporal direct ref outside list0")
+            self._set_part(mx, my, bx0, by0, 8, 8, r0, *mv0, 0)
+            self._set_part(mx, my, bx0, by0, 8, 8, 0, *mv1, 1)
+            parts.append((bx0, by0, 8, 8, (r0, 0), (mv0, mv1)))
+        return parts
+
+    def _b_skip_mb(self, mx: int, my: int):
+        """B_Skip (7.4.4): direct prediction, no residual."""
+        self._mark_inter(mx, my)
+        parts = self._direct_parts(mx, my)
+        py, pu, pv = self._inter_pred_mb(mx, my, parts)
+        y0, x0 = my * 16, mx * 16
+        self.ry[y0: y0 + 16, x0: x0 + 16] = py
+        self.ru[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = pu
+        self.rv[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = pv
+        self.nnz_y[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = 0
+        self.nnz_u[my * 2: my * 2 + 2, mx * 2: mx * 2 + 2] = 0
+        self.nnz_v[my * 2: my * 2 + 2, mx * 2: mx * 2 + 2] = 0
+        self.qp_map[my, mx] = self.qp_prev  # QPy unchanged (7.4.4)
+
+    def _decode_mb_b(self, r: BitReader, mx: int, my: int):
+        mb_type = r.ue()
+        if mb_type >= 23:  # intra MB in a B slice (Table 7-14)
+            self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
+            self._decode_mb_intra(r, mx, my, mb_type - 23)
+            return
+        self._mark_inter(mx, my)
+        parts = self._parse_b_motion(
+            r, mx, my, mb_type,
+            lambda gx, gy, w, h, lx: self._read_ref_idx(r, lx),
+            lambda gx, gy, comp, lx: r.se())
+        pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
+
+        cbp_code = r.ue()
+        if cbp_code >= len(_CBP_INTER):
+            raise H264DecodeError("bad coded_block_pattern")
+        cbp = _CBP_INTER[cbp_code]
+        self._finish_inter_residual_cavlc(r, mx, my, cbp,
+                                          pred_y, pred_u, pred_v)
+
+    def _parse_b_motion(self, r, mx: int, my: int, mb_type: int,
+                        read_ref, read_mvd):
+        """B macroblock prediction parse (7.3.5.1/7.3.5.2, Tables
+        7-14/7-18), shared by the CAVLC and CABAC tiers via the
+        ``read_ref(lx)`` / ``read_mvd(gx, gy, comp, lx)`` callbacks:
+        all ref_idx_l0, then ref_idx_l1, then mvd_l0, then mvd_l1;
+        returns the part list with the motion state set."""
+        if mb_type == 0:  # B_Direct_16x16
+            return self._direct_parts(mx, my)
+        if mb_type != 22:
+            shape_key, masks = _B_MODES[mb_type]
+            shapes = _P_PARTS[shape_key]
+            hints = {0: (None,), 1: ("16x8_top", "16x8_bot"),
+                     2: ("8x16_left", "8x16_right")}[shape_key]
+            refs = [[-1, -1] for _ in shapes]
+            for lx in (0, 1):
+                for i, mask in enumerate(masks):
+                    if mask & (1 << lx):
+                        px, py_, w, h = shapes[i]
+                        gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                        refs[i][lx] = read_ref(gx, gy, w, h, lx)
+            mvs = [[(0, 0), (0, 0)] for _ in shapes]
+            parts = []
+            for lx in (0, 1):
+                for i, mask in enumerate(masks):
+                    if not mask & (1 << lx):
+                        continue
+                    px, py_, w, h = shapes[i]
+                    gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                    dx = read_mvd(gx, gy, 0, lx)
+                    dy = read_mvd(gx, gy, 1, lx)
+                    px_x, px_y = self._mvp(gx, gy, w // 4, h // 4,
+                                           refs[i][lx], hints[i], lx)
+                    mvs[i][lx] = (px_x + dx, px_y + dy)
+                    self._set_part(mx, my, px, py_, w, h, refs[i][lx],
+                                   px_x + dx, px_y + dy, lx)
+                    self._note_absmvd(gx, gy, w // 4, h // 4, dx, dy, lx)
+            for i, (px, py_, w, h) in enumerate(shapes):
+                parts.append((px, py_, w, h, tuple(refs[i]),
+                              tuple(mvs[i])))
+            return parts
+        # B_8x8 (7.3.5.2, Table 7-18)
+        subs = [self._read_b_sub_type(r) for _ in range(4)]
+        for st in subs:
+            if st > 12:
+                raise H264DecodeError(f"bad B sub_mb_type {st}")
+        # direct 8x8 blocks derive their motion before any neighbor
+        # within this MB consults them for MV prediction
+        direct_parts = {}
+        direct_blocks = [b8 for b8 in range(4) if subs[b8] == 0]
+        if direct_blocks:
+            for b8, part in zip(direct_blocks,
+                                self._direct_parts(mx, my, direct_blocks)):
+                direct_parts[b8] = part
+        refs = [[-1, -1] for _ in range(4)]
+        for lx in (0, 1):
+            for b8 in range(4):
+                if subs[b8] == 0:
+                    continue
+                _shape, mask = _B_SUB[subs[b8]]
+                if mask & (1 << lx):
+                    bx0, by0 = (b8 & 1) * 8, (b8 >> 1) * 8
+                    gx, gy = mx * 4 + bx0 // 4, my * 4 + by0 // 4
+                    refs[b8][lx] = read_ref(gx, gy, 8, 8, lx)
+        sub_mvs = {}
+        for lx in (0, 1):
+            for b8 in range(4):
+                if subs[b8] == 0:
+                    continue
+                shape_key, mask = _B_SUB[subs[b8]]
+                if not mask & (1 << lx):
+                    continue
+                bx0, by0 = (b8 & 1) * 8, (b8 >> 1) * 8
+                for si, (sx, sy, w, h) in enumerate(
+                        _P_SUB_PARTS[shape_key]):
+                    px, py_ = bx0 + sx, by0 + sy
+                    gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
+                    dx = read_mvd(gx, gy, 0, lx)
+                    dy = read_mvd(gx, gy, 1, lx)
+                    px_x, px_y = self._mvp(gx, gy, w // 4, h // 4,
+                                           refs[b8][lx], None, lx)
+                    self._set_part(mx, my, px, py_, w, h, refs[b8][lx],
+                                   px_x + dx, px_y + dy, lx)
+                    self._note_absmvd(gx, gy, w // 4, h // 4, dx, dy, lx)
+                    sub_mvs[(b8, si, lx)] = (px_x + dx, px_y + dy)
+        parts = []
+        for b8 in range(4):
+            if subs[b8] == 0:
+                parts.append(direct_parts[b8])
+                continue
+            shape_key, mask = _B_SUB[subs[b8]]
+            bx0, by0 = (b8 & 1) * 8, (b8 >> 1) * 8
+            for si, (sx, sy, w, h) in enumerate(_P_SUB_PARTS[shape_key]):
+                mvs = [(0, 0), (0, 0)]
+                prefs = [-1, -1]
+                for lx in (0, 1):
+                    if mask & (1 << lx):
+                        prefs[lx] = refs[b8][lx]
+                        mvs[lx] = sub_mvs[(b8, si, lx)]
+                parts.append((bx0 + sx, by0 + sy, w, h,
+                              tuple(prefs), tuple(mvs)))
+        return parts
+
+    def _read_b_sub_type(self, r: BitReader) -> int:
+        return r.ue()
+
+    def _note_absmvd(self, gx, gy, w4, h4, dx, dy, lx):
+        """|mvd| bookkeeping hook: a no-op for CAVLC; the CABAC subclass
+        records it for the mvd context (9.3.3.1.1.7)."""
+
+    def _finish_inter_residual_cavlc(self, r, mx, my, cbp,
+                                     pred_y, pred_u, pred_v):
+        """Shared P/B CAVLC inter-MB residual + reconstruction tail."""
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
             qp = (self.qp_prev + r.se() + 52) % 52
@@ -1928,13 +2220,18 @@ def split_avcc(data: bytes, length_size: int = 4) -> List[bytes]:
 class PureH264Decoder:
     """Stateful decoder, duck-type compatible with avshim.VideoDecoder:
     feed DCR extradata at construction, then ``decode(avcc_payload)`` ->
-    [(pts, y, u, v)]."""
+    [(pts, y, u, v)] in DISPLAY order (B-frame streams reorder by POC
+    with the VUI max_num_reorder_frames delay; ``flush()`` drains)."""
 
     def __init__(self, extradata: bytes = b""):
         self.sps: Optional[_SpsExt] = None
         self.pps: Optional[_Pps] = None
         self.length_size = 4
         self.dpb = Dpb()
+        # display-order reordering (C.4.5 bumping): [(poc, pts, planes)]
+        self._reorder: List[Tuple[int, int, Tuple]] = []
+        self._seen_b = False
+        self._order_fallback = 0  # POC surrogate when untracked (type 1)
         if extradata:
             from mixlab_tpu.av.avc import DecoderConfigurationRecord
 
@@ -1944,7 +2241,53 @@ class PureH264Decoder:
                 kind = int(getattr(nu.kind, "value", nu.kind))
                 self._feed_nal(bytes([(nu.ref_idc << 5) | kind]) + nu.data)
 
-    def _feed_nal(self, unit: bytes) -> Optional[Tuple[np.ndarray, ...]]:
+    @property
+    def _reorder_depth(self) -> int:
+        """Frames held back for display-order output: the stream's VUI
+        max_num_reorder_frames when present, else 0 until a B slice is
+        seen (P/I streams never reorder) and the DPB size after."""
+        if self.sps is not None and self.sps.num_reorder_frames is not None:
+            return self.sps.num_reorder_frames
+        if self._seen_b and self.sps is not None:
+            return max(self.sps.max_num_ref_frames, 1)
+        return 0
+
+    def _peek_poc(self, rbsp: bytes, nal_type: int,
+                  nal_ref_idc: int) -> Optional[int]:
+        """POC of a slice whose decode tier does not track it (the fast
+        intra tiers): re-parse the header prefix and run the shared
+        8.2.1 computation against the DPB predictor state."""
+        r = BitReader(rbsp)
+        r.ue()  # first_mb_in_slice
+        r.ue()  # slice_type
+        r.ue()  # pps id
+        shell = _SliceDecoder.__new__(_SliceDecoder)
+        shell.sps, shell.pps, shell.dpb = self.sps, self.pps, self.dpb
+        shell.frame_num = r.bits(self.sps.log2_max_frame_num)
+        shell.is_ref = nal_ref_idc != 0
+        if nal_type == 5:
+            r.ue()  # idr_pic_id
+        return shell._compute_poc(r, nal_type)
+
+    def _drain(self) -> List[Tuple]:
+        out = [(pts, *planes) for _poc, pts, planes
+               in sorted(self._reorder, key=lambda t: t[0])]
+        self._reorder.clear()
+        return out
+
+    def _push_frame(self, poc: int, pts: int, planes) -> List[Tuple]:
+        """Display-order bumping (C.4.5): hold up to _reorder_depth
+        frames, emitting the lowest-POC ones."""
+        self._reorder.append((poc, pts, planes))
+        out = []
+        while len(self._reorder) > self._reorder_depth:
+            i = min(range(len(self._reorder)),
+                    key=lambda k: self._reorder[k][0])
+            _poc, fpts, fplanes = self._reorder.pop(i)
+            out.append((fpts, *fplanes))
+        return out
+
+    def _feed_nal(self, unit: bytes, pts: int = 0) -> List[Tuple]:
         # every bit-level read below (SPS, PPS, slice headers, CAVLC) uses
         # sps.py's reader, whose truncation/Exp-Golomb failures are
         # SpsError; convert once at the ingest boundary so untrusted bytes
@@ -1952,21 +2295,21 @@ class PureH264Decoder:
         from mixlab_tpu.av.sps import SpsError
 
         try:
-            return self._feed_nal_inner(unit)
+            return self._feed_nal_inner(unit, pts)
         except SpsError as e:
             raise H264DecodeError(f"bitstream truncated/corrupt: {e}") from e
 
-    def _feed_nal_inner(self, unit: bytes) -> Optional[Tuple[np.ndarray, ...]]:
+    def _feed_nal_inner(self, unit: bytes, pts: int) -> List[Tuple]:
         if not unit:
-            return None
+            return []
         nal_type = unit[0] & 0x1F
         rbsp = unit[1:]
         if nal_type == 7:
             self.sps = _SpsExt(rbsp)
-            return None
+            return []
         if nal_type == 8:
             self.pps = _Pps(rbsp)
-            return None
+            return []
         if nal_type in (1, 5):
             if self.sps is None or self.pps is None:
                 raise H264DecodeError("slice before SPS/PPS")
@@ -1984,8 +2327,16 @@ class PureH264Decoder:
             is_intra_idr = nal_type == 5 and slice_type_peek == 2
             scalar_only = os.environ.get(
                 "MIXLAB_PURE_H264_SCALAR", "0") == "1"
+            if slice_type_peek == 1:
+                self._seen_b = True
+            # B-capable streams (VUI says frames reorder, or a B slice
+            # already arrived) need every stored reference to carry its
+            # per-4x4 motion for the direct modes, which the native P
+            # tier does not export: keep such streams on the Python
+            # inter tiers
+            b_capable = self._seen_b or bool(self.sps.num_reorder_frames)
             dec = None
-            if slice_type_peek == 0 and not scalar_only:
+            if slice_type_peek == 0 and not scalar_only and not b_capable:
                 # native P tier (CAVLC and CABAC; C++ macroblock layer)
                 from mixlab_tpu.av.h264dec_fast import (
                     NativeInterSliceDecoder,
@@ -2049,12 +2400,36 @@ class PureH264Decoder:
             full_y = np.clip(dec.ry, 0, 255).astype(np.uint8)
             full_u = np.clip(dec.ru, 0, 255).astype(np.uint8)
             full_v = np.clip(dec.rv, 0, 255).astype(np.uint8)
-            # reference picture marking (8.2.5): IDR resets the buffer;
-            # the fast intra tiers decode IDR-only streams, so their
-            # default frame_num/marking attributes are the IDR values
+            # display order: POC from the tier's header parse when it
+            # tracks one, else the shared 8.2.1 computation over a header
+            # re-peek (fast intra tiers); decode order as a last resort
+            # (POC type 1 — no reordering encoder in scope emits it)
+            poc = getattr(dec, "poc", None)
+            if poc is None:
+                poc = self._peek_poc(rbsp, nal_type, nal_ref_idc)
+            if poc is None:
+                poc = self._order_fallback
+                self._order_fallback += 1
+            # reference picture marking (8.2.5): IDR resets the buffer
+            # (prior pictures drain to output first); the fast intra
+            # tiers decode IDR-only streams, so their default
+            # frame_num/marking attributes are the IDR values
+            out = self._drain() if nal_type == 5 else []
             if nal_type == 5:
                 self.dpb.clear()
             if nal_ref_idc != 0:
+                # per-4x4 motion rides along for B direct modes; intra
+                # pictures record the cheap all-intra marker
+                mv = getattr(dec, "mv", None)
+                if mv is not None and getattr(mv, "ndim", 0) == 4:
+                    motion = (mv.astype(np.int16),
+                              dec.refidx.astype(np.int8),
+                              dec.refpid.astype(np.int64),
+                              dec.refpoc.astype(np.int64))
+                elif slice_type_peek == 2:
+                    motion = "intra"
+                else:
+                    motion = None  # native inter tier: no export (yet)
                 frame_num = getattr(dec, "frame_num", 0)
                 for op, diff in getattr(dec, "marking_ops", []):
                     if op == 1:
@@ -2064,31 +2439,33 @@ class PureH264Decoder:
                 if getattr(dec, "adaptive_marking", False):
                     self.dpb.pics.append(RefPic(
                         self.dpb._next_pid, frame_num,
-                        full_y, full_u, full_v))
+                        full_y, full_u, full_v, poc, motion))
                     self.dpb._next_pid += 1
                 else:
                     self.dpb.store(frame_num, full_y, full_u, full_v,
-                                   self.sps.max_num_ref_frames)
+                                   self.sps.max_num_ref_frames, poc, motion)
             w, h = self.sps.info.width, self.sps.info.height
-            return (full_y[:h, :w], full_u[: h // 2, : w // 2],
-                    full_v[: h // 2, : w // 2])
-        return None  # SEI/AUD/filler: ignored
+            planes = (full_y[:h, :w], full_u[: h // 2, : w // 2],
+                      full_v[: h // 2, : w // 2])
+            out.extend(self._push_frame(poc, pts, planes))
+            return out
+        return []  # SEI/AUD/filler: ignored
 
     def decode(self, packet: bytes, pts: int = 0):
         out = []
         for unit in split_avcc(packet, self.length_size):
-            planes = self._feed_nal(unit)
-            if planes is not None:
-                out.append((pts, *planes))
+            out.extend(self._feed_nal(unit, pts))
         return out
 
     def decode_annexb(self, data: bytes, pts: int = 0):
         out = []
         for unit in split_annexb(data):
-            planes = self._feed_nal(unit)
-            if planes is not None:
-                out.append((pts, *planes))
+            out.extend(self._feed_nal(unit, pts))
         return out
+
+    def flush(self):
+        """Drain the display-order reorder buffer (end of stream)."""
+        return self._drain()
 
     def close(self):
         pass
@@ -2097,7 +2474,7 @@ class PureH264Decoder:
 def decode_annexb_frame(data: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """One-shot: decode an Annex-B access unit containing SPS+PPS+IDR."""
     dec = PureH264Decoder()
-    frames = dec.decode_annexb(data)
+    frames = dec.decode_annexb(data) + dec.flush()
     if not frames:
         raise H264DecodeError("no decodable slice in stream")
     _, y, u, v = frames[-1]
