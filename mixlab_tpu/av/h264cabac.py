@@ -171,7 +171,9 @@ class CabacSliceDecoder(_SliceDecoder):
             if not r.bit():
                 raise H264DecodeError("bad cabac_alignment_one_bit")
         is_p = self.slice_type == 0
-        table = INIT_PB[self.cabac_init_idc] if is_p else INIT_I
+        is_b = self.slice_type == 1
+        table = (INIT_PB[self.cabac_init_idc] if (is_p or is_b)
+                 else INIT_I)
         self.eng = _CabacEngine(r, qp, table)
 
         mbw, mbh = self.mbw, self.mbh
@@ -181,6 +183,8 @@ class CabacSliceDecoder(_SliceDecoder):
         self.mb_is16 = np.zeros((mbh, mbw), bool)
         self.mb_pcm = np.zeros((mbh, mbw), bool)
         self.mb_skip = np.zeros((mbh, mbw), bool)
+        # B_Skip / B_Direct_16x16 MBs (mb_type ctx, 9.3.3.1.1.3)
+        self._b_direct_mb = np.zeros((mbh, mbw), bool)
         self.mb_cbp = np.zeros((mbh, mbw), np.int64)  # luma | chroma << 4
         self.chroma_mode_map = np.zeros((mbh, mbw), np.int64)
         self.cbf_ldc = np.zeros((mbh, mbw), np.int8)  # luma DC (I16 only)
@@ -196,12 +200,17 @@ class CabacSliceDecoder(_SliceDecoder):
             if mb_addr >= n_mbs:
                 raise H264DecodeError("CABAC slice overruns the picture")
             mx, my = mb_addr % mbw, mb_addr // mbw
-            if is_p and self._read_skip_flag(mx, my):
-                self._p_skip_mb(mx, my)
+            if (is_p or is_b) and self._read_skip_flag(
+                    mx, my, 11 if is_p else 24):
+                (self._p_skip_mb if is_p else self._b_skip_mb)(mx, my)
                 self.mb_skip[my, mx] = True
+                if is_b:
+                    self._b_direct_mb[my, mx] = True
                 self.prev_qp_delta_nz = False
             elif is_p:
                 self._decode_mb_cabac_p(r, mx, my)
+            elif is_b:
+                self._decode_mb_cabac_b(r, mx, my)
             else:
                 self._decode_mb_cabac(r, mx, my)
             self.mb_decoded[my, mx] = True
@@ -212,7 +221,7 @@ class CabacSliceDecoder(_SliceDecoder):
             raise H264DecodeError(
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks")
         if disable_idc != 1:
-            if is_p:
+            if is_p or is_b:
                 self._deblock_general(off_a, off_b)
             else:
                 self._deblock(off_a, off_b)
@@ -323,12 +332,12 @@ class CabacSliceDecoder(_SliceDecoder):
 
     # ---- P macroblock layer (spec 7.3.5, 9.3.3.1) ------------------------
 
-    def _read_skip_flag(self, mx: int, my: int) -> bool:
+    def _read_skip_flag(self, mx: int, my: int, base: int = 11) -> bool:
         """mb_skip_flag (9.3.3.1.1.1): condTermFlagN = 1 iff mbAddrN is
-        available and NOT skipped."""
+        available and NOT skipped; ctx base 11 for P slices, 24 for B."""
         cond_a = mx > 0 and not self.mb_skip[my, mx - 1]
         cond_b = my > 0 and not self.mb_skip[my - 1, mx]
-        return bool(self.eng.decision(11 + cond_a + cond_b))
+        return bool(self.eng.decision(base + cond_a + cond_b))
 
     def _read_ref_idx_cabac(self, gx: int, gy: int, lx: int = 0) -> int:
         """ref_idx_lX: unary, ctx 54-59 (9.3.3.1.1.6); present only when
@@ -340,10 +349,13 @@ class CabacSliceDecoder(_SliceDecoder):
         def nref(cx, cy):
             """Neighbor ref for the ctx: cells of earlier partitions in
             the CURRENT MB are known from the ref-read phase (refknown)
-            before their MVs decode."""
+            before their MVs decode; direct-inferred cells never raise
+            the context (9.3.3.1.1.6)."""
             if (cx < 0 or cy < 0 or cx >= self.mbw * 4
                     or cy >= self.mbh * 4):
                 return -2
+            if self.direct4[cy, cx]:
+                return 0
             if self.refknown[cy, cx, lx] or self.decoded4[cy, cx]:
                 return int(self.refidx[cy, cx, lx])
             return -2
@@ -399,25 +411,31 @@ class CabacSliceDecoder(_SliceDecoder):
                 val += eng.bypass() << k
         return -val if eng.bypass() else val
 
+    def _intra_in_inter_cabac(self, r: BitReader, mx: int, my: int,
+                              base: int):
+        """Intra mb_type suffix inside a P (base 17) or B (base 32)
+        slice: element-position contexts base / base+1 / base+2 x2 /
+        base+3 x2 (9.3.2.5)."""
+        eng = self.eng
+        self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
+        if eng.decision(base) == 0:
+            self._decode_i4_mb_cabac(mx, my)
+            return
+        if eng.terminate():
+            self._decode_pcm_cabac(r, mx, my)
+            return
+        cbp_luma = 15 if eng.decision(base + 1) else 0
+        cbp_chroma = 0
+        if eng.decision(base + 2):
+            cbp_chroma = 2 if eng.decision(base + 2) else 1
+        pred_mode = (eng.decision(base + 3) << 1) | eng.decision(base + 3)
+        self._finish_i16_cabac(mx, my, cbp_luma, cbp_chroma, pred_mode)
+
     def _decode_mb_cabac_p(self, r: BitReader, mx: int, my: int):
         eng = self.eng
         # mb_type, P prefix (ctx 14-17, binarization 9.3.2.5)
         if eng.decision(14):
-            # intra MB in a P slice: suffix with ctxIdxOffset 17 —
-            # element-position contexts 17 / 18 / 19,19 / 20,20
-            self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
-            if eng.decision(17) == 0:
-                self._decode_i4_mb_cabac(mx, my)
-                return
-            if eng.terminate():
-                self._decode_pcm_cabac(r, mx, my)
-                return
-            cbp_luma = 15 if eng.decision(18) else 0
-            cbp_chroma = 0
-            if eng.decision(19):
-                cbp_chroma = 2 if eng.decision(19) else 1
-            pred_mode = (eng.decision(20) << 1) | eng.decision(20)
-            self._finish_i16_cabac(mx, my, cbp_luma, cbp_chroma, pred_mode)
+            self._intra_in_inter_cabac(r, mx, my, 17)
             return
         if eng.decision(15) == 0:
             mb_type = 3 * eng.decision(16)  # P_L0_16x16 / P_8x8
@@ -485,7 +503,10 @@ class CabacSliceDecoder(_SliceDecoder):
                     parts.append((px, py_, w, h, (ref, -1),
                                   ((px_x + dx, px_y + dy), (0, 0))))
         pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
+        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v)
 
+    def _finish_inter_residual_cabac(self, mx, my, pred_y, pred_u, pred_v):
+        """Shared P/B CABAC inter-MB residual + reconstruction tail."""
         cbp_luma, cbp_chroma = self._read_cbp(mx, my)
         self.mb_cbp[my, mx] = cbp_luma | (cbp_chroma << 4)
         if cbp_luma or cbp_chroma:
@@ -516,10 +537,79 @@ class CabacSliceDecoder(_SliceDecoder):
         self._recon_inter_mb(mx, my, qp, Z, CZD, CZA,
                              pred_y, pred_u, pred_v)
 
+    # ---- B macroblock layer (9.3.2.5 / 9.3.3.1) --------------------------
+
+    def _read_b_mb_type(self, mx: int, my: int) -> int:
+        """mb_type for B slices (Table 9-37 binarization, ctx 27-32):
+        returns 0..22, or 23 as the marker that the intra suffix
+        follows."""
+        eng = self.eng
+        cond_a = (mx > 0 and self.mb_decoded[my, mx - 1]
+                  and not self._b_direct_mb[my, mx - 1])
+        cond_b = (my > 0 and self.mb_decoded[my - 1, mx]
+                  and not self._b_direct_mb[my - 1, mx])
+        if not eng.decision(27 + cond_a + cond_b):
+            return 0  # B_Direct_16x16
+        if not eng.decision(30):
+            return 1 + eng.decision(32)  # B_L0_16x16 / B_L1_16x16
+        bits = (eng.decision(31) << 3) | (eng.decision(32) << 2) \
+            | (eng.decision(32) << 1) | eng.decision(32)
+        if bits < 8:
+            return bits + 3
+        if bits == 13:
+            return 23  # intra suffix marker
+        if bits == 14:
+            return 11
+        if bits == 15:
+            return 22  # B_8x8
+        bits = (bits << 1) | eng.decision(32)
+        return bits - 4
+
+    def _read_b_sub_type(self, r: BitReader) -> int:
+        """sub_mb_type for B slices (Table 9-38, ctx 36-39)."""
+        eng = self.eng
+        if not eng.decision(36):
+            return 0  # B_Direct_8x8
+        if not eng.decision(37):
+            return 1 + eng.decision(39)
+        t = 3
+        if eng.decision(38):
+            if eng.decision(39):
+                return 11 + eng.decision(39)
+            t += 4
+        t += 2 * eng.decision(39)
+        t += eng.decision(39)
+        return t
+
+    def _decode_mb_cabac_b(self, r: BitReader, mx: int, my: int):
+        mb_type = self._read_b_mb_type(mx, my)
+        if mb_type == 0:
+            self._b_direct_mb[my, mx] = True
+        if mb_type == 23:  # intra MB in a B slice (suffix base 32)
+            self._intra_in_inter_cabac(r, mx, my, 32)
+            return
+        self._mark_inter(mx, my)
+
+        def read_ref(gx, gy, w, h, lx):
+            ref = self._read_ref_idx_cabac(gx, gy, lx)
+            self.refidx[gy: gy + h // 4, gx: gx + w // 4, lx] = ref
+            self.refknown[gy: gy + h // 4, gx: gx + w // 4, lx] = True
+            return ref
+
+        def read_mvd(gx, gy, comp, lx):
+            return self._read_mvd_cabac(gx, gy, comp, lx)
+
+        parts = self._parse_b_motion(r, mx, my, mb_type, read_ref, read_mvd)
+        pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
+        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v)
+
     def _set_absmvd(self, gx: int, gy: int, w4: int, h4: int,
                     dx: int, dy: int, lx: int = 0):
         self.absmvd[gy: gy + h4, gx: gx + w4, lx, 0] = abs(dx)
         self.absmvd[gy: gy + h4, gx: gx + w4, lx, 1] = abs(dy)
+
+    def _note_absmvd(self, gx, gy, w4, h4, dx, dy, lx):
+        self._set_absmvd(gx, gy, w4, h4, dx, dy, lx)
 
     def _decode_pcm_cabac(self, r: BitReader, mx: int, my: int):
         """I_PCM: raw samples start at the next byte boundary after the

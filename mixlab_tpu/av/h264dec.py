@@ -880,6 +880,9 @@ class _SliceDecoder:
         # ref_idx of an MB before any mvd, and the ref_idx ctx depends on
         # earlier same-MB partitions' refs, 9.3.3.1.1.6)
         self.refknown = np.zeros((mbh * 4, mbw * 4, 2), bool)
+        # cells whose motion is direct-inferred (B): the CABAC ref_idx
+        # context ignores such neighbors (9.3.3.1.1.6)
+        self.direct4 = np.zeros((mbh * 4, mbw * 4), bool)
         self.mb_intra = np.ones((mbh, mbw), bool)
         self.lists: List[List[RefPic]] = [[], []]
         # explicit WP: (log_wd_y, log_wd_c, [per-list [(wy,oy,wu,ou,wv,ov)]])
@@ -1383,6 +1386,8 @@ class _SliceDecoder:
                     if ref >= 0:
                         self._set_part(mx, my, bx0, by0, 8, 8, ref,
                                        *mvs[lx], lx)
+                gx, gy = gx0 + bx0 // 4, gy0 + by0 // 4
+                self.direct4[gy: gy + 2, gx: gx + 2] = True
                 parts.append((bx0, by0, 8, 8, (r0, r1), tuple(mvs)))
             return parts
         # temporal direct (8.4.1.2.3)
@@ -1418,6 +1423,8 @@ class _SliceDecoder:
                 raise H264DecodeError("temporal direct ref outside list0")
             self._set_part(mx, my, bx0, by0, 8, 8, r0, *mv0, 0)
             self._set_part(mx, my, bx0, by0, 8, 8, 0, *mv1, 1)
+            gx, gy = gx0 + bx0 // 4, gy0 + by0 // 4
+            self.direct4[gy: gy + 2, gx: gx + 2] = True
             parts.append((bx0, by0, 8, 8, (r0, 0), (mv0, mv1)))
         return parts
 

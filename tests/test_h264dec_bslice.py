@@ -178,6 +178,74 @@ def test_cavlc_b_periodic_idr_reorder_drain():
 
 
 # ---------------------------------------------------------------------------
+# CABAC B (x264's true default: main profile, cabac, B-frames)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["pan", "still", "cut"])
+@pytest.mark.parametrize("qp", [10, 24, 38])
+def test_cabac_b_content_qp(kind, qp):
+    frames = _content(kind, 128, 96, 12, seed=qp)
+    ed, pk = _x264(128, 96, CABAC_B + f"bframes=3,qp={qp}", frames)
+    assert _assert_bitexact(ed, pk, f"cabac-b-{kind}@qp{qp}") == 12
+
+
+def test_cabac_b_structure_sweep():
+    frames = _content("pan", 128, 96, 12, seed=8)
+    for params, label in (
+            ("bframes=3:b-adapt=0", "pyramid"),
+            ("bframes=1:b-adapt=0:b-pyramid=none", "no-pyramid"),
+            ("bframes=2:b-adapt=0:direct=temporal", "temporal"),
+            ("bframes=3:weightb=0", "average"),
+            ("bframes=3:ref=4", "ref4"),
+            ("bframes=3:b-adapt=0:partitions=all:me=umh:subme=7",
+             "partitions")):
+        ed, pk = _x264(128, 96, CABAC_B + f"{params},qp=20", frames)
+        _assert_bitexact(ed, pk, f"cabac-b-{label}")
+
+
+def test_cabac_b_aq_crop_gop():
+    for opts, w, h, n, kind, label in (
+            (CABAC_B + "bframes=3:aq-mode=2,crf=28", 128, 96, 12, "cut",
+             "aq"),
+            (CABAC_B + "bframes=3,qp=24", 120, 84, 12, "pan", "crop"),
+            ("preset=medium,profile=main,g=8,threads=1,"
+             "x264-params=scenecut=0:bframes=3,qp=24", 128, 96, 20, "pan",
+             "gop8")):
+        frames = _content(kind, w, h, n, seed=9)
+        ed, pk = _x264(w, h, opts, frames)
+        _assert_bitexact(ed, pk, f"cabac-b-{label}")
+
+
+def test_x264_true_default_ingests():
+    """The realistic op point: x264 with NOTHING pinned beyond main
+    profile — medium preset, crf, scenecut, adaptive B, mbtree,
+    weightp/weightb, CABAC.  The zero-dep tier must ingest exactly what
+    a stock third-party publisher sends."""
+    frames = _content("cut", 128, 96, 24, seed=10)
+    ed, pk = _x264(128, 96, "preset=medium,profile=main,threads=1,crf=23",
+                   frames)
+    _assert_bitexact(ed, pk, "x264-true-default")
+
+
+def test_cabac_b_hostile_bytes_typed():
+    frames = _content("pan", 64, 48, 8, seed=11)
+    ed, pk = _x264(64, 48, CABAC_B + "bframes=3:b-adapt=0,qp=24", frames)
+    rng = np.random.default_rng(37)
+    for _, _, _, data in pk:
+        for _ in range(25):
+            buf = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+            dec = PureH264Decoder()
+            dec.decode_annexb(ed)
+            try:
+                dec.decode_annexb(bytes(buf))
+            except H264DecodeError:
+                pass
+
+
+# ---------------------------------------------------------------------------
 # hostile / truncated bytes stay typed errors
 # ---------------------------------------------------------------------------
 
