@@ -2336,15 +2336,11 @@ class PureH264Decoder:
                 "MIXLAB_PURE_H264_SCALAR", "0") == "1"
             if slice_type_peek == 1:
                 self._seen_b = True
-            # B-capable streams (VUI says frames reorder, or a B slice
-            # already arrived) need every stored reference to carry its
-            # per-4x4 motion for the direct modes, which the native P
-            # tier does not export: keep such streams on the Python
-            # inter tiers
-            b_capable = self._seen_b or bool(self.sps.num_reorder_frames)
             dec = None
-            if slice_type_peek == 0 and not scalar_only and not b_capable:
-                # native P tier (CAVLC and CABAC; C++ macroblock layer)
+            if slice_type_peek in (0, 1) and not scalar_only:
+                # native inter tier (P and B slices, CAVLC and CABAC;
+                # C++ macroblock layer with per-4x4 motion export so B
+                # direct modes can consult stored references)
                 from mixlab_tpu.av.h264dec_fast import (
                     NativeInterSliceDecoder,
                 )

@@ -422,18 +422,22 @@ _NATIVE_P_ERRORS = {
     -34: "ref_idx unary overflow",
     -35: "mvd suffix overflow",
     -36: "mb_skip_run overruns the picture",
+    -41: "temporal direct: co-located reference picture not in the "
+         "current list0",
 }
 
 
 class NativeInterSliceDecoder(_SliceDecoder):
-    """P-slice decoder backed by the C++ twin (mixlab_native.cpp
-    h264_decode_pslice): the slice header parses in Python (ref list
-    init + modification, weights, marking — shared with the scalar
-    tier), then the macroblock layer, fractional-sample MC and
-    derived-bS deblocking run natively for BOTH entropy modes.
-    Bit-exact vs the Python tiers AND libavcodec
-    (tests/test_h264dec_inter.py) — the tier that makes codec-less
-    ingest of real (inter-coded) RTMP video practical."""
+    """P/B-slice decoder backed by the C++ twin (mixlab_native.cpp
+    h264_decode_inter): the slice header parses in Python (POC, ref
+    list init + modification, weights, marking — shared with the scalar
+    tier), then the macroblock layer, fractional-sample MC, B direct
+    prediction, and derived-bS deblocking run natively for BOTH entropy
+    modes, with the per-4x4 motion exported for DPB storage (later B
+    pictures' direct modes).  Bit-exact vs the Python tiers AND
+    libavcodec (tests/test_h264dec_inter.py, test_h264dec_bslice.py) —
+    the tier that makes codec-less ingest of real (inter-coded) RTMP
+    video practical."""
 
     def __init__(self, sps: _SpsExt, pps: _Pps, dpb: Dpb):
         self.sps = sps
@@ -460,46 +464,82 @@ class NativeInterSliceDecoder(_SliceDecoder):
     def decode_slice(self, r: BitReader, nal_unit_type: int,
                      nal_ref_idc: int = 1) -> bool:
         """Returns False when the native library is unavailable or the
-        slice is not P (caller falls back to the Python tiers); raises on
-        stream errors."""
+        slice is not P/B (caller falls back to the Python tiers); raises
+        on stream errors."""
         from mixlab_tpu import native
         from mixlab_tpu.av.h264cabac import _TABLES_PACKED as _CABAC_BLOB
 
         _first_mb, qp, disable_idc, off_a, off_b = self._parse_slice_header(
             r, nal_unit_type, nal_ref_idc)
-        if self.slice_type != 0:
+        if self.slice_type not in (0, 1):
             return False
+        is_b = self.slice_type == 1
         pics = []
         slot_of = {}
-        ref_slot = np.full(self.num_ref_active[0], -1, np.int64)
-        ref_pid = np.full(self.num_ref_active[0], -1, np.int64)
-        for i, p in enumerate(self.list0):
-            if p is None:
-                continue
-            if id(p) not in slot_of:
-                slot_of[id(p)] = len(pics)
-                pics.append(p)
-            ref_slot[i] = slot_of[id(p)]
-            ref_pid[i] = p.pid
+        per = []
+        for lx in (0, 1):
+            n = max(self.num_ref_active[lx], 1)
+            slot = np.full(n, -1, np.int64)
+            pid = np.full(n, -1, np.int64)
+            poc = np.zeros(n, np.int64)
+            lst = self.lists[lx] if (lx == 0 or is_b) else []
+            for i, p in enumerate(lst):
+                if p is None:
+                    continue
+                if id(p) not in slot_of:
+                    slot_of[id(p)] = len(pics)
+                    pics.append(p)
+                slot[i] = slot_of[id(p)]
+                pid[i] = p.pid
+                poc[i] = p.poc if p.poc is not None else 0
+            per.append((slot, pid, poc))
         refs_y = np.stack([p.y for p in pics])
         refs_u = np.stack([p.u for p in pics])
         refs_v = np.stack([p.v for p in pics])
+        # co-located motion of RefPicList1[0] (B direct modes)
+        col_mv = col_ridx = col_rpid = col_rpoc = None
+        col_valid = col_intra = 0
+        col_poc = 0
+        if is_b:
+            col = self.lists[1][0]
+            col_poc = col.poc or 0
+            if col.intra_only:
+                col_valid = col_intra = 1
+            elif col.mv is not None:
+                col_valid = 1
+                col_mv = np.ascontiguousarray(col.mv, np.int16)
+                col_ridx = np.ascontiguousarray(col.refidx, np.int8)
+                col_rpid = np.ascontiguousarray(col.refpid, np.int64)
+                col_rpoc = np.ascontiguousarray(col.refpoc, np.int64)
         wp_arr = None
         if self.wp is not None:
             log_y, log_c, per_list = self.wp
-            entries = per_list[0]
-            wp_arr = np.array(
-                [log_y, log_c] + [v for e in entries for v in e], np.int64)
-        state = np.zeros(3, np.int64)
-        code = native.h264_decode_pslice(
-            bytes(r.data) + b"\0" * 8, len(r.data), r.pos,
+            flat = [v for entries in per_list for e in entries for v in e]
+            wp_arr = np.array([log_y, log_c] + flat, np.int64)
+        cfg = np.array([
             self.mbw, self.mbh, qp,
             self.pps.chroma_qp_offset, self.pps.chroma_qp_offset2,
             disable_idc, off_a, off_b,
             1 if self.pps.entropy_cabac else 0, self.cabac_init_idc,
-            self.num_ref_active[0], refs_y, refs_u, refs_v,
-            ref_slot, ref_pid, wp_arr, _TABLES_PACKED, _CABAC_BLOB,
-            self.ry, self.ru, self.rv, state)
+            self.slice_type, 1 if self.direct_spatial else 0,
+            1 if self.implicit_wp else 0, self.poc or 0,
+            self.num_ref_active[0], self.num_ref_active[1],
+            len(pics), col_valid, col_intra, col_poc], np.int64)
+        h4, w4 = self.mbh * 4, self.mbw * 4
+        mv_out = np.zeros((h4, w4, 2, 2), np.int16)
+        ridx_out = np.full((h4, w4, 2), -1, np.int8)
+        rpid_out = np.full((h4, w4, 2), -1, np.int64)
+        rpoc_out = np.zeros((h4, w4, 2), np.int64)
+        state = np.zeros(3, np.int64)
+        code = native.h264_decode_inter(
+            bytes(r.data) + b"\0" * 8, len(r.data), r.pos, cfg,
+            refs_y, refs_u, refs_v,
+            per[0][0], per[0][1], per[0][2],
+            per[1][0], per[1][1], per[1][2],
+            col_mv, col_ridx, col_rpid, col_rpoc,
+            wp_arr, _TABLES_PACKED, _CABAC_BLOB,
+            self.ry, self.ru, self.rv,
+            mv_out, ridx_out, rpid_out, rpoc_out, state)
         if code is None:
             return False
         if code == -23:
@@ -509,10 +549,19 @@ class NativeInterSliceDecoder(_SliceDecoder):
         if code == -32:
             raise H264DecodeError(
                 f"ref_idx {int(state[2])} outside the reference list")
+        if code == -40:
+            raise H264Unsupported(
+                "B direct prediction from a reference picture decoded "
+                "without exported motion")
         if code != 0:
             raise H264DecodeError(
-                _NATIVE_P_ERRORS.get(code, f"native P decode error {code}"))
+                _NATIVE_P_ERRORS.get(code, f"native decode error {code}"))
         r.pos = int(state[0])
+        # per-4x4 motion for DPB storage (B direct on later pictures)
+        self.mv = mv_out
+        self.refidx = ridx_out
+        self.refpid = rpid_out
+        self.refpoc = rpoc_out
         return True
 
 

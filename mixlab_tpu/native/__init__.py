@@ -101,15 +101,20 @@ def _load() -> Optional[ctypes.CDLL]:
         + [ctypes.c_char_p]             # cabac tables blob
         + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
     )
-    lib.h264_decode_pslice.restype = ctypes.c_int64
-    lib.h264_decode_pslice.argtypes = (
+    lib.h264_decode_inter.restype = ctypes.c_int64
+    lib.h264_decode_inter.argtypes = (
         [ctypes.c_char_p]               # data (padded RBSP)
-        + [ctypes.c_int64] * 14         # n_bytes..n_ref_slots
-        + [ctypes.c_void_p] * 5         # refs_y/u/v, ref_slot, ref_pid
+        + [ctypes.c_int64] * 2          # n_bytes, start_pos
+        + [ctypes.c_void_p]             # cfg (int64[20])
+        + [ctypes.c_void_p] * 3         # refs_y/u/v
+        + [ctypes.c_void_p] * 6         # slot/pid/poc for list0, list1
+        + [ctypes.c_void_p] * 4         # col mv/ridx/rpid/rpoc
         + [ctypes.c_int64]              # has_wp
         + [ctypes.c_void_p]             # wp
         + [ctypes.c_char_p] * 2         # cavlc tables, cabac blob
-        + [ctypes.c_void_p] * 4         # ry, ru, rv, out_state
+        + [ctypes.c_void_p] * 3         # ry, ru, rv
+        + [ctypes.c_void_p] * 4         # mv/ridx/rpid/rpoc motion export
+        + [ctypes.c_void_p]             # out_state
     )
     lib.h264_encode_frame.restype = ctypes.c_int64
     lib.h264_encode_frame.argtypes = (
@@ -287,38 +292,49 @@ def h264_decode_islice_cabac(padded: bytes, n_bytes: int, start_pos: int,
         out_state.ctypes.data))
 
 
-def h264_decode_pslice(padded: bytes, n_bytes: int, start_pos: int,
-                       mbw: int, mbh: int, slice_qp: int,
-                       chroma_qp_off: int, chroma_qp_off2: int,
-                       disable_idc: int, off_a: int, off_b: int,
-                       is_cabac: int, cabac_init_idc: int,
-                       num_ref_active: int, refs_y: np.ndarray,
-                       refs_u: np.ndarray, refs_v: np.ndarray,
-                       ref_slot: np.ndarray, ref_pid: np.ndarray,
-                       wp: Optional[np.ndarray], cavlc_tables: bytes,
-                       cabac_blob: bytes, ry: np.ndarray, ru: np.ndarray,
-                       rv: np.ndarray,
-                       out_state: np.ndarray) -> Optional[int]:
-    """P-slice decode (CAVLC or CABAC): macroblock layer, MC prediction +
-    deblocking into the uint8 planes (mixlab_native.cpp
-    h264_decode_pslice).  refs_y/u/v are stacked full reference planes;
-    ref_slot/ref_pid map list0 entries to slots/identities; wp is the
-    explicit-weight table or None.  Returns the C error code (0 = ok) or
-    None when the native library is unavailable."""
+def h264_decode_inter(padded: bytes, n_bytes: int, start_pos: int,
+                      cfg: np.ndarray, refs_y: np.ndarray,
+                      refs_u: np.ndarray, refs_v: np.ndarray,
+                      ref_slot0: np.ndarray, ref_pid0: np.ndarray,
+                      ref_poc0: np.ndarray, ref_slot1: np.ndarray,
+                      ref_pid1: np.ndarray, ref_poc1: np.ndarray,
+                      col_mv: Optional[np.ndarray],
+                      col_ridx: Optional[np.ndarray],
+                      col_rpid: Optional[np.ndarray],
+                      col_rpoc: Optional[np.ndarray],
+                      wp: Optional[np.ndarray], cavlc_tables: bytes,
+                      cabac_blob: bytes, ry: np.ndarray, ru: np.ndarray,
+                      rv: np.ndarray, mv_out: np.ndarray,
+                      ridx_out: np.ndarray, rpid_out: np.ndarray,
+                      rpoc_out: np.ndarray,
+                      out_state: np.ndarray) -> Optional[int]:
+    """P/B-slice decode (CAVLC or CABAC): macroblock layer, MC + direct
+    prediction and deblocking into the uint8 planes (mixlab_native.cpp
+    h264_decode_inter).  ``cfg`` is the int64[20] config block (see the
+    C entry); refs_y/u/v are stacked full reference planes; the
+    slot/pid/poc triples map each list's entries; col_* is the
+    co-located motion of RefPicList1[0] (B direct); the per-4x4 motion
+    field exports into mv/ridx/rpid/rpoc_out for DPB storage.  Returns
+    the C error code (0 = ok) or None when the native library is
+    unavailable."""
     lib = _load()
     if lib is None:
         return None
-    return int(lib.h264_decode_pslice(
-        padded, n_bytes, start_pos, mbw, mbh, slice_qp,
-        chroma_qp_off, chroma_qp_off2, disable_idc, off_a, off_b,
-        is_cabac, cabac_init_idc, num_ref_active, len(refs_y),
+
+    def ptr(a):
+        return None if a is None else a.ctypes.data
+
+    return int(lib.h264_decode_inter(
+        padded, n_bytes, start_pos, cfg.ctypes.data,
         refs_y.ctypes.data, refs_u.ctypes.data, refs_v.ctypes.data,
-        ref_slot.ctypes.data, ref_pid.ctypes.data,
-        0 if wp is None else 1,
-        None if wp is None else wp.ctypes.data,
+        ref_slot0.ctypes.data, ref_pid0.ctypes.data, ref_poc0.ctypes.data,
+        ref_slot1.ctypes.data, ref_pid1.ctypes.data, ref_poc1.ctypes.data,
+        ptr(col_mv), ptr(col_ridx), ptr(col_rpid), ptr(col_rpoc),
+        0 if wp is None else 1, ptr(wp),
         cavlc_tables, cabac_blob,
         ry.ctypes.data, ru.ctypes.data, rv.ctypes.data,
-        out_state.ctypes.data))
+        mv_out.ctypes.data, ridx_out.ctypes.data, rpid_out.ctypes.data,
+        rpoc_out.ctypes.data, out_state.ctypes.data))
 
 
 def h264_encode_frame(py: np.ndarray, pu: np.ndarray, pv: np.ndarray,

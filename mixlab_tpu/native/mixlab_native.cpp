@@ -1283,20 +1283,35 @@ struct Dec {
     int qp_off_u, qp_off_v;
     const uint8_t* tables;
 
-    // ---- inter state (round 5: P slices; twin of h264dec.py) ----------
-    bool is_p = false;
-    int num_ref_active = 1;
+    // ---- inter state (round 5: P + B slices; twin of h264dec.py) -------
+    bool is_p = false;   // any inter slice (P or B)
+    bool is_b = false;
+    bool direct_spatial = true;
+    bool implicit_wp = false;
+    int64_t cur_poc = 0;
+    int num_ref_active[2] = {1, 1};
     int n_ref_slots = 0;
     const uint8_t *refs_y = nullptr, *refs_u = nullptr, *refs_v = nullptr;
-    const int64_t* ref_slot = nullptr;  // [num_ref_active] -> slot or -1
-    const int64_t* ref_pid = nullptr;   // [num_ref_active] picture identity
+    // per list: entry -> plane slot / picture identity / POC
+    const int64_t* ref_slot_l[2] = {nullptr, nullptr};
+    const int64_t* ref_pid_l[2] = {nullptr, nullptr};
+    const int64_t* ref_poc_l[2] = {nullptr, nullptr};
+    // co-located motion of RefPicList1[0] (B direct modes)
+    bool col_valid = false, col_intra = false;
+    int64_t col_poc = 0;
+    const int16_t* col_mv = nullptr;   // [n4][2][2]
+    const int8_t* col_ridx = nullptr;  // [n4][2]
+    const int64_t* col_rpid = nullptr; // [n4][2]
+    const int64_t* col_rpoc = nullptr; // [n4][2]
     bool has_wp = false;
-    const int64_t* wp = nullptr;  // log_y, log_c, then 6 per list entry
-    std::vector<int32_t> mvf;     // [4h*4w*2] quarter-pel motion field
-    std::vector<int8_t> ridx;     // [4h*4w] list0 index, -1 intra/unset
-    std::vector<int32_t> rpid;    // [4h*4w] stored-picture id (deblock bS)
+    const int64_t* wp = nullptr;  // log_y, log_c, 6 per l0 entry, then l1
+    std::vector<int32_t> mvf;     // [4h*4w][2 lists][2] quarter-pel field
+    std::vector<int8_t> ridx;     // [4h*4w][2] list index, -1 intra/unused
+    std::vector<int32_t> rpid;    // [4h*4w][2] stored-picture id (bS)
+    std::vector<int32_t> rpoc;    // [4h*4w][2] referenced-picture POC
     std::vector<uint8_t> dec4;    // [4h*4w] partition decoded (6.4.9)
-    std::vector<uint8_t> rknown;  // [4h*4w] ref known pre-MV (CABAC ctx)
+    std::vector<uint8_t> rknown;  // [4h*4w][2] ref known pre-MV (CABAC)
+    std::vector<uint8_t> direct4; // [4h*4w] direct-inferred cell (CABAC)
     std::vector<uint8_t> mbintra; // [h*w], 1 = intra (I slices: all)
 
     Dec(int w, int h, uint8_t* y, uint8_t* u, uint8_t* v, int offu, int offv,
@@ -1306,26 +1321,35 @@ struct Dec {
           i4m((size_t)h * 4 * w * 4, -1), qpmap((size_t)h * w, 0),
           qp_prev(26), qp_off_u(offu), qp_off_v(offv), tables(tab) {}
 
-    void init_inter(int n_active, int n_slots, const uint8_t* rys,
+    void init_inter(const int n_active[2], int n_slots, const uint8_t* rys,
                     const uint8_t* rus, const uint8_t* rvs,
-                    const int64_t* slots, const int64_t* pids,
+                    const int64_t* slots0, const int64_t* pids0,
+                    const int64_t* pocs0, const int64_t* slots1,
+                    const int64_t* pids1, const int64_t* pocs1,
                     bool wp_on, const int64_t* wp_tab) {
         is_p = true;
-        num_ref_active = n_active;
+        num_ref_active[0] = n_active[0];
+        num_ref_active[1] = n_active[1];
         n_ref_slots = n_slots;
         refs_y = rys;
         refs_u = rus;
         refs_v = rvs;
-        ref_slot = slots;
-        ref_pid = pids;
+        ref_slot_l[0] = slots0;
+        ref_pid_l[0] = pids0;
+        ref_poc_l[0] = pocs0;
+        ref_slot_l[1] = slots1;
+        ref_pid_l[1] = pids1;
+        ref_poc_l[1] = pocs1;
         has_wp = wp_on;
         wp = wp_tab;
         const size_t n4 = (size_t)mbw * 4 * mbh * 4;
-        mvf.assign(n4 * 2, 0);
-        ridx.assign(n4, -1);
-        rpid.assign(n4, -1);
+        mvf.assign(n4 * 4, 0);
+        ridx.assign(n4 * 2, -1);
+        rpid.assign(n4 * 2, -1);
+        rpoc.assign(n4 * 2, 0);
         dec4.assign(n4, 0);
-        rknown.assign(n4, 0);
+        rknown.assign(n4 * 2, 0);
+        direct4.assign(n4, 0);
         mbintra.assign((size_t)mbw * mbh, 1);
     }
 
@@ -1334,27 +1358,29 @@ struct Dec {
 
     // ---- motion vector prediction (spec 8.4.1.3) -----------------------
 
-    // refIdx of cell: -2 location unavailable/undecoded, -1 intra
-    inline void nbinfo(int cx, int cy, int* ref, int* vx, int* vy) const {
+    // refIdx of cell for list lx: -2 location unavailable/undecoded,
+    // -1 intra or list unused
+    inline void nbinfo(int cx, int cy, int lx, int* ref, int* vx,
+                       int* vy) const {
         if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4 ||
             !dec4[c4(cy, cx)]) {
             *ref = -2; *vx = 0; *vy = 0;
             return;
         }
-        const int rr = ridx[c4(cy, cx)];
+        const int rr = ridx[c4(cy, cx) * 2 + lx];
         if (rr < 0) { *ref = -1; *vx = 0; *vy = 0; return; }
         *ref = rr;
-        *vx = mvf[c4(cy, cx) * 2];
-        *vy = mvf[c4(cy, cx) * 2 + 1];
+        *vx = mvf[(c4(cy, cx) * 2 + lx) * 2];
+        *vy = mvf[(c4(cy, cx) * 2 + lx) * 2 + 1];
     }
 
     void mvp(int gx, int gy, int w4, int h4, int ref, int hint,
-             int* ox, int* oy) const {
+             int* ox, int* oy, int lx = 0) const {
         int ar, ax, ay, br, bx, by, cr, cx, cy;
-        nbinfo(gx - 1, gy, &ar, &ax, &ay);
-        nbinfo(gx, gy - 1, &br, &bx, &by);
-        nbinfo(gx + w4, gy - 1, &cr, &cx, &cy);
-        if (cr == -2) nbinfo(gx - 1, gy - 1, &cr, &cx, &cy);  // D subst
+        nbinfo(gx - 1, gy, lx, &ar, &ax, &ay);
+        nbinfo(gx, gy - 1, lx, &br, &bx, &by);
+        nbinfo(gx + w4, gy - 1, lx, &cr, &cx, &cy);
+        if (cr == -2) nbinfo(gx - 1, gy - 1, lx, &cr, &cx, &cy);  // D subst
         if (hint == kHint16x8Top && br == ref) { *ox = bx; *oy = by; return; }
         if ((hint == kHint16x8Bot || hint == kHint8x16Left) && ar == ref) {
             *ox = ax; *oy = ay; return;
@@ -1373,17 +1399,33 @@ struct Dec {
     }
 
     void set_part(int mx, int my, int px, int py, int w, int h, int ref,
-                  int vx, int vy) {
+                  int vx, int vy, int lx = 0) {
         const int gx = mx * 4 + px / 4, gy = my * 4 + py / 4;
-        const int32_t pid = (int32_t)ref_pid[ref];
+        const int32_t pid = (int32_t)ref_pid_l[lx][ref];
+        const int32_t poc = (int32_t)ref_poc_l[lx][ref];
         for (int ty = gy; ty < gy + h / 4; ty++)
             for (int tx = gx; tx < gx + w / 4; tx++) {
-                mvf[c4(ty, tx) * 2] = vx;
-                mvf[c4(ty, tx) * 2 + 1] = vy;
-                ridx[c4(ty, tx)] = (int8_t)ref;
-                rpid[c4(ty, tx)] = pid;
+                mvf[(c4(ty, tx) * 2 + lx) * 2] = vx;
+                mvf[(c4(ty, tx) * 2 + lx) * 2 + 1] = vy;
+                ridx[c4(ty, tx) * 2 + lx] = (int8_t)ref;
+                rpid[c4(ty, tx) * 2 + lx] = pid;
+                rpoc[c4(ty, tx) * 2 + lx] = poc;
                 dec4[c4(ty, tx)] = 1;
             }
+    }
+
+    // implicit bipred weights from POC distances (8.4.2.3.1, logWD 5)
+    void implicit_weights(int r0, int r1, int64_t* w0, int64_t* w1) const {
+        const int64_t poc0 = ref_poc_l[0][r0], poc1 = ref_poc_l[1][r1];
+        int64_t td = clip3(-128, 127, poc1 - poc0);
+        if (td == 0) { *w0 = 32; *w1 = 32; return; }
+        const int64_t tb = clip3(-128, 127, cur_poc - poc0);
+        const int64_t num = 16384 + (td < 0 ? -td : td) / 2;
+        const int64_t tx = td > 0 ? num / td : -(num / -td);
+        const int64_t dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6);
+        if ((dsf >> 2) < -64 || (dsf >> 2) > 128) { *w0 = 32; *w1 = 32; return; }
+        *w1 = dsf >> 2;
+        *w0 = 64 - *w1;
     }
 
     void mark_inter(int mx, int my) {
@@ -1395,8 +1437,8 @@ struct Dec {
 
     // ---- fractional-sample MC (spec 8.4.2.2; twin of av/h264mc.py) ----
 
-    const uint8_t* plane_of(int ref, int comp) const {
-        const int64_t slot = ref_slot[ref];
+    const uint8_t* plane_of(int ref, int comp, int lx = 0) const {
+        const int64_t slot = ref_slot_l[lx][ref];
         if (slot < 0 || slot >= n_ref_slots) throw ParseErr{-32, ref};
         const size_t ysz = (size_t)mbw * 16 * mbh * 16;
         const size_t csz = (size_t)mbw * 8 * mbh * 8;
@@ -1536,25 +1578,82 @@ struct Dec {
         }
     }
 
-    struct Part { int px, py, w, h, ref, vx, vy; };
+    // refs[lx] -1 = list unused; single-list parts leave the other zeroed
+    struct Part { int px, py, w, h; int refs[2]; int vx[2], vy[2]; };
+
+    static Part part1(int px, int py, int w, int h, int ref, int vx, int vy,
+                      int lx = 0) {
+        Part p{px, py, w, h, {-1, -1}, {0, 0}, {0, 0}};
+        p.refs[lx] = ref;
+        p.vx[lx] = vx;
+        p.vy[lx] = vy;
+        return p;
+    }
+
+    // explicit-WP table entry for (lx, ref): l0 entries then l1 entries
+    const int64_t* wp_entry(int lx, int ref) const {
+        return wp + 2 + 6 * (lx == 0 ? ref : num_ref_active[0] + ref);
+    }
+
+    void mc_one(int lx, int ref, int x, int y, int w, int h, int vx, int vy,
+                int64_t* by_, int64_t* bu, int64_t* bv) const {
+        luma_mc(plane_of(ref, 0, lx), x, y, w, h, vx, vy, by_);
+        chroma_mc(plane_of(ref, 1, lx), x / 2, y / 2, w / 2, h / 2, vx, vy,
+                  bu);
+        chroma_mc(plane_of(ref, 2, lx), x / 2, y / 2, w / 2, h / 2, vx, vy,
+                  bv);
+    }
 
     void inter_pred_mb(int mx, int my, const Part* parts, int np,
                        int64_t* py_, int64_t* pu, int64_t* pv) const {
         const int y0 = my * 16, x0 = mx * 16;
         int64_t by_[256], bu[64], bv[64];
+        int64_t by1[256], bu1[64], bv1[64];
         for (int p = 0; p < np; p++) {
             const Part& pt = parts[p];
-            luma_mc(plane_of(pt.ref, 0), x0 + pt.px, y0 + pt.py, pt.w, pt.h,
-                    pt.vx, pt.vy, by_);
-            chroma_mc(plane_of(pt.ref, 1), (x0 + pt.px) / 2,
-                      (y0 + pt.py) / 2, pt.w / 2, pt.h / 2, pt.vx, pt.vy,
-                      bu);
-            chroma_mc(plane_of(pt.ref, 2), (x0 + pt.px) / 2,
-                      (y0 + pt.py) / 2, pt.w / 2, pt.h / 2, pt.vx, pt.vy,
-                      bv);
-            if (has_wp) {
+            const bool bi = pt.refs[0] >= 0 && pt.refs[1] >= 0;
+            const int lx = pt.refs[0] >= 0 ? 0 : 1;
+            mc_one(lx, pt.refs[lx], x0 + pt.px, y0 + pt.py, pt.w, pt.h,
+                   pt.vx[lx], pt.vy[lx], by_, bu, bv);
+            if (bi) {
+                mc_one(1, pt.refs[1], x0 + pt.px, y0 + pt.py, pt.w, pt.h,
+                       pt.vx[1], pt.vy[1], by1, bu1, bv1);
+                const int ny = pt.w * pt.h, nc = ny / 4;
+                if (has_wp) {  // explicit bipred (8.4.2.3.2)
+                    const int64_t log_y = wp[0], log_c = wp[1];
+                    const int64_t* e0 = wp_entry(0, pt.refs[0]);
+                    const int64_t* e1 = wp_entry(1, pt.refs[1]);
+                    auto wbi = [](int64_t* a, const int64_t* b, int n,
+                                  int64_t w0, int64_t w1, int64_t o0,
+                                  int64_t o1, int64_t lg) {
+                        const int64_t r = (int64_t)1 << lg;
+                        const int64_t oo = (o0 + o1 + 1) >> 1;
+                        for (int i = 0; i < n; i++)
+                            a[i] = clip255(((a[i] * w0 + b[i] * w1 + r) >>
+                                            (lg + 1)) + oo);
+                    };
+                    wbi(by_, by1, ny, e0[0], e1[0], e0[1], e1[1], log_y);
+                    wbi(bu, bu1, nc, e0[2], e1[2], e0[3], e1[3], log_c);
+                    wbi(bv, bv1, nc, e0[4], e1[4], e0[5], e1[5], log_c);
+                } else if (implicit_wp) {
+                    int64_t w0, w1;
+                    implicit_weights(pt.refs[0], pt.refs[1], &w0, &w1);
+                    for (int i = 0; i < ny; i++)
+                        by_[i] = clip255((by_[i] * w0 + by1[i] * w1 + 32) >> 6);
+                    for (int i = 0; i < nc; i++) {
+                        bu[i] = clip255((bu[i] * w0 + bu1[i] * w1 + 32) >> 6);
+                        bv[i] = clip255((bv[i] * w0 + bv1[i] * w1 + 32) >> 6);
+                    }
+                } else {  // default average
+                    for (int i = 0; i < ny; i++) by_[i] = (by_[i] + by1[i] + 1) >> 1;
+                    for (int i = 0; i < nc; i++) {
+                        bu[i] = (bu[i] + bu1[i] + 1) >> 1;
+                        bv[i] = (bv[i] + bv1[i] + 1) >> 1;
+                    }
+                }
+            } else if (has_wp) {
                 const int64_t log_y = wp[0], log_c = wp[1];
-                const int64_t* e = wp + 2 + 6 * pt.ref;
+                const int64_t* e = wp_entry(lx, pt.refs[lx]);
                 wp_apply(by_, pt.w * pt.h, e[0], e[1], log_y);
                 wp_apply(bu, pt.w * pt.h / 4, e[2], e[3], log_c);
                 wp_apply(bv, pt.w * pt.h / 4, e[4], e[5], log_c);
@@ -1576,16 +1675,17 @@ struct Dec {
         mark_inter(mx, my);
         const int gx = mx * 4, gy = my * 4;
         int ar, ax, ay, br, bx, by;
-        nbinfo(gx - 1, gy, &ar, &ax, &ay);
-        nbinfo(gx, gy - 1, &br, &bx, &by);
+        nbinfo(gx - 1, gy, 0, &ar, &ax, &ay);
+        nbinfo(gx, gy - 1, 0, &br, &bx, &by);
         int vx = 0, vy = 0;
         if (!(ar == -2 || br == -2 || (ar == 0 && ax == 0 && ay == 0) ||
               (br == 0 && bx == 0 && by == 0)))
             mvp(gx, gy, 4, 4, 0, kHintNone, &vx, &vy);
-        if (num_ref_active < 1 || ref_slot[0] < 0) throw ParseErr{-32, 0};
+        if (num_ref_active[0] < 1 || ref_slot_l[0][0] < 0)
+            throw ParseErr{-32, 0};
         set_part(mx, my, 0, 0, 16, 16, 0, vx, vy);
         int64_t py_[256], pu[64], pv[64];
-        const Part pt{0, 0, 16, 16, 0, vx, vy};
+        const Part pt = part1(0, 0, 16, 16, 0, vx, vy);
         inter_pred_mb(mx, my, &pt, 1, py_, pu, pv);
         const int y0 = my * 16, x0 = mx * 16, cy0 = my * 8, cx0 = mx * 8;
         for (int yy = 0; yy < 16; yy++)
@@ -1629,12 +1729,12 @@ struct Dec {
     }
 
     // CAVLC P macroblock (spec 7.3.5; twin of h264dec._decode_mb_p)
-    int read_ref_idx(Bits& r) {
+    int read_ref_idx(Bits& r, int lx = 0) {
         int idx;
-        if (num_ref_active == 1) idx = 0;
-        else if (num_ref_active == 2) idx = 1 - (int)r.read(1);  // te cMax 1
+        if (num_ref_active[lx] == 1) idx = 0;
+        else if (num_ref_active[lx] == 2) idx = 1 - (int)r.read(1);  // te
         else idx = (int)r.ue();
-        if (idx >= num_ref_active || ref_slot[idx] < 0)
+        if (idx >= num_ref_active[lx] || ref_slot_l[lx][idx] < 0)
             throw ParseErr{-32, idx};
         return idx;
     }
@@ -1661,7 +1761,7 @@ struct Dec {
                 mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[p], hint, &px_x, &px_y);
                 const int vx = px_x + dx[p], vy = px_y + dy[p];
                 set_part(mx, my, sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy);
-                parts[np++] = Part{sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy};
+                parts[np++] = part1(sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy);
             }
         } else {  // P_8x8 (3) / P_8x8ref0 (4)
             if (mb_type > 4) throw ParseErr{-4, mb_type};
@@ -1673,7 +1773,7 @@ struct Dec {
             }
             if (mb_type == 3)
                 for (int b = 0; b < 4; b++) refs[b] = read_ref_idx(r);
-            else if (ref_slot[0] < 0)
+            else if (ref_slot_l[0][0] < 0)
                 throw ParseErr{-32, 0};
             int dx[4][4], dy[4][4];
             for (int b = 0; b < 4; b++)
@@ -1692,7 +1792,7 @@ struct Dec {
                         &px_x, &px_y);
                     const int vx = px_x + dx[b][s], vy = px_y + dy[b][s];
                     set_part(mx, my, px, py, sh[2], sh[3], refs[b], vx, vy);
-                    parts[np++] = Part{px, py, sh[2], sh[3], refs[b], vx, vy};
+                    parts[np++] = part1(px, py, sh[2], sh[3], refs[b], vx, vy);
                 }
             }
         }
@@ -1732,17 +1832,408 @@ struct Dec {
         recon_inter(mx, my, qp, z, czd, cza, pred_y, pred_u, pred_v);
     }
 
+    // ---- B macroblocks (spec 7.3.5, 8.4.1.2; twin of h264dec.py) -------
+
+    // B mb_type 1..21 (Table 7-14): {shape key, mask0, mask1};
+    // mask 1 = list0, 2 = list1, 3 = bi
+    // (indexed by mb_type - 1)
+    static constexpr int kBModes[21][3] = {
+        {0, 1, 0}, {0, 2, 0}, {0, 3, 0},
+        {1, 1, 1}, {2, 1, 1}, {1, 2, 2}, {2, 2, 2},
+        {1, 1, 2}, {2, 1, 2}, {1, 2, 1}, {2, 2, 1},
+        {1, 1, 3}, {2, 1, 3}, {1, 2, 3}, {2, 2, 3},
+        {1, 3, 1}, {2, 3, 1}, {1, 3, 2}, {2, 3, 2},
+        {1, 3, 3}, {2, 3, 3}};
+    // B sub_mb_type 1..12 (Table 7-18): {shape key into kPSub, mask}
+    static constexpr int kBSub[12][2] = {
+        {0, 1}, {0, 2}, {0, 3}, {1, 1}, {2, 1}, {1, 2}, {2, 2},
+        {1, 3}, {2, 3}, {3, 1}, {3, 2}, {3, 3}};
+
+    // co-located 4x4 cell of RefPicList1[0]: refIdxCol -1 when intra
+    inline void col_cell(int ccy, int ccx, int* clx, int* cref, int* cmx,
+                         int* cmy) const {
+        if (col_intra) { *clx = 0; *cref = -1; *cmx = 0; *cmy = 0; return; }
+        const size_t c = (size_t)ccy * mbw * 4 + ccx;
+        int rr = col_ridx[c * 2], lx = 0;
+        if (rr < 0) { rr = col_ridx[c * 2 + 1]; lx = 1; }
+        *clx = lx;
+        *cref = rr;
+        if (rr < 0) { *cmx = 0; *cmy = 0; return; }
+        *cmx = col_mv[(c * 2 + lx) * 2];
+        *cmy = col_mv[(c * 2 + lx) * 2 + 1];
+    }
+
+    // MB-level spatial direct refs + MV predictors (8.4.1.2.2)
+    void direct_refs_spatial(int gx0, int gy0, int* r0, int* r1,
+                             int mvps[2][2], bool* zero_pred) const {
+        int refs[2];
+        for (int lx = 0; lx < 2; lx++) {
+            int ar, ax, ay, br, bx, by, cr, cx, cy;
+            nbinfo(gx0 - 1, gy0, lx, &ar, &ax, &ay);
+            nbinfo(gx0, gy0 - 1, lx, &br, &bx, &by);
+            nbinfo(gx0 + 4, gy0 - 1, lx, &cr, &cx, &cy);
+            if (cr == -2) nbinfo(gx0 - 1, gy0 - 1, lx, &cr, &cx, &cy);
+            int mn = -1;
+            for (int v : {ar, br, cr})
+                if (v >= 0 && (mn < 0 || v < mn)) mn = v;
+            refs[lx] = mn;
+        }
+        *r0 = refs[0];
+        *r1 = refs[1];
+        if (refs[0] < 0 && refs[1] < 0) {
+            *r0 = *r1 = 0;
+            mvps[0][0] = mvps[0][1] = mvps[1][0] = mvps[1][1] = 0;
+            *zero_pred = true;
+            return;
+        }
+        *zero_pred = false;
+        for (int lx = 0; lx < 2; lx++) {
+            if (refs[lx] >= 0) {
+                if (refs[lx] >= num_ref_active[lx] ||
+                    ref_slot_l[lx][refs[lx]] < 0)
+                    throw ParseErr{-32, refs[lx]};
+                mvp(gx0, gy0, 4, 4, refs[lx], kHintNone, &mvps[lx][0],
+                    &mvps[lx][1], lx);
+            } else {
+                mvps[lx][0] = mvps[lx][1] = 0;
+            }
+        }
+    }
+
+    // direct motion for the 8x8 blocks in `blocks` (8.4.1.2,
+    // direct_8x8_inference): fills parts and sets the motion state
+    int direct_parts(int mx, int my, const int* blocks, int nb, Part* out) {
+        if (!col_valid) throw ParseErr{-40, 0};
+        const int gx0 = mx * 4, gy0 = my * 4;
+        int np = 0;
+        if (direct_spatial) {
+            int r0, r1, mvps[2][2];
+            bool zero_pred;
+            direct_refs_spatial(gx0, gy0, &r0, &r1, mvps, &zero_pred);
+            for (int bi = 0; bi < nb; bi++) {
+                const int b8 = blocks[bi];
+                const int bx0 = (b8 & 1) * 8, by0 = (b8 >> 1) * 8;
+                const int ccx = gx0 + 3 * (b8 & 1), ccy = gy0 + 3 * (b8 >> 1);
+                bool colzero = false;
+                if (!zero_pred) {
+                    int clx, cref, cmx, cmy;
+                    col_cell(ccy, ccx, &clx, &cref, &cmx, &cmy);
+                    if (cref == 0)
+                        colzero = cmx >= -1 && cmx <= 1 && cmy >= -1 &&
+                                  cmy <= 1;
+                }
+                Part p{bx0, by0, 8, 8, {r0, r1}, {0, 0}, {0, 0}};
+                for (int lx = 0; lx < 2; lx++) {
+                    const int ref = lx == 0 ? r0 : r1;
+                    if (ref < 0) continue;
+                    if (!(zero_pred || (ref == 0 && colzero))) {
+                        p.vx[lx] = mvps[lx][0];
+                        p.vy[lx] = mvps[lx][1];
+                    }
+                    set_part(mx, my, bx0, by0, 8, 8, ref, p.vx[lx],
+                             p.vy[lx], lx);
+                }
+                for (int ty = gy0 + by0 / 4; ty < gy0 + by0 / 4 + 2; ty++)
+                    for (int tx = gx0 + bx0 / 4; tx < gx0 + bx0 / 4 + 2; tx++)
+                        direct4[c4(ty, tx)] = 1;
+                out[np++] = p;
+            }
+            return np;
+        }
+        // temporal direct (8.4.1.2.3)
+        for (int bi = 0; bi < nb; bi++) {
+            const int b8 = blocks[bi];
+            const int bx0 = (b8 & 1) * 8, by0 = (b8 >> 1) * 8;
+            const int ccx = gx0 + 3 * (b8 & 1), ccy = gy0 + 3 * (b8 >> 1);
+            int clx, cref, cmx, cmy;
+            col_cell(ccy, ccx, &clx, &cref, &cmx, &cmy);
+            int r0 = 0, v0x = 0, v0y = 0, v1x = 0, v1y = 0;
+            if (cref >= 0) {
+                const size_t c = (size_t)ccy * mbw * 4 + ccx;
+                const int64_t colpid = col_rpid[c * 2 + clx];
+                const int64_t colpoc = col_rpoc[c * 2 + clx];
+                r0 = -1;
+                for (int i = 0; i < num_ref_active[0]; i++)
+                    if (ref_slot_l[0][i] >= 0 && ref_pid_l[0][i] == colpid) {
+                        r0 = i;
+                        break;
+                    }
+                if (r0 < 0) throw ParseErr{-41, 0};
+                const int64_t td = clip3(-128, 127, col_poc - colpoc);
+                if (td == 0) {
+                    v0x = cmx; v0y = cmy;
+                } else {
+                    const int64_t tb = clip3(-128, 127, cur_poc - colpoc);
+                    const int64_t num = 16384 + (td < 0 ? -td : td) / 2;
+                    const int64_t tx = td > 0 ? num / td : -(num / -td);
+                    const int64_t dsf = clip3(-1024, 1023, (tb * tx + 32) >> 6);
+                    v0x = (int)((dsf * cmx + 128) >> 8);
+                    v0y = (int)((dsf * cmy + 128) >> 8);
+                    v1x = v0x - cmx;
+                    v1y = v0y - cmy;
+                }
+            }
+            if (ref_slot_l[0][r0] < 0 || ref_slot_l[1][0] < 0)
+                throw ParseErr{-32, r0};
+            set_part(mx, my, bx0, by0, 8, 8, r0, v0x, v0y, 0);
+            set_part(mx, my, bx0, by0, 8, 8, 0, v1x, v1y, 1);
+            for (int ty = gy0 + by0 / 4; ty < gy0 + by0 / 4 + 2; ty++)
+                for (int tx = gx0 + bx0 / 4; tx < gx0 + bx0 / 4 + 2; tx++)
+                    direct4[c4(ty, tx)] = 1;
+            out[np++] = Part{bx0, by0, 8, 8, {r0, 0},
+                             {v0x, v1x}, {v0y, v1y}};
+        }
+        return np;
+    }
+
+    void store_planes_mb(int mx, int my, const int64_t* py_,
+                         const int64_t* pu, const int64_t* pv) {
+        const int y0 = my * 16, x0 = mx * 16, cy0 = my * 8, cx0 = mx * 8;
+        for (int yy = 0; yy < 16; yy++)
+            for (int xx = 0; xx < 16; xx++)
+                ry[(size_t)(y0 + yy) * yw + x0 + xx] =
+                    (uint8_t)py_[yy * 16 + xx];
+        for (int yy = 0; yy < 8; yy++)
+            for (int xx = 0; xx < 8; xx++) {
+                ru[(size_t)(cy0 + yy) * cw + cx0 + xx] =
+                    (uint8_t)pu[yy * 8 + xx];
+                rv[(size_t)(cy0 + yy) * cw + cx0 + xx] =
+                    (uint8_t)pv[yy * 8 + xx];
+            }
+    }
+
+    void b_skip_mb(int mx, int my) {
+        mark_inter(mx, my);
+        static constexpr int kAll[4] = {0, 1, 2, 3};
+        Part parts[4];
+        const int np = direct_parts(mx, my, kAll, 4, parts);
+        int64_t py_[256], pu[64], pv[64];
+        inter_pred_mb(mx, my, parts, np, py_, pu, pv);
+        store_planes_mb(mx, my, py_, pu, pv);
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                nnz_y.at(ty, tx) = 0;
+        for (int ty = my * 2; ty < my * 2 + 2; ty++)
+            for (int tx = mx * 2; tx < mx * 2 + 2; tx++) {
+                nnz_u.at(ty, tx) = 0;
+                nnz_v.at(ty, tx) = 0;
+            }
+        qpmap[(size_t)my * mbw + mx] = (int8_t)qp_prev;
+    }
+
+    // shared CAVLC inter residual + recon tail (P and B)
+    void finish_inter_cavlc(Bits& r, int mx, int my, const int64_t* pred_y,
+                            const int64_t* pred_u, const int64_t* pred_v) {
+        const int64_t cbp_code = r.ue();
+        if (cbp_code >= 48) throw ParseErr{-10, cbp_code};
+        const int cbp = kCbpInter[cbp_code];
+        const int cbp_luma = cbp & 15, cbp_chroma = cbp >> 4;
+        int qp;
+        if (cbp) {
+            qp = (int)(((qp_prev + r.se()) % 52 + 52) % 52);
+            qp_prev = qp;
+        } else {
+            qp = qp_prev;
+        }
+        qpmap[(size_t)my * mbw + mx] = (int8_t)qp;
+
+        const int gy0 = my * 4, gx0 = mx * 4;
+        for (int ty = gy0; ty < gy0 + 4; ty++)
+            for (int tx = gx0; tx < gx0 + 4; tx++) nnz_y.at(ty, tx) = 0;
+        int64_t z[16][16];
+        for (int i = 0; i < 16; i++)
+            for (int k = 0; k < 16; k++) z[i][k] = 0;
+        for (int i = 0; i < 16; i++) {
+            if (!((cbp_luma >> (i >> 2)) & 1)) continue;
+            const int bx = kBlkX[i], by = kBlkY[i];
+            const int nC = h264::nc_of(nnz_y, mx, my, bx, by, 4);
+            int64_t scan[16] = {0};
+            const int tot = h264::read_block(r, nC, 16, scan, tables);
+            for (int k = 0; k < 16; k++) z[i][kZigzag[k]] = scan[k];
+            nnz_y.at(gy0 + by, gx0 + bx) = (int16_t)tot;
+        }
+        int64_t czd[2][4], cza[2][4][16];
+        read_chroma(r, mx, my, cbp_chroma, czd, cza);
+        recon_inter(mx, my, qp, z, czd, cza, pred_y, pred_u, pred_v);
+    }
+
+    // CAVLC B macroblock (mb_type 0..22 already read by the caller)
+    void decode_mb_b(Bits& r, int mx, int my, int64_t mb_type) {
+        mark_inter(mx, my);
+        Part parts[16];
+        int np = 0;
+        if (mb_type == 0) {  // B_Direct_16x16
+            static constexpr int kAll[4] = {0, 1, 2, 3};
+            np = direct_parts(mx, my, kAll, 4, parts);
+        } else if (mb_type != 22) {
+            const int* bm = kBModes[mb_type - 1];
+            const int shape = bm[0];
+            const int n = kPPartN[shape];
+            int refs[2][2] = {{-1, -1}, {-1, -1}};  // [part][lx]
+            for (int lx = 0; lx < 2; lx++)
+                for (int p = 0; p < n; p++)
+                    if (bm[1 + p] & (1 << lx))
+                        refs[p][lx] = read_ref_idx(r, lx);
+            Part ps[2];
+            for (int p = 0; p < n; p++) {
+                const int* sh = kPParts[shape][p];
+                ps[p] = Part{sh[0], sh[1], sh[2], sh[3], {-1, -1},
+                             {0, 0}, {0, 0}};
+            }
+            for (int lx = 0; lx < 2; lx++)
+                for (int p = 0; p < n; p++) {
+                    if (!(bm[1 + p] & (1 << lx))) continue;
+                    const int* sh = kPParts[shape][p];
+                    const int gx = mx * 4 + sh[0] / 4,
+                              gy = my * 4 + sh[1] / 4;
+                    const int dx = (int)r.se(), dy = (int)r.se();
+                    int hint = kHintNone;
+                    if (shape == 1)
+                        hint = p == 0 ? kHint16x8Top : kHint16x8Bot;
+                    if (shape == 2)
+                        hint = p == 0 ? kHint8x16Left : kHint8x16Right;
+                    int px_x, px_y;
+                    mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[p][lx], hint,
+                        &px_x, &px_y, lx);
+                    ps[p].refs[lx] = refs[p][lx];
+                    ps[p].vx[lx] = px_x + dx;
+                    ps[p].vy[lx] = px_y + dy;
+                    set_part(mx, my, sh[0], sh[1], sh[2], sh[3],
+                             refs[p][lx], px_x + dx, px_y + dy, lx);
+                }
+            for (int p = 0; p < n; p++) parts[np++] = ps[p];
+        } else {  // B_8x8
+            int subs[4];
+            for (int b = 0; b < 4; b++) {
+                const int64_t st = r.ue();
+                if (st > 12) throw ParseErr{-33, st};
+                subs[b] = (int)st;
+            }
+            int dblocks[4], ndb = 0;
+            for (int b = 0; b < 4; b++)
+                if (subs[b] == 0) dblocks[ndb++] = b;
+            Part dparts[4];
+            int ndp = 0;
+            if (ndb) ndp = direct_parts(mx, my, dblocks, ndb, dparts);
+            (void)ndp;
+            int refs[4][2];
+            for (int b = 0; b < 4; b++) refs[b][0] = refs[b][1] = -1;
+            for (int lx = 0; lx < 2; lx++)
+                for (int b = 0; b < 4; b++) {
+                    if (subs[b] == 0) continue;
+                    if (kBSub[subs[b] - 1][1] & (1 << lx))
+                        refs[b][lx] = read_ref_idx(r, lx);
+                }
+            // per-(b8, sub, lx) motion, filled in parse order
+            int smv[4][4][2][2];
+            bool shas[4][4][2];
+            for (int b = 0; b < 4; b++)
+                for (int s = 0; s < 4; s++)
+                    shas[b][s][0] = shas[b][s][1] = false;
+            for (int lx = 0; lx < 2; lx++)
+                for (int b = 0; b < 4; b++) {
+                    if (subs[b] == 0) continue;
+                    const int shape = kBSub[subs[b] - 1][0];
+                    if (!(kBSub[subs[b] - 1][1] & (1 << lx))) continue;
+                    const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                    for (int s = 0; s < kPSubN[shape]; s++) {
+                        const int* sh = kPSub[shape][s];
+                        const int px = bx0 + sh[0], py = by0 + sh[1];
+                        const int gx = mx * 4 + px / 4,
+                                  gy = my * 4 + py / 4;
+                        const int dx = (int)r.se(), dy = (int)r.se();
+                        int px_x, px_y;
+                        mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[b][lx],
+                            kHintNone, &px_x, &px_y, lx);
+                        smv[b][s][lx][0] = px_x + dx;
+                        smv[b][s][lx][1] = px_y + dy;
+                        shas[b][s][lx] = true;
+                        set_part(mx, my, px, py, sh[2], sh[3], refs[b][lx],
+                                 px_x + dx, px_y + dy, lx);
+                    }
+                }
+            int di = 0;
+            for (int b = 0; b < 4; b++) {
+                if (subs[b] == 0) {
+                    parts[np++] = dparts[di++];
+                    continue;
+                }
+                const int shape = kBSub[subs[b] - 1][0];
+                const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                for (int s = 0; s < kPSubN[shape]; s++) {
+                    const int* sh = kPSub[shape][s];
+                    Part p{bx0 + sh[0], by0 + sh[1], sh[2], sh[3],
+                           {-1, -1}, {0, 0}, {0, 0}};
+                    for (int lx = 0; lx < 2; lx++)
+                        if (shas[b][s][lx]) {
+                            p.refs[lx] = refs[b][lx];
+                            p.vx[lx] = smv[b][s][lx][0];
+                            p.vy[lx] = smv[b][s][lx][1];
+                        }
+                    parts[np++] = p;
+                }
+            }
+        }
+        int64_t pred_y[256], pred_u[64], pred_v[64];
+        inter_pred_mb(mx, my, parts, np, pred_y, pred_u, pred_v);
+        finish_inter_cavlc(r, mx, my, pred_y, pred_u, pred_v);
+    }
+
+    // export the per-4x4 motion for DPB storage (B direct on later pics)
+    void export_motion(int16_t* mv_out, int8_t* ridx_out, int64_t* rpid_out,
+                       int64_t* rpoc_out) const {
+        const size_t n4 = (size_t)mbw * 4 * mbh * 4;
+        if (mv_out)
+            for (size_t i = 0; i < n4 * 4; i++)
+                mv_out[i] = (int16_t)mvf[i];
+        if (ridx_out)
+            for (size_t i = 0; i < n4 * 2; i++) ridx_out[i] = ridx[i];
+        if (rpid_out)
+            for (size_t i = 0; i < n4 * 2; i++) rpid_out[i] = rpid[i];
+        if (rpoc_out)
+            for (size_t i = 0; i < n4 * 2; i++) rpoc_out[i] = rpoc[i];
+    }
+
     // ---- deblocking with derived bS (spec 8.7.2.1) ---------------------
+
+    inline bool mv_far(size_t pc, int plx, size_t qc, int qlx) const {
+        const int dvx = mvf[(pc * 2 + plx) * 2] - mvf[(qc * 2 + qlx) * 2];
+        const int dvy =
+            mvf[(pc * 2 + plx) * 2 + 1] - mvf[(qc * 2 + qlx) * 2 + 1];
+        return dvx >= 4 || dvx <= -4 || dvy >= 4 || dvy <= -4;
+    }
 
     int bs_of(int pgx, int pgy, int qgx, int qgy, bool any_intra,
               bool mb_edge) const {
         if (any_intra) return mb_edge ? 4 : 3;
         if (nnz_y.cat(pgy, pgx) || nnz_y.cat(qgy, qgx)) return 2;
-        if (rpid[c4(pgy, pgx)] != rpid[c4(qgy, qgx)]) return 1;
-        const int dvx = mvf[c4(pgy, pgx) * 2] - mvf[c4(qgy, qgx) * 2];
-        const int dvy = mvf[c4(pgy, pgx) * 2 + 1] - mvf[c4(qgy, qgx) * 2 + 1];
-        if (dvx >= 4 || dvx <= -4 || dvy >= 4 || dvy <= -4) return 1;
-        return 0;
+        const size_t pc = c4(pgy, pgx), qc = c4(qgy, qgx);
+        // 8.7.2.1: the USED reference pictures compare as a set; with the
+        // same two pictures the MV check may match either correspondence
+        int pu[2], qu[2], npu = 0, nqu = 0;
+        for (int lx = 0; lx < 2; lx++) {
+            if (ridx[pc * 2 + lx] >= 0) pu[npu++] = lx;
+            if (ridx[qc * 2 + lx] >= 0) qu[nqu++] = lx;
+        }
+        if (npu != nqu) return 1;
+        if (npu == 1) {
+            if (rpid[pc * 2 + pu[0]] != rpid[qc * 2 + qu[0]]) return 1;
+            return mv_far(pc, pu[0], qc, qu[0]) ? 1 : 0;
+        }
+        const int32_t pp0 = rpid[pc * 2], pp1 = rpid[pc * 2 + 1];
+        const int32_t qp0 = rpid[qc * 2], qp1 = rpid[qc * 2 + 1];
+        const bool straight_pid = pp0 == qp0 && pp1 == qp1;
+        const bool cross_pid = pp0 == qp1 && pp1 == qp0;
+        if (!straight_pid && !cross_pid) return 1;
+        const bool straight_far =
+            mv_far(pc, 0, qc, 0) || mv_far(pc, 1, qc, 1);
+        if (pp0 != pp1) {  // two distinct pictures
+            if (straight_pid) return straight_far ? 1 : 0;
+            return (mv_far(pc, 0, qc, 1) || mv_far(pc, 1, qc, 0)) ? 1 : 0;
+        }
+        // same picture in both lists: bS 0 if EITHER correspondence near
+        const bool cross_far = mv_far(pc, 0, qc, 1) || mv_far(pc, 1, qc, 0);
+        return (straight_far && cross_far) ? 1 : 0;
     }
 
     void deblock_general(int off_a, int off_b) {
@@ -2655,7 +3146,8 @@ struct CDec {
     std::vector<uint8_t> fcdc;                    // cbf chroma DC [2][h][w]
     std::vector<uint8_t> fc;                      // cbf chroma AC [2][2h][2w]
     std::vector<uint8_t> skip;                    // mb_skip_flag [h][w]
-    std::vector<int32_t> absmvd;                  // |mvd| [4h*4w*2]
+    std::vector<int32_t> absmvd;                  // |mvd| [4h*4w][2][2]
+    std::vector<uint8_t> b_direct;                // B_Skip/B_Direct_16x16
     bool prev_qp_nz = false;
 
     CDec(Dec& dd, const uint8_t* blob, int qp, int table = 0)
@@ -2667,7 +3159,8 @@ struct CDec {
           fcdc(2 * (size_t)mbw * mbh, 0),
           fc(2 * (size_t)mbw * 2 * mbh * 2, 0),
           skip((size_t)mbw * mbh, 0),
-          absmvd(2 * (size_t)mbw * 4 * mbh * 4, 0) {}
+          absmvd(4 * (size_t)mbw * 4 * mbh * 4, 0),
+          b_direct((size_t)mbw * mbh, 0) {}
 
     inline size_t mi(int my, int mx) const { return (size_t)my * mbw + mx; }
 
@@ -2931,21 +3424,22 @@ struct CDec {
 
     // ---- P macroblock layer (spec 7.3.5, 9.3.3.1; round 5) --------------
 
-    int read_skip_flag(int mx, int my) {
+    int read_skip_flag(int mx, int my, int base = 11) {
         const bool ca = mx > 0 && !skip[mi(my, mx - 1)];
         const bool cb = my > 0 && !skip[mi(my - 1, mx)];
-        return eng.decision(11 + ca + cb);
+        return eng.decision(base + ca + cb);
     }
 
     // ref_idx_l0: unary ctx 54-59; cells of earlier same-MB partitions
     // are visible through Dec::rknown before their MVs decode
-    int read_ref_idx(int gx, int gy) {
-        if (d.num_ref_active == 1) return 0;
+    int read_ref_idx(int gx, int gy, int lx = 0) {
+        if (d.num_ref_active[lx] == 1) return 0;
         auto nref = [&](int cx, int cy) -> int {
             if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4)
                 return -2;
-            if (d.rknown[d.c4(cy, cx)] || d.dec4[d.c4(cy, cx)])
-                return d.ridx[d.c4(cy, cx)];
+            if (d.direct4[d.c4(cy, cx)]) return 0;  // 9.3.3.1.1.6
+            if (d.rknown[d.c4(cy, cx) * 2 + lx] || d.dec4[d.c4(cy, cx)])
+                return d.ridx[d.c4(cy, cx) * 2 + lx];
             return -2;
         };
         const int inc = (nref(gx - 1, gy) > 0) + 2 * (nref(gx, gy - 1) > 0);
@@ -2955,27 +3449,27 @@ struct CDec {
             while (idx < 32 && eng.decision(idx == 1 ? 58 : 59)) idx++;
             if (idx >= 32) throw ParseErr{-34, 0};
         }
-        if (idx >= d.num_ref_active || d.ref_slot[idx] < 0)
+        if (idx >= d.num_ref_active[lx] || d.ref_slot_l[lx][idx] < 0)
             throw ParseErr{-32, idx};
         return idx;
     }
 
-    void note_ref(int gx, int gy, int w4, int h4, int ref) {
+    void note_ref(int gx, int gy, int w4, int h4, int ref, int lx = 0) {
         for (int ty = gy; ty < gy + h4; ty++)
             for (int tx = gx; tx < gx + w4; tx++) {
-                d.ridx[d.c4(ty, tx)] = (int8_t)ref;
-                d.rknown[d.c4(ty, tx)] = 1;
+                d.ridx[d.c4(ty, tx) * 2 + lx] = (int8_t)ref;
+                d.rknown[d.c4(ty, tx) * 2 + lx] = 1;
             }
     }
 
     // mvd_l0: UEG3 — TU prefix ctx-coded to 9, EG3 bypass suffix + sign
-    int read_mvd(int gx, int gy, int comp) {
+    int read_mvd(int gx, int gy, int comp, int lx = 0) {
         const int base = comp == 0 ? 40 : 47;
         auto amvd = [&](int cx, int cy) -> int {
             if (cx < 0 || cy < 0 || cx >= mbw * 4 || cy >= mbh * 4 ||
                 !d.dec4[d.c4(cy, cx)])
                 return 0;
-            return absmvd[d.c4(cy, cx) * 2 + comp];
+            return absmvd[(d.c4(cy, cx) * 2 + lx) * 2 + comp];
         };
         const int e = amvd(gx - 1, gy) + amvd(gx, gy - 1);
         const int inc = e < 3 ? 0 : (e > 32 ? 2 : 1);
@@ -3001,36 +3495,42 @@ struct CDec {
         return eng.bypass() ? (int)-val : (int)val;
     }
 
-    void note_absmvd(int gx, int gy, int w4, int h4, int dx, int dy) {
+    void note_absmvd(int gx, int gy, int w4, int h4, int dx, int dy,
+                     int lx = 0) {
         for (int ty = gy; ty < gy + h4; ty++)
             for (int tx = gx; tx < gx + w4; tx++) {
-                absmvd[d.c4(ty, tx) * 2] = dx < 0 ? -dx : dx;
-                absmvd[d.c4(ty, tx) * 2 + 1] = dy < 0 ? -dy : dy;
+                absmvd[(d.c4(ty, tx) * 2 + lx) * 2] = dx < 0 ? -dx : dx;
+                absmvd[(d.c4(ty, tx) * 2 + lx) * 2 + 1] = dy < 0 ? -dy : dy;
             }
+    }
+
+    // intra mb_type suffix inside a P (base 17) or B (base 32) slice
+    void intra_in_inter(Bits& r, int mx, int my, int base) {
+        for (int ty = my * 4; ty < my * 4 + 4; ty++)
+            for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
+                d.dec4[d.c4(ty, tx)] = 1;
+        if (eng.decision(base) == 0) {
+            mb_i4(mx, my);
+            return;
+        }
+        if (eng.terminate()) {
+            mb_pcm(r, mx, my);
+            return;
+        }
+        const int cbp_luma = eng.decision(base + 1) ? 15 : 0;
+        int cbp_chroma = 0;
+        if (eng.decision(base + 2))
+            cbp_chroma = eng.decision(base + 2) ? 2 : 1;
+        const int pred_mode =
+            (eng.decision(base + 3) << 1) | eng.decision(base + 3);
+        finish_i16(mx, my, cbp_luma, cbp_chroma, pred_mode);
     }
 
     void decode_mb_p(Bits& r, int mx, int my) {
         using Part = Dec::Part;
         // mb_type, P prefix (ctx 14-17, binarization 9.3.2.5)
         if (eng.decision(14)) {
-            // intra MB in a P slice: ctxIdxOffset-17 suffix, element-
-            // position contexts 17 / 18 / 19,19 / 20,20
-            for (int ty = my * 4; ty < my * 4 + 4; ty++)
-                for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
-                    d.dec4[d.c4(ty, tx)] = 1;
-            if (eng.decision(17) == 0) {
-                mb_i4(mx, my);
-                return;
-            }
-            if (eng.terminate()) {
-                mb_pcm(r, mx, my);
-                return;
-            }
-            const int cbp_luma = eng.decision(18) ? 15 : 0;
-            int cbp_chroma = 0;
-            if (eng.decision(19)) cbp_chroma = eng.decision(19) ? 2 : 1;
-            const int pred_mode = (eng.decision(20) << 1) | eng.decision(20);
-            finish_i16(mx, my, cbp_luma, cbp_chroma, pred_mode);
+            intra_in_inter(r, mx, my, 17);
             return;
         }
         int64_t mb_type;
@@ -3069,8 +3569,8 @@ struct CDec {
                 d.set_part(mx, my, sh[0], sh[1], sh[2], sh[3], refs[p], vx,
                            vy);
                 note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy);
-                parts[np++] = Part{sh[0], sh[1], sh[2], sh[3], refs[p], vx,
-                                   vy};
+                parts[np++] =
+                    Dec::part1(sh[0], sh[1], sh[2], sh[3], refs[p], vx, vy);
             }
         } else {  // P_8x8 (CABAC has no P_8x8ref0, Table 9-34)
             int subs[4], refs[4];
@@ -3103,13 +3603,18 @@ struct CDec {
                                vy);
                     note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy);
                     parts[np++] =
-                        Part{px, py, sh[2], sh[3], refs[b], vx, vy};
+                        Dec::part1(px, py, sh[2], sh[3], refs[b], vx, vy);
                 }
             }
         }
         int64_t pred_y[256], pred_u[64], pred_v[64];
         d.inter_pred_mb(mx, my, parts, np, pred_y, pred_u, pred_v);
+        finish_inter(mx, my, pred_y, pred_u, pred_v);
+    }
 
+    // shared CABAC inter residual + recon tail (P and B)
+    void finish_inter(int mx, int my, const int64_t* pred_y,
+                      const int64_t* pred_u, const int64_t* pred_v) {
         int cbp_luma, cbp_chroma;
         read_cbp(mx, my, &cbp_luma, &cbp_chroma);
         cbp[mi(my, mx)] = cbp_luma | (cbp_chroma << 4);
@@ -3147,6 +3652,182 @@ struct CDec {
         read_chroma_cabac(mx, my, cbp_chroma, czd, cza, false);
         d.recon_inter(mx, my, qp, z, czd, cza, pred_y, pred_u, pred_v);
     }
+
+    // ---- B macroblock layer (9.3.2.5 / 9.3.3.1; twin of h264cabac) -----
+
+    // mb_type for B (Table 9-37, ctx 27-32): 0..22, or 23 = intra suffix
+    int read_b_mb_type(int mx, int my) {
+        const bool ca = mx > 0 && !b_direct[mi(my, mx - 1)];
+        const bool cb = my > 0 && !b_direct[mi(my - 1, mx)];
+        // unavailable neighbors count 0 (raster decode: left/top of the
+        // first row/column are outside the picture)
+        const bool ca_ok = mx > 0 && ca, cb_ok = my > 0 && cb;
+        if (!eng.decision(27 + ca_ok + cb_ok)) return 0;
+        if (!eng.decision(30)) return 1 + eng.decision(32);
+        int bits = (eng.decision(31) << 3) | (eng.decision(32) << 2) |
+                   (eng.decision(32) << 1) | eng.decision(32);
+        if (bits < 8) return bits + 3;
+        if (bits == 13) return 23;
+        if (bits == 14) return 11;
+        if (bits == 15) return 22;
+        bits = (bits << 1) | eng.decision(32);
+        return bits - 4;
+    }
+
+    // sub_mb_type for B (Table 9-38, ctx 36-39)
+    int read_b_sub_type() {
+        if (!eng.decision(36)) return 0;  // B_Direct_8x8
+        if (!eng.decision(37)) return 1 + eng.decision(39);
+        int t = 3;
+        if (eng.decision(38)) {
+            if (eng.decision(39)) return 11 + eng.decision(39);
+            t += 4;
+        }
+        t += 2 * eng.decision(39);
+        t += eng.decision(39);
+        return t;
+    }
+
+    void decode_mb_b(Bits& r, int mx, int my) {
+        using Part = Dec::Part;
+        const int mb_type = read_b_mb_type(mx, my);
+        if (mb_type == 0) b_direct[mi(my, mx)] = 1;
+        if (mb_type == 23) {  // intra suffix, ctx base 32
+            intra_in_inter(r, mx, my, 32);
+            return;
+        }
+        d.mark_inter(mx, my);
+        Part parts[16];
+        int np = 0;
+        if (mb_type == 0) {
+            static constexpr int kAll[4] = {0, 1, 2, 3};
+            np = d.direct_parts(mx, my, kAll, 4, parts);
+        } else if (mb_type != 22) {
+            const int* bm = Dec::kBModes[mb_type - 1];
+            const int shape = bm[0];
+            const int n = kPPartN2(shape);
+            int refs[2][2] = {{-1, -1}, {-1, -1}};
+            for (int lx = 0; lx < 2; lx++)
+                for (int p = 0; p < n; p++)
+                    if (bm[1 + p] & (1 << lx)) {
+                        const int* sh = h264full::kPParts[shape][p];
+                        const int gx = mx * 4 + sh[0] / 4,
+                                  gy = my * 4 + sh[1] / 4;
+                        refs[p][lx] = read_ref_idx(gx, gy, lx);
+                        note_ref(gx, gy, sh[2] / 4, sh[3] / 4, refs[p][lx],
+                                 lx);
+                    }
+            Part ps[2];
+            for (int p = 0; p < n; p++) {
+                const int* sh = h264full::kPParts[shape][p];
+                ps[p] = Part{sh[0], sh[1], sh[2], sh[3], {-1, -1},
+                             {0, 0}, {0, 0}};
+            }
+            for (int lx = 0; lx < 2; lx++)
+                for (int p = 0; p < n; p++) {
+                    if (!(bm[1 + p] & (1 << lx))) continue;
+                    const int* sh = h264full::kPParts[shape][p];
+                    const int gx = mx * 4 + sh[0] / 4,
+                              gy = my * 4 + sh[1] / 4;
+                    const int dx = read_mvd(gx, gy, 0, lx);
+                    const int dy = read_mvd(gx, gy, 1, lx);
+                    int hint = h264full::kHintNone;
+                    if (shape == 1)
+                        hint = p == 0 ? h264full::kHint16x8Top
+                                      : h264full::kHint16x8Bot;
+                    if (shape == 2)
+                        hint = p == 0 ? h264full::kHint8x16Left
+                                      : h264full::kHint8x16Right;
+                    int px_x, px_y;
+                    d.mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[p][lx], hint,
+                          &px_x, &px_y, lx);
+                    ps[p].refs[lx] = refs[p][lx];
+                    ps[p].vx[lx] = px_x + dx;
+                    ps[p].vy[lx] = px_y + dy;
+                    d.set_part(mx, my, sh[0], sh[1], sh[2], sh[3],
+                               refs[p][lx], px_x + dx, px_y + dy, lx);
+                    note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy, lx);
+                }
+            for (int p = 0; p < n; p++) parts[np++] = ps[p];
+        } else {  // B_8x8
+            int subs[4];
+            for (int b = 0; b < 4; b++) subs[b] = read_b_sub_type();
+            int dblocks[4], ndb = 0;
+            for (int b = 0; b < 4; b++)
+                if (subs[b] == 0) dblocks[ndb++] = b;
+            Part dparts[4];
+            if (ndb) d.direct_parts(mx, my, dblocks, ndb, dparts);
+            int refs[4][2];
+            for (int b = 0; b < 4; b++) refs[b][0] = refs[b][1] = -1;
+            for (int lx = 0; lx < 2; lx++)
+                for (int b = 0; b < 4; b++) {
+                    if (subs[b] == 0) continue;
+                    if (Dec::kBSub[subs[b] - 1][1] & (1 << lx)) {
+                        const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                        const int gx = mx * 4 + bx0 / 4,
+                                  gy = my * 4 + by0 / 4;
+                        refs[b][lx] = read_ref_idx(gx, gy, lx);
+                        note_ref(gx, gy, 2, 2, refs[b][lx], lx);
+                    }
+                }
+            int smv[4][4][2][2];
+            bool shas[4][4][2];
+            for (int b = 0; b < 4; b++)
+                for (int sI = 0; sI < 4; sI++)
+                    shas[b][sI][0] = shas[b][sI][1] = false;
+            for (int lx = 0; lx < 2; lx++)
+                for (int b = 0; b < 4; b++) {
+                    if (subs[b] == 0) continue;
+                    const int shape = Dec::kBSub[subs[b] - 1][0];
+                    if (!(Dec::kBSub[subs[b] - 1][1] & (1 << lx))) continue;
+                    const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                    for (int sI = 0; sI < h264full::kPSubN[shape]; sI++) {
+                        const int* sh = h264full::kPSub[shape][sI];
+                        const int px = bx0 + sh[0], py = by0 + sh[1];
+                        const int gx = mx * 4 + px / 4,
+                                  gy = my * 4 + py / 4;
+                        const int dx = read_mvd(gx, gy, 0, lx);
+                        const int dy = read_mvd(gx, gy, 1, lx);
+                        int px_x, px_y;
+                        d.mvp(gx, gy, sh[2] / 4, sh[3] / 4, refs[b][lx],
+                              h264full::kHintNone, &px_x, &px_y, lx);
+                        smv[b][sI][lx][0] = px_x + dx;
+                        smv[b][sI][lx][1] = px_y + dy;
+                        shas[b][sI][lx] = true;
+                        d.set_part(mx, my, px, py, sh[2], sh[3],
+                                   refs[b][lx], px_x + dx, px_y + dy, lx);
+                        note_absmvd(gx, gy, sh[2] / 4, sh[3] / 4, dx, dy,
+                                    lx);
+                    }
+                }
+            int di = 0;
+            for (int b = 0; b < 4; b++) {
+                if (subs[b] == 0) {
+                    parts[np++] = dparts[di++];
+                    continue;
+                }
+                const int shape = Dec::kBSub[subs[b] - 1][0];
+                const int bx0 = (b % 2) * 8, by0 = (b / 2) * 8;
+                for (int sI = 0; sI < h264full::kPSubN[shape]; sI++) {
+                    const int* sh = h264full::kPSub[shape][sI];
+                    Part pp{bx0 + sh[0], by0 + sh[1], sh[2], sh[3],
+                            {-1, -1}, {0, 0}, {0, 0}};
+                    for (int lx = 0; lx < 2; lx++)
+                        if (shas[b][sI][lx]) {
+                            pp.refs[lx] = refs[b][lx];
+                            pp.vx[lx] = smv[b][sI][lx][0];
+                            pp.vy[lx] = smv[b][sI][lx][1];
+                        }
+                    parts[np++] = pp;
+                }
+            }
+        }
+        int64_t pred_y[256], pred_u[64], pred_v[64];
+        d.inter_pred_mb(mx, my, parts, np, pred_y, pred_u, pred_v);
+        finish_inter(mx, my, pred_y, pred_u, pred_v);
+    }
+
+    static int kPPartN2(int shape) { return h264full::kPPartN[shape]; }
 
     void mb_i4(int mx, int my) {
         inxn[mi(my, mx)] = 1;
@@ -3356,27 +4037,55 @@ int64_t h264_decode_islice_cabac(
 // stored-picture id.  wp: {log_wd_y, log_wd_c, then wy,oy,wu,ou,wv,ov per
 // list entry} when has_wp.  cabac_blob: the 8576-byte table blob
 // (ignored for CAVLC; cavlc_tables ignored for CABAC).
-int64_t h264_decode_pslice(
-    const uint8_t* data, int64_t n_bytes, int64_t start_pos, int64_t mbw,
-    int64_t mbh, int64_t slice_qp, int64_t chroma_qp_off,
-    int64_t chroma_qp_off2, int64_t disable_idc, int64_t off_a,
-    int64_t off_b, int64_t is_cabac, int64_t cabac_init_idc,
-    int64_t num_ref_active, int64_t n_ref_slots, const uint8_t* refs_y,
-    const uint8_t* refs_u, const uint8_t* refs_v, const int64_t* ref_slot,
-    const int64_t* ref_pid, int64_t has_wp, const int64_t* wp,
+int64_t h264_decode_inter(
+    const uint8_t* data, int64_t n_bytes, int64_t start_pos,
+    const int64_t* cfg,  // see kCfg* indices below
+    const uint8_t* refs_y, const uint8_t* refs_u, const uint8_t* refs_v,
+    const int64_t* ref_slot0, const int64_t* ref_pid0,
+    const int64_t* ref_poc0, const int64_t* ref_slot1,
+    const int64_t* ref_pid1, const int64_t* ref_poc1,
+    const int16_t* col_mv, const int8_t* col_ridx, const int64_t* col_rpid,
+    const int64_t* col_rpoc, int64_t has_wp, const int64_t* wp,
     const uint8_t* cavlc_tables, const uint8_t* cabac_blob, uint8_t* ry,
-    uint8_t* ru, uint8_t* rv, int64_t* out_state) {
+    uint8_t* ru, uint8_t* rv, int16_t* mv_out, int8_t* ridx_out,
+    int64_t* rpid_out, int64_t* rpoc_out, int64_t* out_state) {
     using h264::Bits;
     using h264::ParseErr;
+
+    // cfg layout (shared with native/__init__.py h264_decode_inter)
+    const int64_t mbw = cfg[0], mbh = cfg[1], slice_qp = cfg[2];
+    const int64_t chroma_qp_off = cfg[3], chroma_qp_off2 = cfg[4];
+    const int64_t disable_idc = cfg[5], off_a = cfg[6], off_b = cfg[7];
+    const int64_t is_cabac = cfg[8], cabac_init_idc = cfg[9];
+    const int64_t slice_type = cfg[10];  // 0 = P, 1 = B
+    const int64_t direct_spatial = cfg[11], implicit_wp = cfg[12];
+    const int64_t cur_poc = cfg[13];
+    const int n_active[2] = {static_cast<int>(cfg[14]),
+                             static_cast<int>(cfg[15])};
+    const int64_t n_ref_slots = cfg[16];
+    const int64_t col_valid = cfg[17], col_intra = cfg[18];
+    const int64_t col_poc = cfg[19];
+    const bool is_b = slice_type == 1;
 
     Bits r{data, n_bytes * 8, start_pos};
     h264full::Dec dec(static_cast<int>(mbw), static_cast<int>(mbh), ry, ru,
                       rv, static_cast<int>(chroma_qp_off),
                       static_cast<int>(chroma_qp_off2), cavlc_tables);
     dec.qp_prev = static_cast<int>(slice_qp);
-    dec.init_inter(static_cast<int>(num_ref_active),
-                   static_cast<int>(n_ref_slots), refs_y, refs_u, refs_v,
-                   ref_slot, ref_pid, has_wp != 0, wp);
+    dec.init_inter(n_active, static_cast<int>(n_ref_slots), refs_y, refs_u,
+                   refs_v, ref_slot0, ref_pid0, ref_poc0, ref_slot1,
+                   ref_pid1, ref_poc1, has_wp != 0, wp);
+    dec.is_b = is_b;
+    dec.direct_spatial = direct_spatial != 0;
+    dec.implicit_wp = implicit_wp != 0;
+    dec.cur_poc = cur_poc;
+    dec.col_valid = col_valid != 0;
+    dec.col_intra = col_intra != 0;
+    dec.col_poc = col_poc;
+    dec.col_mv = col_mv;
+    dec.col_ridx = col_ridx;
+    dec.col_rpid = col_rpid;
+    dec.col_rpoc = col_rpoc;
 
     const int64_t n_total = mbw * mbh;
     int64_t mb_addr = 0;
@@ -3393,10 +4102,17 @@ int64_t h264_decode_pslice(
                 if (mb_addr >= n_total) throw ParseErr{-22, mb_addr};
                 const int mx = static_cast<int>(mb_addr % mbw);
                 const int my = static_cast<int>(mb_addr / mbw);
-                if (c.read_skip_flag(mx, my)) {
-                    dec.p_skip_mb(mx, my);
+                if (c.read_skip_flag(mx, my, is_b ? 24 : 11)) {
+                    if (is_b) {
+                        dec.b_skip_mb(mx, my);
+                        c.b_direct[c.mi(my, mx)] = 1;
+                    } else {
+                        dec.p_skip_mb(mx, my);
+                    }
                     c.skip[c.mi(my, mx)] = 1;
                     c.prev_qp_nz = false;
+                } else if (is_b) {
+                    c.decode_mb_b(r, mx, my);
                 } else {
                     c.decode_mb_p(r, mx, my);
                 }
@@ -3416,25 +4132,30 @@ int64_t h264_decode_pslice(
                 const int64_t skip_run = r.ue();
                 if (mb_addr + skip_run > n_total)
                     throw ParseErr{-36, skip_run};
-                for (int64_t s = 0; s < skip_run; s++) {
-                    dec.p_skip_mb(static_cast<int>(mb_addr % mbw),
-                                  static_cast<int>(mb_addr / mbw));
+                for (int64_t sk = 0; sk < skip_run; sk++) {
+                    const int mx = static_cast<int>(mb_addr % mbw);
+                    const int my = static_cast<int>(mb_addr / mbw);
+                    if (is_b) dec.b_skip_mb(mx, my);
+                    else dec.p_skip_mb(mx, my);
                     mb_addr++;
                 }
                 if (mb_addr < n_total && r.pos < stop) {
                     const int mx = static_cast<int>(mb_addr % mbw);
                     const int my = static_cast<int>(mb_addr / mbw);
                     const int64_t mb_type = r.ue();
-                    if (mb_type >= 5) {  // intra MB in a P slice
+                    const int64_t intra_at = is_b ? 23 : 5;
+                    if (mb_type >= intra_at) {  // intra MB in P/B
                         for (int ty = my * 4; ty < my * 4 + 4; ty++)
                             for (int tx = mx * 4; tx < mx * 4 + 4; tx++)
                                 dec.dec4[dec.c4(ty, tx)] = 1;
-                        const int64_t it = mb_type - 5;
+                        const int64_t it = mb_type - intra_at;
                         if (it == 25) dec.decode_mb_ipcm(r, mx, my, data,
                                                          n_bytes);
                         else if (it == 0) dec.decode_mb_i4(r, mx, my);
                         else if (it <= 24) dec.decode_mb_i16(r, mx, my, it);
                         else throw ParseErr{-4, mb_type};
+                    } else if (is_b) {
+                        dec.decode_mb_b(r, mx, my, mb_type);
                     } else {
                         dec.decode_mb_p(r, mx, my, mb_type);
                     }
@@ -3446,6 +4167,7 @@ int64_t h264_decode_pslice(
         if (disable_idc != 1)
             dec.deblock_general(static_cast<int>(off_a),
                                 static_cast<int>(off_b));
+        dec.export_motion(mv_out, ridx_out, rpid_out, rpoc_out);
     } catch (const ParseErr& e) {
         out_state[0] = r.pos;
         out_state[1] = mb_addr;

@@ -246,6 +246,47 @@ def test_cabac_b_hostile_bytes_typed():
 
 
 # ---------------------------------------------------------------------------
+# tier equivalence: native C++ B decoder vs the scalar Python tiers
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("profile_opts", [
+    "cabac=0:bframes=3:b-adapt=0",            # CAVLC B, spatial direct
+    "cabac=0:bframes=2:direct=temporal",      # CAVLC B, temporal direct
+    "bframes=3:b-adapt=0",                    # CABAC B
+    "bframes=3:ref=4:partitions=all",         # CABAC B + multiref + parts
+])
+def test_native_b_tier_matches_scalar(profile_opts, monkeypatch):
+    """The same B stream through the default (native) routing and the
+    forced-scalar Python routing must produce identical display-order
+    planes — pins both tiers against each other on top of the
+    libavcodec differentials."""
+    frames = _content("cut", 128, 96, 12, seed=41)
+    ed, pk = _x264(
+        128, 96,
+        "preset=veryfast,profile=main,g=250,threads=1,qp=22,"
+        f"x264-params=scenecut=0:{profile_opts}", frames)
+
+    def run():
+        dec = PureH264Decoder()
+        dec.decode_annexb(ed)
+        out = []
+        for _, _, _, data in pk:
+            out.extend(dec.decode_annexb(data))
+        out.extend(dec.flush())
+        return out
+
+    native_out = run()
+    monkeypatch.setenv("MIXLAB_PURE_H264_SCALAR", "1")
+    scalar_out = run()
+    assert len(native_out) == len(scalar_out) == len(pk)
+    for i, (a, b) in enumerate(zip(native_out, scalar_out)):
+        for name, x, y in (("Y", a[1], b[1]), ("U", a[2], b[2]),
+                           ("V", a[3], b[3])):
+            assert np.array_equal(x, y), f"{name} tier mismatch, frame {i}"
+
+
+# ---------------------------------------------------------------------------
 # hostile / truncated bytes stay typed errors
 # ---------------------------------------------------------------------------
 
