@@ -424,9 +424,11 @@ class MediaPlayer(threading.Thread):
             for i, s in enumerate(vt.samples):
                 nxt = (vt.samples[i + 1].dts - s.dts
                        if i + 1 < len(vt.samples) else 0)
-                # elst media_time = leading-media skip (mp4read)
-                cts = max(s.cts - vt.edit_media_time, 0)
-                events.append((Fraction(cts, vt.timescale), "video", s,
+                # feed the decoder in DECODE (dts) order — B-frame files
+                # store samples with cts reordering; the decoder emits
+                # display-order frames carrying their composition pts
+                dts = max(s.dts - vt.edit_media_time, 0)
+                events.append((Fraction(dts, vt.timescale), "video", s,
                                Fraction(max(nxt, 1), vt.timescale)))
         if audio_ok:
             for s in at.samples:
@@ -497,17 +499,20 @@ class MediaPlayer(threading.Thread):
                         end = max(end, t0 + Fraction(len(pcm32), a_rate))
                         pusher.push(pcm32.astype(np.float32) / a_scale)
                     else:
-                        frames = vdec.decode(payload)
+                        # elst media_time = leading-media skip (mp4read)
+                        cts = max(s.cts - vt.edit_media_time, 0)
+                        frames = vdec.decode(payload, cts)
                         end = max(end, t0 + dur)
-                        for _, y, u, v in frames:
+                        for fpts, y, u, v in frames:
                             h, w = y.shape
                             pic = Picture(PictureSettings(w, h),
                                           _upload_planes(y, u, v))
                             frame = VideoFrame(
                                 picture=pic,
                                 duration_hint=MediaDuration(dur))
+                            ft = epoch + Fraction(int(fpts), vt.timescale)
                             while not self._stop_evt.is_set():
-                                if self.feed.push_video(MediaTime(t), frame,
+                                if self.feed.push_video(MediaTime(ft), frame,
                                                         block=True,
                                                         timeout=0.25):
                                     break
@@ -517,6 +522,23 @@ class MediaPlayer(threading.Thread):
                     # moof/stco) surface here from sample_data
                     log.warning("media_source: pure mp4 decode failed: %s", e)
                     return
+            if video_ok:  # drain the display-order reorder buffer (B)
+                try:
+                    tail = vdec.flush()
+                except H264DecodeError:
+                    tail = []
+                for fpts, y, u, v in tail:
+                    h, w = y.shape
+                    pic = Picture(PictureSettings(w, h),
+                                  _upload_planes(y, u, v))
+                    frame = VideoFrame(
+                        picture=pic,
+                        duration_hint=MediaDuration(Fraction(1, 30)))
+                    ft = epoch + Fraction(int(fpts), vt.timescale)
+                    while not self._stop_evt.is_set():
+                        if self.feed.push_video(MediaTime(ft), frame,
+                                                block=True, timeout=0.25):
+                            break
             if end == 0:
                 return  # nothing played: don't spin
             epoch += end  # loop with epoch accumulation

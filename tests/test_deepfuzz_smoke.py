@@ -32,7 +32,8 @@ MASTER_SEED = 0x5EED_F00D  # fixed: suite runs are reproducible
 # sync with the tool
 TARGET_NAMES = [
     "aac_raw", "aac_adts", "h264_pure_avcc", "h264_x264_annexb",
-    "h264_annexb_cold", "h264_p_cavlc", "h264_p_cabac", "h264_dcr",
+    "h264_annexb_cold", "h264_p_cavlc", "h264_p_cabac",
+    "h264_b_cavlc", "h264_b_cabac", "h264_dcr",
     "flac_frame", "flac_streaminfo",
     "vorbis_stream", "mp3_splitter", "jpeg", "y4m", "wav_header",
     "mp4_reader", "amf0", "flv_packets", "wire_envelope", "http_request",

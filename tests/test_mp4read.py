@@ -443,3 +443,103 @@ def test_elst_media_time_parsed():
     new_moov = box(b"moov", moov[8:trak_s - 8] + new_trak + moov[trak_e:])
     r = Mp4Reader(new_moov)
     assert r.tracks[1].edit_media_time == 500
+
+
+def test_media_player_plays_bframe_mp4_codec_free(tmp_path, monkeypatch):
+    """A B-frame MP4 (x264 main profile, bframes + CABAC — the default
+    GOP structure of real-world files) plays through MediaPlayer's pure
+    path in DISPLAY order: samples are fed in decode (dts) order, the
+    pure decoder reorders by POC, and every emitted frame matches
+    libavcodec's display-order output.  The encode side uses the shim
+    (third-party bytes); the playback side runs with avshim forced
+    unavailable."""
+    import time
+
+    from mixlab_tpu.av.avc import (
+        DecoderConfigurationRecord, UnitType, annexb_to_avcc)
+    from mixlab_tpu.av.sps import parse_sps
+    from mixlab_tpu.engine.config import EngineConfig
+    from mixlab_tpu.engine.feeds import MediaSourceFeed
+    from mixlab_tpu.engine.media_player import MediaPlayer
+    from mixlab_tpu.engine.project import open_or_create
+    from mixlab_tpu.native import avshim
+    from mixlab_tpu.utils.mtime import MediaDuration
+
+    if not avshim.available():
+        import pytest
+
+        pytest.skip("avshim needed to ENCODE the third-party B stream")
+
+    W, H, FPS, N = 112, 64, 30, 12
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (H * 2, W * 2), dtype=np.uint8)
+    frames = []
+    for i in range(N):
+        y = base[3 * i:3 * i + H, 2 * i:2 * i + W].copy()
+        frames.append((y, np.full((H // 2, W // 2), 100, np.uint8),
+                       np.full((H // 2, W // 2), 140, np.uint8)))
+    enc = avshim.VideoEncoder(
+        W, H, fps=FPS,
+        opts="preset=veryfast,profile=main,g=250,threads=1,qp=22,"
+             "x264-params=scenecut=0:bframes=3:b-adapt=0")
+    for i, (y, u, v) in enumerate(frames):
+        enc.send(y, u, v, i)
+    enc.flush()
+    pk = enc.receive()
+    ed = enc.extradata()
+    enc.close()
+
+    # libavcodec's display-order ground truth
+    ref = avshim.VideoDecoder("h264")
+    truth = []
+    for i, (pts, _dts, _key, data) in enumerate(pk):
+        truth.extend(ref.decode((ed if i == 0 else b"") + data, pts))
+    truth.extend(ref.flush())
+    ref.close()
+    assert len(truth) == N
+
+    _, psets = annexb_to_avcc(ed)
+    sps = next(u for u in psets
+               if u.kind == UnitType.SEQUENCE_PARAMETER_SET)
+    pps = next(u for u in psets
+               if u.kind == UnitType.PICTURE_PARAMETER_SET)
+    info = parse_sps(sps.data)
+    dcr = DecoderConfigurationRecord(
+        1, info.profile_idc, 0, info.level_idc, 4, [sps], [pps]).to_bytes()
+    params = mp4.Mp4Params(timescale=FPS, width=W, height=H, dcr=dcr)
+    mux, blob = mp4.Mp4Mux.create(params)
+    blob = bytearray(blob)
+    for pts, dts, key, data in pk:  # decode (dts) order, cts offsets
+        blob += mux.write_track(
+            MediaDuration.new(1, FPS),
+            mp4.AvcFrame(key, MediaDuration.new(int(pts - dts), FPS),
+                         annexb_to_avcc(data)[0]))
+
+    monkeypatch.setattr(avshim, "available", lambda: False)
+    cfg = EngineConfig(sample_rate=48000)
+    proj = open_or_create(tmp_path / "bclip.mixlab", cfg)
+    media_id = proj.upload_media("bclip.mp4", "video/mp4", [bytes(blob)])
+    stream = proj.base.open_media(media_id)
+    feed = MediaSourceFeed(cfg)
+    player = MediaPlayer(stream, feed, cfg)
+    player.start()
+    try:
+        got = []
+        deadline = time.time() + 20
+        while len(got) < N and time.time() < deadline:
+            try:
+                got.append(feed.video_q.get(timeout=1.0))
+            except Exception:
+                pass
+        assert len(got) >= N, f"only {len(got)} frames played"
+        for i in range(N):
+            yp = np.asarray(got[i][1].picture.planes["y"])
+            assert np.array_equal(yp, truth[i][1]), f"frame {i} differs"
+        # display timestamps strictly increase (reorder worked)
+        ts = [float(t.frac) for t, _ in got[:N]]
+        assert ts == sorted(ts)
+    finally:
+        player.stop()
+        player.join(timeout=5)
+        proj.engine.stop()
+        proj.close()

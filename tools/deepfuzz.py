@@ -107,6 +107,34 @@ def _seed_h264_inter(profile):
     return ed, pk[0], pk[1:]
 
 
+def _seed_h264_bframes(xparams):
+    """Shim-encoded x264 B-frame stream (round 5): returns (extradata,
+    warm_packets, b_packets) — the target warms the DPB with the IDR and
+    first P (decode order), then mutates packets from the B region so the
+    direct-mode / two-list / reorder surface sees hostile bytes."""
+    from mixlab_tpu.native import avshim
+
+    if not avshim.available():
+        return None
+    enc = avshim.VideoEncoder(
+        64, 48, fps=10,
+        opts="preset=veryfast,profile=main,g=250,qp=24,threads=1,"
+             f"x264-params=scenecut=0:{xparams}",
+    )
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (96, 128), dtype=np.uint8)
+    for i in range(8):
+        y = base[2 * i:2 * i + 48, i:i + 64].copy()
+        u = np.full((24, 32), 90 + i, np.uint8)
+        v = np.full((24, 32), 150, np.uint8)
+        enc.send(y, u, v, i)
+    enc.flush()
+    pk = [data for _pts, _dts, _key, data in enc.receive()]
+    ed = enc.extradata()
+    enc.close()
+    return ed, pk[:2], pk[2:]
+
+
 def _seed_aac():
     """Our pure AAC encoder's ADTS frames."""
     from mixlab_tpu.av.aac import adts_frame
@@ -228,6 +256,26 @@ def build_targets():
             d.decode_annexb(blob)
 
         targets.append((label, p_samples, h264_p, h264_allowed))
+
+    # B-slice surface: warm DPB (IDR + P with exported motion), mutate
+    # the B packets — direct modes, two-list MV prediction, implicit
+    # weights, POC reordering (CAVLC and CABAC variants)
+    for label, xparams in (("h264_b_cavlc", "cabac=0:bframes=3:b-adapt=0"),
+                           ("h264_b_cabac", "bframes=3:b-adapt=0")):
+        binter = _seed_h264_bframes(xparams)
+        if binter is None:
+            continue
+        ed_b, warm_b, b_samples = binter
+
+        def h264_b(blob, _rng, _ed=ed_b, _warm=tuple(warm_b)):
+            d = PureH264Decoder()
+            d.decode_annexb(_ed)
+            for wpk in _warm:
+                d.decode_annexb(wpk)
+            d.decode_annexb(blob)
+            d.flush()
+
+        targets.append((label, b_samples, h264_b, h264_allowed))
 
     def h264_dcr(blob, _rng):
         PureH264Decoder(blob)
