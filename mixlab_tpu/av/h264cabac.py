@@ -74,6 +74,16 @@ assert len(_TABLES_PACKED) == 8576
 
 # significant/last ctx offsets per ctxBlockCat (frame coding, 4x4 cats)
 _SIG_CAT_OFF = (0, 15, 29, 44, 47)
+# ctxIdxInc maps for the 8x8 luma block (ctxBlockCat 5, frame coding):
+# significant_coeff_flag scan-position classes and
+# last_significant_coeff_flag classes (spec Table 9-43)
+_SIG8_INC = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+_LAST8_INC = ((0,) + (1,) * 15 + (2,) * 16 + (3,) * 8 + (4,) * 8
+              + (5,) * 4 + (6,) * 4 + (7,) * 4 + (8,) * 3)
 # coeff_abs_level_minus1 ctx offsets per ctxBlockCat
 _LEV_CAT_OFF = (0, 10, 20, 30, 39)
 
@@ -221,7 +231,7 @@ class CabacSliceDecoder(_SliceDecoder):
             raise H264DecodeError(
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks")
         if disable_idc != 1:
-            if is_p or is_b:
+            if is_p or is_b or self.t8.any():
                 self._deblock_general(off_a, off_b)
             else:
                 self._deblock(off_a, off_b)
@@ -234,7 +244,7 @@ class CabacSliceDecoder(_SliceDecoder):
         cond_a = mx > 0 and not self.mb_inxn[my, mx - 1]
         cond_b = my > 0 and not self.mb_inxn[my - 1, mx]
         if eng.decision(3 + cond_a + cond_b) == 0:
-            self._decode_i4_mb_cabac(mx, my)
+            self._decode_inxn_cabac(r, mx, my)
             return
         if eng.terminate():  # binIdx 1: I_PCM
             self._decode_pcm_cabac(r, mx, my)
@@ -330,6 +340,82 @@ class CabacSliceDecoder(_SliceDecoder):
         CZD, CZA = self._read_chroma_cabac(mx, my, cbp_chroma)
         self._recon_i4_mb(mx, my, modes, qp, Z, chroma_mode, CZD, CZA)
 
+    def _read_t8_flag(self, mx: int, my: int) -> bool:
+        """transform_size_8x8_flag (ctx 399-401): condTermFlagN is the
+        neighbor MB's own flag."""
+        cond_a = mx > 0 and bool(self.t8[my, mx - 1])
+        cond_b = my > 0 and bool(self.t8[my - 1, mx])
+        return bool(self.eng.decision(399 + cond_a + cond_b))
+
+    def _decode_inxn_cabac(self, r: BitReader, mx: int, my: int):
+        """I_NxN: 4x4 or 8x8 transform (High profile)."""
+        if self.pps.transform_8x8 and self._read_t8_flag(mx, my):
+            self._decode_i8_mb_cabac(mx, my)
+        else:
+            self._decode_i4_mb_cabac(mx, my)
+
+    def _decode_i8_mb_cabac(self, mx: int, my: int):
+        eng = self.eng
+        self.mb_inxn[my, mx] = True
+        self.t8[my, mx] = True
+        gy0, gx0 = my * 4, mx * 4
+        modes = []
+        for b8 in range(4):
+            gx, gy = gx0 + (b8 & 1) * 2, gy0 + (b8 >> 1) * 2
+            ma = int(self.i4_modes[gy, gx - 1]) if gx > 0 else -1
+            mb_ = int(self.i4_modes[gy - 1, gx]) if gy > 0 else -1
+            pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+            if eng.decision(68):  # prev_intra8x8_pred_mode_flag
+                mode = pm
+            else:
+                rem = (eng.decision(69) | (eng.decision(69) << 1)
+                       | (eng.decision(69) << 2))
+                mode = rem if rem < pm else rem + 1
+            self.i4_modes[gy: gy + 2, gx: gx + 2] = mode
+            modes.append(mode)
+        chroma_mode = self._read_chroma_mode(mx, my)
+        cbp_luma, cbp_chroma = self._read_cbp(mx, my)
+        self.mb_cbp[my, mx] = cbp_luma | (cbp_chroma << 4)
+        if cbp_luma or cbp_chroma:
+            qp = self._read_qp_delta(mx, my)
+        else:
+            qp = self.qp_prev
+            self.qp_map[my, mx] = qp
+            self.prev_qp_delta_nz = False
+        Z8 = self._read_luma8_cabac(mx, my, cbp_luma)
+        CZD, CZA = self._read_chroma_cabac(mx, my, cbp_chroma)
+        self._recon_i8_mb(mx, my, modes, qp, Z8, chroma_mode, CZD, CZA)
+
+    def _read_luma8_cabac(self, mx: int, my: int,
+                          cbp_luma: int) -> np.ndarray:
+        """CABAC 8x8 luma residual (ctxBlockCat 5); the per-4x4 cbf
+        state of an 8x8 MB is the CBP bit of the covering 8x8 block
+        (9.3.3.1.1.9 transBlockN), and nnz feeds deblocking bS."""
+        from mixlab_tpu.av.h264dec import ZIGZAG8
+
+        Z8 = np.zeros((4, 8, 8), np.int64)
+        gy0, gx0 = my * 4, mx * 4
+        self.nnz_y[gy0: gy0 + 4, gx0: gx0 + 4] = 0
+        for b8 in range(4):
+            gx, gy = gx0 + (b8 & 1) * 2, gy0 + (b8 >> 1) * 2
+            bit = (cbp_luma >> b8) & 1
+            self.cbf_l[gy: gy + 2, gx: gx + 2] = bit
+            if not bit:
+                continue
+            coeffs = self._residual(5, 0, None, 64)
+            if coeffs is None:
+                continue
+            flat = np.zeros(64, np.int64)
+            nz = 0
+            for k, z in enumerate(ZIGZAG8):
+                flat[z] = coeffs[k]
+                if coeffs[k]:
+                    nz += 1
+            Z8[b8] = flat.reshape(8, 8)
+            if nz:
+                self.coded8[my * 2 + (b8 >> 1), mx * 2 + (b8 & 1)] = True
+        return Z8
+
     # ---- P macroblock layer (spec 7.3.5, 9.3.3.1) ------------------------
 
     def _read_skip_flag(self, mx: int, my: int, base: int = 11) -> bool:
@@ -419,7 +505,7 @@ class CabacSliceDecoder(_SliceDecoder):
         eng = self.eng
         self.decoded4[my * 4: my * 4 + 4, mx * 4: mx * 4 + 4] = True
         if eng.decision(base) == 0:
-            self._decode_i4_mb_cabac(mx, my)
+            self._decode_inxn_cabac(r, mx, my)
             return
         if eng.terminate():
             self._decode_pcm_cabac(r, mx, my)
@@ -442,6 +528,7 @@ class CabacSliceDecoder(_SliceDecoder):
         else:
             mb_type = 2 - eng.decision(17)  # P_L0_L0_8x16 / _16x8
         self._mark_inter(mx, my)
+        allow8 = True  # 8x8 transform needs all partitions >= 8x8
         parts = []
         if mb_type in (0, 1, 2):
             from mixlab_tpu.av.h264dec import _P_PARTS
@@ -480,6 +567,7 @@ class CabacSliceDecoder(_SliceDecoder):
                     subs.append(2)  # P_L0_4x8
                 else:
                     subs.append(3)  # P_L0_4x4
+            allow8 = all(st == 0 for st in subs)
             refs = []
             for b8 in range(4):
                 bx0, by0 = (b8 % 2) * 8, (b8 // 2) * 8
@@ -503,18 +591,33 @@ class CabacSliceDecoder(_SliceDecoder):
                     parts.append((px, py_, w, h, (ref, -1),
                                   ((px_x + dx, px_y + dy), (0, 0))))
         pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
-        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v)
+        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v,
+                                          allow8)
 
-    def _finish_inter_residual_cabac(self, mx, my, pred_y, pred_u, pred_v):
-        """Shared P/B CABAC inter-MB residual + reconstruction tail."""
+    def _finish_inter_residual_cabac(self, mx, my, pred_y, pred_u, pred_v,
+                                     allow8=False):
+        """Shared P/B CABAC inter-MB residual + reconstruction tail;
+        transform_size_8x8_flag sits between coded_block_pattern and
+        mb_qp_delta (7.3.5)."""
         cbp_luma, cbp_chroma = self._read_cbp(mx, my)
         self.mb_cbp[my, mx] = cbp_luma | (cbp_chroma << 4)
+        t8 = False
+        if cbp_luma and allow8 and self.pps.transform_8x8:
+            t8 = self._read_t8_flag(mx, my)
+            self.t8[my, mx] = t8
         if cbp_luma or cbp_chroma:
             qp = self._read_qp_delta(mx, my)
         else:
             qp = self.qp_prev
             self.qp_map[my, mx] = qp
             self.prev_qp_delta_nz = False
+        if t8:
+            Z8 = self._read_luma8_cabac(mx, my, cbp_luma)
+            CZD, CZA = self._read_chroma_cabac(mx, my, cbp_chroma,
+                                               cur_intra=False)
+            self._recon_inter_mb8(mx, my, qp, Z8, CZD, CZA,
+                                  pred_y, pred_u, pred_v)
+            return
 
         gy0, gx0 = my * 4, mx * 4
         Z = np.zeros((16, 4, 4), np.int64)
@@ -599,9 +702,11 @@ class CabacSliceDecoder(_SliceDecoder):
         def read_mvd(gx, gy, comp, lx):
             return self._read_mvd_cabac(gx, gy, comp, lx)
 
-        parts = self._parse_b_motion(r, mx, my, mb_type, read_ref, read_mvd)
+        parts, allow8 = self._parse_b_motion(r, mx, my, mb_type,
+                                             read_ref, read_mvd)
         pred_y, pred_u, pred_v = self._inter_pred_mb(mx, my, parts)
-        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v)
+        self._finish_inter_residual_cabac(mx, my, pred_y, pred_u, pred_v,
+                                          allow8)
 
     def _set_absmvd(self, gx: int, gy: int, w4: int, h4: int,
                     dx: int, dy: int, lx: int = 0):
@@ -777,24 +882,31 @@ class CabacSliceDecoder(_SliceDecoder):
     def _residual(self, cat: int, cbf_inc: int, _blk, n_coeff: int):
         """One transform block: coded_block_flag, significance map, then
         levels+signs in reverse scan order.  Returns coefficient values in
-        scan order, or None when coded_block_flag is 0."""
+        scan order, or None when coded_block_flag is 0.  ctxBlockCat 5
+        (8x8 luma) has NO coded_block_flag (presence comes from the CBP
+        bit) and uses the Table 9-43 scan-position context classes."""
         eng = self.eng
-        if not eng.decision(85 + 4 * cat + cbf_inc):
-            return None
-        sig_base = 105 + _SIG_CAT_OFF[cat]
-        last_base = 166 + _SIG_CAT_OFF[cat]
+        if cat == 5:
+            sig_base, last_base = 402, 417
+        else:
+            if not eng.decision(85 + 4 * cat + cbf_inc):
+                return None
+            sig_base = 105 + _SIG_CAT_OFF[cat]
+            last_base = 166 + _SIG_CAT_OFF[cat]
         sig = [False] * n_coeff
         found_last = False
         for i in range(n_coeff - 1):
-            if eng.decision(sig_base + i):
+            si = _SIG8_INC[i] if cat == 5 else i
+            if eng.decision(sig_base + si):
                 sig[i] = True
-                if eng.decision(last_base + i):
+                li = _LAST8_INC[i] if cat == 5 else i
+                if eng.decision(last_base + li):
                     found_last = True
                     break
         if not found_last:
             sig[n_coeff - 1] = True
         coeffs = [0] * n_coeff
-        lev_base = 227 + _LEV_CAT_OFF[cat]
+        lev_base = 426 if cat == 5 else 227 + _LEV_CAT_OFF[cat]
         num_eq1 = num_gt1 = 0
         for pos in range(n_coeff - 1, -1, -1):
             if not sig[pos]:

@@ -277,9 +277,9 @@ class _Pps:
         self.deblocking_control = r.bit()
         self.constrained_intra_pred = bool(r.bit())
         self.redundant_pic_cnt_present = bool(r.bit())
+        self.transform_8x8 = False
         if r.more_rbsp_data():  # PPS extension (7.3.2.2)
-            if r.bit():
-                raise H264DecodeError("transform_8x8 streams unsupported")
+            self.transform_8x8 = bool(r.bit())
             if r.bit():
                 raise H264DecodeError("scaling matrices unsupported")
             self.chroma_qp_offset2 = r.se()
@@ -744,9 +744,218 @@ def _pred4x4(recon, y0, x0, mode, has_top, has_left, has_tr) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# deblocking filter (spec 8.7) — intra-only pictures: bS = 4 on macroblock
-# edges, 3 on internal transform edges
+# 8x8 transform tools (High profile, spec 8.3.2 / 8.5.13): Intra_8x8
+# prediction with reference-sample filtering, flat-matrix dequant, and
+# the 8-point butterfly inverse transform
 # ---------------------------------------------------------------------------
+
+# 8x8 frame zigzag (same scan as JPEG's; spec Table 8-8 column 0)
+ZIGZAG8 = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+# dequant class per (i & 3, j & 3) and per-class factors by qp % 6
+# (flat weightScale 16 folded in; spec 8.5.13.1 normAdjust8x8)
+_D8_CLASS = (0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1)
+_D8_FACT = ((20, 18, 32, 19, 25, 24), (22, 19, 35, 21, 28, 26),
+            (26, 23, 42, 24, 33, 31), (28, 25, 45, 26, 35, 33),
+            (32, 28, 51, 30, 40, 38), (36, 32, 58, 34, 46, 43))
+_D8_MATS = []
+for _m in range(6):
+    _mat = np.empty((8, 8), np.int64)
+    for _i in range(8):
+        for _j in range(8):
+            _mat[_i, _j] = _D8_FACT[_m][_D8_CLASS[(_i & 3) * 4 + (_j & 3)]]
+    _D8_MATS.append(_mat)
+_D8_MATS = tuple(_D8_MATS)
+
+
+def dequant8x8(Z: np.ndarray, qp: int) -> np.ndarray:
+    """Flat-matrix 8x8 dequantization (spec 8.5.13.1 with the flat
+    weightScale 16 folded: LevelScale8x8 = 16 * normAdjust8x8, so the
+    spec's qP/6 - 6 shift becomes qP/6 - 2); Z is [..., 8, 8] raster
+    coefficients."""
+    qp6, rem = divmod(qp, 6)
+    ls = _D8_MATS[rem]
+    if qp6 >= 2:
+        return (Z * ls) << (qp6 - 2)
+    return (Z * ls + (1 << (1 - qp6))) >> (2 - qp6)
+
+
+def _idct8_pass(s: np.ndarray) -> np.ndarray:
+    """One 8-point butterfly (spec 8.5.13.2) along axis 0."""
+    a0 = s[0] + s[4]
+    a4 = s[0] - s[4]
+    a2 = (s[2] >> 1) - s[6]
+    a6 = s[2] + (s[6] >> 1)
+    b0 = a0 + a6
+    b2 = a4 + a2
+    b4 = a4 - a2
+    b6 = a0 - a6
+    a1 = -s[3] + s[5] - s[7] - (s[7] >> 1)
+    a3 = s[1] + s[7] - s[3] - (s[3] >> 1)
+    a5 = -s[1] + s[7] + s[5] + (s[5] >> 1)
+    a7 = s[3] + s[5] + s[1] + (s[1] >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    return np.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                     b6 - b1, b4 - b3, b2 - b5, b0 - b7])
+
+
+def idct8x8(blk: np.ndarray) -> np.ndarray:
+    """8x8 inverse transform (spec 8.5.13.2): vertical column pass, then
+    horizontal; the caller applies the final (x + 32) >> 6."""
+    h = _idct8_pass(blk.T).T
+    return _idct8_pass(h)
+
+
+def _pred8x8(recon, y0, x0, mode, has_top, has_left, has_tr) -> np.ndarray:
+    """Intra_8x8 prediction (spec 8.3.2.2): the reference samples are
+    low-pass filtered first (8.3.2.2.1), then the nine modes mirror the
+    4x4 equations at 8x8 scale."""
+    has_corner = has_top and has_left
+    t = l = None
+    c = 0
+    if has_top:
+        top = recon[y0 - 1, x0: x0 + 8].astype(np.int64)
+        if has_tr:
+            tr = recon[y0 - 1, x0 + 8: x0 + 16].astype(np.int64)
+        else:
+            tr = np.full(8, top[7], np.int64)
+        raw = np.concatenate([top, tr])  # p[0..15, -1]
+        t = np.empty(16, np.int64)
+        c_raw = int(recon[y0 - 1, x0 - 1]) if has_corner else 0
+        t[0] = ((c_raw + 2 * raw[0] + raw[1] + 2) >> 2 if has_corner
+                else (3 * raw[0] + raw[1] + 2) >> 2)
+        t[1:15] = (raw[:14] + 2 * raw[1:15] + raw[2:] + 2) >> 2
+        t[15] = (raw[14] + 3 * raw[15] + 2) >> 2
+    if has_left:
+        lraw = recon[y0: y0 + 8, x0 - 1].astype(np.int64)
+        l = np.empty(8, np.int64)
+        c_raw = int(recon[y0 - 1, x0 - 1]) if has_corner else 0
+        l[0] = ((c_raw + 2 * lraw[0] + lraw[1] + 2) >> 2 if has_corner
+                else (3 * lraw[0] + lraw[1] + 2) >> 2)
+        l[1:7] = (lraw[:6] + 2 * lraw[1:7] + lraw[2:] + 2) >> 2
+        l[7] = (lraw[6] + 3 * lraw[7] + 2) >> 2
+    if has_corner:
+        c_raw = int(recon[y0 - 1, x0 - 1])
+        c = (int(recon[y0 - 1, x0]) + 2 * c_raw
+             + int(recon[y0, x0 - 1]) + 2) >> 2
+
+    def T(i):
+        return c if i < 0 else int(t[i])
+
+    def L(i):
+        return c if i < 0 else int(l[i])
+
+    pred = np.empty((8, 8), np.int64)
+    if mode == 2:  # DC
+        if has_top and has_left:
+            pred[:] = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+        elif has_top:
+            pred[:] = (int(t[:8].sum()) + 4) >> 3
+        elif has_left:
+            pred[:] = (int(l.sum()) + 4) >> 3
+        else:
+            pred[:] = 128
+        return pred
+    if mode == 0:  # Vertical
+        if not has_top:
+            raise H264DecodeError("intra8x8 V without top")
+        pred[:] = t[None, :8]
+        return pred
+    if mode == 1:  # Horizontal
+        if not has_left:
+            raise H264DecodeError("intra8x8 H without left")
+        pred[:] = l[:, None]
+        return pred
+    if mode == 3:  # Diagonal-Down-Left
+        if not has_top:
+            raise H264DecodeError("intra8x8 DDL without top")
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    pred[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    i = x + y
+                    pred[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return pred
+    if mode == 7:  # Vertical-Left
+        if not has_top:
+            raise H264DecodeError("intra8x8 VL without top")
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    pred[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    pred[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return pred
+    if mode == 8:  # Horizontal-Up
+        if not has_left:
+            raise H264DecodeError("intra8x8 HU without left")
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z < 13 and z % 2 == 0:
+                    pred[y, x] = (l[i] + l[i + 1] + 1) >> 1
+                elif z < 13:
+                    pred[y, x] = (l[i] + 2 * l[i + 1] + l[i + 2] + 2) >> 2
+                elif z == 13:
+                    pred[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                else:
+                    pred[y, x] = l[7]
+        return pred
+    if not (has_top and has_left):
+        raise H264DecodeError(f"intra8x8 mode {mode} without neighbors")
+    if mode == 4:  # Diagonal-Down-Right
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    pred[y, x] = (T(x - y - 2) + 2 * T(x - y - 1)
+                                  + T(x - y) + 2) >> 2
+                elif x < y:
+                    pred[y, x] = (L(y - x - 2) + 2 * L(y - x - 1)
+                                  + L(y - x) + 2) >> 2
+                else:
+                    pred[y, x] = (t[0] + 2 * c + l[0] + 2) >> 2
+        return pred
+    if mode == 5:  # Vertical-Right
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    pred[y, x] = (T(i - 1) + T(i) + 1) >> 1
+                elif z > 0:
+                    pred[y, x] = (T(i - 2) + 2 * T(i - 1) + T(i) + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    pred[y, x] = (l[y - 2 * x - 1] + 2 * l[y - 2 * x - 2]
+                                  + L(y - 2 * x - 3) + 2) >> 2
+        return pred
+    if mode == 6:  # Horizontal-Down
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    pred[y, x] = (L(i - 1) + L(i) + 1) >> 1
+                elif z > 0:
+                    pred[y, x] = (L(i - 2) + 2 * L(i - 1) + L(i) + 2) >> 2
+                elif z == -1:
+                    pred[y, x] = (l[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    pred[y, x] = (t[x - 2 * y - 1] + 2 * t[x - 2 * y - 2]
+                                  + T(x - 2 * y - 3) + 2) >> 2
+        return pred
+    raise H264DecodeError(f"intra8x8 prediction mode {mode} invalid")
 
 _ALPHA = np.array(
     [0] * 16
@@ -883,6 +1092,10 @@ class _SliceDecoder:
         # cells whose motion is direct-inferred (B): the CABAC ref_idx
         # context ignores such neighbors (9.3.3.1.1.6)
         self.direct4 = np.zeros((mbh * 4, mbw * 4), bool)
+        # 8x8-transform MBs (High profile): internal 4x4 edges are not
+        # deblocked and bS consults per-8x8 coded flags
+        self.t8 = np.zeros((mbh, mbw), bool)
+        self.coded8 = np.zeros((mbh * 2, mbw * 2), bool)
         self.mb_intra = np.ones((mbh, mbw), bool)
         self.lists: List[List[RefPic]] = [[], []]
         # explicit WP: (log_wd_y, log_wd_c, [per-list [(wy,oy,wu,ou,wv,ov)]])
@@ -896,6 +1109,13 @@ class _SliceDecoder:
         self.adaptive_marking = False
         self.num_ref_active = [1, 1]
         self.cabac_init_idc = 0
+        # within-MB partition-order availability for B MV prediction
+        # (6.4.11.7: a same-MB partition later in mbPartIdx/subMbPartIdx
+        # order is "not yet decoded"; direct-inferred blocks are always
+        # available, matching decoder-cache semantics)
+        self._bcur = None  # (mx, my) while a B MB's motion parses
+        self._bord = np.full((4, 4), 99, np.int64)
+        self._bk = 99
 
     @property
     def list0(self) -> List[RefPic]:
@@ -1183,7 +1403,7 @@ class _SliceDecoder:
                 f"slice ended after {mb_addr}/{n_mbs} macroblocks"
             )
         if disable_idc != 1:
-            if self.slice_type in (0, 1):
+            if self.slice_type in (0, 1) or self.t8.any():
                 self._deblock_general(off_a, off_b)
             else:
                 self._deblock(off_a, off_b)
@@ -1252,6 +1472,7 @@ class _SliceDecoder:
             self._decode_mb_intra(r, mx, my, mb_type - 5)
             return
         self._mark_inter(mx, my)
+        allow8 = True  # 8x8 transform needs all partitions >= 8x8
         parts: List[Tuple[int, int, int, int, int, int, int]] = []
         if mb_type in (0, 1, 2):
             shapes = _P_PARTS[mb_type]
@@ -1276,6 +1497,7 @@ class _SliceDecoder:
                 if st > 3:
                     raise H264DecodeError(f"bad P sub_mb_type {st}")
                 subs.append(st)
+            allow8 = all(st == 0 for st in subs)
             if mb_type == 3:
                 refs = [self._read_ref_idx(r) for _ in range(4)]
             else:
@@ -1303,7 +1525,7 @@ class _SliceDecoder:
             raise H264DecodeError("bad coded_block_pattern")
         cbp = _CBP_INTER[cbp_code]
         self._finish_inter_residual_cavlc(r, mx, my, cbp,
-                                          pred_y, pred_u, pred_v)
+                                          pred_y, pred_u, pred_v, allow8)
 
     # ---- B macroblocks (spec 7.3.5, 8.4.1.2) -----------------------------
 
@@ -1449,7 +1671,7 @@ class _SliceDecoder:
             self._decode_mb_intra(r, mx, my, mb_type - 23)
             return
         self._mark_inter(mx, my)
-        parts = self._parse_b_motion(
+        parts, allow8 = self._parse_b_motion(
             r, mx, my, mb_type,
             lambda gx, gy, w, h, lx: self._read_ref_idx(r, lx),
             lambda gx, gy, comp, lx: r.se())
@@ -1460,7 +1682,7 @@ class _SliceDecoder:
             raise H264DecodeError("bad coded_block_pattern")
         cbp = _CBP_INTER[cbp_code]
         self._finish_inter_residual_cavlc(r, mx, my, cbp,
-                                          pred_y, pred_u, pred_v)
+                                          pred_y, pred_u, pred_v, allow8)
 
     def _parse_b_motion(self, r, mx: int, my: int, mb_type: int,
                         read_ref, read_mvd):
@@ -1468,9 +1690,12 @@ class _SliceDecoder:
         7-14/7-18), shared by the CAVLC and CABAC tiers via the
         ``read_ref(lx)`` / ``read_mvd(gx, gy, comp, lx)`` callbacks:
         all ref_idx_l0, then ref_idx_l1, then mvd_l0, then mvd_l1;
-        returns the part list with the motion state set."""
+        returns (parts, allow_8x8_transform) with the motion state
+        set."""
         if mb_type == 0:  # B_Direct_16x16
-            return self._direct_parts(mx, my)
+            # direct_8x8_inference (required in scope) keeps every
+            # inferred partition >= 8x8 (7.3.5 transform flag condition)
+            return self._direct_parts(mx, my), True
         if mb_type != 22:
             shape_key, masks = _B_MODES[mb_type]
             shapes = _P_PARTS[shape_key]
@@ -1485,6 +1710,11 @@ class _SliceDecoder:
                         refs[i][lx] = read_ref(gx, gy, w, h, lx)
             mvs = [[(0, 0), (0, 0)] for _ in shapes]
             parts = []
+            self._bord.fill(99)
+            for i, (px, py_, w, h) in enumerate(shapes):
+                self._bord[py_ // 4: (py_ + h) // 4,
+                           px // 4: (px + w) // 4] = i
+            self._bcur = (mx, my)
             for lx in (0, 1):
                 for i, mask in enumerate(masks):
                     if not mask & (1 << lx):
@@ -1493,16 +1723,18 @@ class _SliceDecoder:
                     gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
                     dx = read_mvd(gx, gy, 0, lx)
                     dy = read_mvd(gx, gy, 1, lx)
+                    self._bk = i
                     px_x, px_y = self._mvp(gx, gy, w // 4, h // 4,
                                            refs[i][lx], hints[i], lx)
                     mvs[i][lx] = (px_x + dx, px_y + dy)
                     self._set_part(mx, my, px, py_, w, h, refs[i][lx],
                                    px_x + dx, px_y + dy, lx)
                     self._note_absmvd(gx, gy, w // 4, h // 4, dx, dy, lx)
+            self._bcur = None
             for i, (px, py_, w, h) in enumerate(shapes):
                 parts.append((px, py_, w, h, tuple(refs[i]),
                               tuple(mvs[i])))
-            return parts
+            return parts, True
         # B_8x8 (7.3.5.2, Table 7-18)
         subs = [self._read_b_sub_type(r) for _ in range(4)]
         for st in subs:
@@ -1527,6 +1759,18 @@ class _SliceDecoder:
                     gx, gy = mx * 4 + bx0 // 4, my * 4 + by0 // 4
                     refs[b8][lx] = read_ref(gx, gy, 8, 8, lx)
         sub_mvs = {}
+        self._bord.fill(99)
+        for b8 in range(4):
+            bx0, by0 = (b8 & 1) * 2, (b8 >> 1) * 2
+            if subs[b8] == 0:  # direct: available to every partition
+                self._bord[by0: by0 + 2, bx0: bx0 + 2] = -1
+                continue
+            shape_key = _B_SUB[subs[b8]][0]
+            for si, (sx, sy, w, h) in enumerate(_P_SUB_PARTS[shape_key]):
+                self._bord[by0 + sy // 4: by0 + (sy + h) // 4,
+                           bx0 + sx // 4: bx0 + (sx + w) // 4] = \
+                    b8 * 4 + si
+        self._bcur = (mx, my)
         for lx in (0, 1):
             for b8 in range(4):
                 if subs[b8] == 0:
@@ -1541,12 +1785,14 @@ class _SliceDecoder:
                     gx, gy = mx * 4 + px // 4, my * 4 + py_ // 4
                     dx = read_mvd(gx, gy, 0, lx)
                     dy = read_mvd(gx, gy, 1, lx)
+                    self._bk = b8 * 4 + si
                     px_x, px_y = self._mvp(gx, gy, w // 4, h // 4,
                                            refs[b8][lx], None, lx)
                     self._set_part(mx, my, px, py_, w, h, refs[b8][lx],
                                    px_x + dx, px_y + dy, lx)
                     self._note_absmvd(gx, gy, w // 4, h // 4, dx, dy, lx)
                     sub_mvs[(b8, si, lx)] = (px_x + dx, px_y + dy)
+        self._bcur = None
         parts = []
         for b8 in range(4):
             if subs[b8] == 0:
@@ -1563,7 +1809,7 @@ class _SliceDecoder:
                         mvs[lx] = sub_mvs[(b8, si, lx)]
                 parts.append((bx0 + sx, by0 + sy, w, h,
                               tuple(prefs), tuple(mvs)))
-        return parts
+        return parts, all(st <= 3 for st in subs)
 
     def _read_b_sub_type(self, r: BitReader) -> int:
         return r.ue()
@@ -1573,15 +1819,28 @@ class _SliceDecoder:
         records it for the mvd context (9.3.3.1.1.7)."""
 
     def _finish_inter_residual_cavlc(self, r, mx, my, cbp,
-                                     pred_y, pred_u, pred_v):
-        """Shared P/B CAVLC inter-MB residual + reconstruction tail."""
+                                     pred_y, pred_u, pred_v,
+                                     allow8=False):
+        """Shared P/B CAVLC inter-MB residual + reconstruction tail;
+        transform_size_8x8_flag sits between coded_block_pattern and
+        mb_qp_delta (7.3.5)."""
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        t8 = False
+        if cbp_luma and allow8 and self.pps.transform_8x8:
+            t8 = bool(r.bit())
+            self.t8[my, mx] = t8
         if cbp:
             qp = (self.qp_prev + r.se() + 52) % 52
             self.qp_prev = qp
         else:
             qp = self.qp_prev
         self.qp_map[my, mx] = qp
+        if t8:
+            Z8 = self._read_luma8_cavlc(r, mx, my, cbp_luma)
+            CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+            self._recon_inter_mb8(mx, my, qp, Z8, CZD, CZA,
+                                  pred_y, pred_u, pred_v)
+            return
 
         gy0, gx0 = my * 4, mx * 4
         self.nnz_y[gy0: gy0 + 4, gx0: gx0 + 4] = 0
@@ -1607,8 +1866,21 @@ class _SliceDecoder:
         refIdx -2 when the location is unavailable (outside the picture or
         not yet decoded, 6.4.9), -1 when the cell is intra-coded or does
         not predict from list lx (8.4.1.3.2: mv 0)."""
-        if (cx < 0 or cy < 0 or cx >= self.mbw * 4 or cy >= self.mbh * 4
-                or not self.decoded4[cy, cx]):
+        if cx < 0 or cy < 0 or cx >= self.mbw * 4 or cy >= self.mbh * 4:
+            return -2, 0, 0
+        if self._bcur is not None:
+            bmx, bmy = self._bcur
+            ly, lxc = cy - bmy * 4, cx - bmx * 4
+            if 0 <= ly < 4 and 0 <= lxc < 4:
+                # same-MB cell: partition order governs availability
+                if self._bord[ly, lxc] > self._bk:
+                    return -2, 0, 0
+                ref = int(self.refidx[cy, cx, lx])
+                if ref < 0:
+                    return -1, 0, 0
+                return (ref, int(self.mv[cy, cx, lx, 0]),
+                        int(self.mv[cy, cx, lx, 1]))
+        if not self.decoded4[cy, cx]:
             return -2, 0, 0
         ref = int(self.refidx[cy, cx, lx])
         if ref < 0:
@@ -1749,8 +2021,11 @@ class _SliceDecoder:
             r.byte_align()
             self._store_pcm(r, mx, my)
             return
-        if mb_type == 0:
-            self._decode_i4_mb(r, mx, my)
+        if mb_type == 0:  # I_NxN: 4x4 or 8x8 transform (High profile)
+            if self.pps.transform_8x8 and r.bit():
+                self._decode_i8_mb(r, mx, my)
+            else:
+                self._decode_i4_mb(r, mx, my)
             return
         if not 1 <= mb_type <= 24:
             raise H264DecodeError(
@@ -1922,6 +2197,111 @@ class _SliceDecoder:
             )
         self._recon_chroma(mx, my, qp, chroma_mode, CZD, CZA)
 
+    # ---- I_8x8 macroblocks + 8x8 luma residual (High profile) ----------
+
+    def _read_luma8_cavlc(self, r: BitReader, mx: int, my: int,
+                          cbp_luma: int) -> np.ndarray:
+        """CAVLC 8x8 luma residual (7.4.5.3.3): each coded 8x8 block is
+        four interleaved 4x4 CAVLC blocks — sub-block k supplies 8x8
+        scan positions 4*i + k.  Maintains per-4x4 nnz (nC contexts) and
+        per-8x8 coded flags (deblocking bS)."""
+        Z8 = np.zeros((4, 8, 8), np.int64)
+        gy0, gx0 = my * 4, mx * 4
+        self.nnz_y[gy0: gy0 + 4, gx0: gx0 + 4] = 0
+        for b8 in range(4):
+            if not (cbp_luma >> b8) & 1:
+                continue
+            flat = np.zeros(64, np.int64)
+            for k in range(4):
+                bx, by = _BLK_POS[b8 * 4 + k]
+                nC = self._nC(self.nnz_y, mx, my, bx, by, 4)
+                scan = read_cavlc_block(r, nC, 16)
+                self.nnz_y[gy0 + by, gx0 + bx] = int(
+                    np.count_nonzero(scan))
+                for i in range(16):
+                    flat[ZIGZAG8[4 * i + k]] = scan[i]
+            Z8[b8] = flat.reshape(8, 8)
+            self.coded8[my * 2 + (b8 >> 1), mx * 2 + (b8 & 1)] = bool(
+                flat.any())
+        return Z8
+
+    def _read_i8_modes_cavlc(self, r: BitReader, mx: int, my: int):
+        gy0, gx0 = my * 4, mx * 4
+        modes = []
+        for b8 in range(4):
+            gx, gy = gx0 + (b8 & 1) * 2, gy0 + (b8 >> 1) * 2
+            ma = int(self.i4_modes[gy, gx - 1]) if gx > 0 else -1
+            mb_ = int(self.i4_modes[gy - 1, gx]) if gy > 0 else -1
+            pm = 2 if (ma < 0 or mb_ < 0) else min(ma, mb_)
+            if r.bit():  # prev_intra8x8_pred_mode_flag
+                mode = pm
+            else:
+                rem = r.bits(3)
+                mode = rem if rem < pm else rem + 1
+            self.i4_modes[gy: gy + 2, gx: gx + 2] = mode
+            modes.append(mode)
+        return modes
+
+    def _decode_i8_mb(self, r: BitReader, mx: int, my: int):
+        """I_NxN with transform_size_8x8_flag == 1 (spec 7.3.5.1,
+        8.3.2)."""
+        self.t8[my, mx] = True
+        modes = self._read_i8_modes_cavlc(r, mx, my)
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise H264DecodeError("bad intra_chroma_pred_mode")
+        cbp_code = r.ue()
+        if cbp_code >= len(_CBP_INTRA):
+            raise H264DecodeError("bad coded_block_pattern")
+        cbp = _CBP_INTRA[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = (self.qp_prev + r.se() + 52) % 52
+            self.qp_prev = qp
+        else:
+            qp = self.qp_prev
+        self.qp_map[my, mx] = qp
+        Z8 = self._read_luma8_cavlc(r, mx, my, cbp_luma)
+        CZD, CZA = self._read_chroma(r, mx, my, cbp_chroma)
+        self._recon_i8_mb(mx, my, modes, qp, Z8, chroma_mode, CZD, CZA)
+
+    def _i8_avail(self, mx: int, my: int, b8: int):
+        """(y0, x0, has_top, has_left, has_top_right) of 8x8 block b8;
+        top-right follows raster decode order (6.4.9)."""
+        y0 = my * 16 + (b8 >> 1) * 8
+        x0 = mx * 16 + (b8 & 1) * 8
+        has_top = y0 > 0
+        has_left = x0 > 0
+        if b8 == 0:
+            has_tr = has_top
+        elif b8 == 1:  # above-right macroblock
+            has_tr = my > 0 and mx < self.mbw - 1
+        elif b8 == 2:  # bottom row of block 1's region, same MB
+            has_tr = True
+        else:
+            has_tr = False
+        return y0, x0, has_top, has_left, has_tr
+
+    def _recon_i8_mb(self, mx, my, modes, qp, Z8, chroma_mode, CZD, CZA):
+        for b8 in range(4):
+            y0, x0, ht, hl, htr = self._i8_avail(mx, my, b8)
+            pred = _pred8x8(self.ry, y0, x0, modes[b8], ht, hl, htr)
+            res = (idct8x8(dequant8x8(Z8[b8], qp)) + 32) >> 6
+            self.ry[y0: y0 + 8, x0: x0 + 8] = np.clip(pred + res, 0, 255)
+        self._recon_chroma(mx, my, qp, chroma_mode, CZD, CZA)
+
+    def _recon_inter_mb8(self, mx, my, qp, Z8, CZD, CZA,
+                         pred_y, pred_u, pred_v):
+        """Inter MB reconstruction with the 8x8 transform."""
+        y0, x0 = my * 16, mx * 16
+        for b8 in range(4):
+            by0, bx0 = (b8 >> 1) * 8, (b8 & 1) * 8
+            res = (idct8x8(dequant8x8(Z8[b8], qp)) + 32) >> 6
+            self.ry[y0 + by0: y0 + by0 + 8, x0 + bx0: x0 + bx0 + 8] = \
+                np.clip(pred_y[by0: by0 + 8, bx0: bx0 + 8] + res, 0, 255)
+        self._recon_chroma(mx, my, qp, 0, CZD, CZA,
+                           cpreds=(pred_u, pred_v))
+
     # ---- shared chroma residual + reconstruction ----------------------
 
     def _read_chroma(self, r: BitReader, mx: int, my: int, cbp_chroma: int):
@@ -2078,6 +2458,13 @@ class _SliceDecoder:
 
     # ---- deblocking with derived boundary strengths (spec 8.7.2.1) ------
 
+    def _cell_coeffs(self, gy: int, gx: int) -> bool:
+        """Non-zero-coefficient test for bS (8.7.2.1): cells of an
+        8x8-transform MB consult the containing 8x8 block."""
+        if self.t8[gy >> 2, gx >> 2]:
+            return bool(self.coded8[gy >> 1, gx >> 1])
+        return bool(self.nnz_y[gy, gx])
+
     @staticmethod
     def _mv_far(a, b) -> bool:
         return (abs(int(a[0]) - int(b[0])) >= 4
@@ -2092,7 +2479,7 @@ class _SliceDecoder:
         pictures the MV comparison may match either correspondence."""
         if any_intra:
             return 4 if mb_edge else 3
-        if self.nnz_y[pgy, pgx] or self.nnz_y[qgy, qgx]:
+        if self._cell_coeffs(pgy, pgx) or self._cell_coeffs(qgy, qgx):
             return 2
         p_used = [lx for lx in (0, 1) if self.refidx[pgy, pgx, lx] >= 0]
         q_used = [lx for lx in (0, 1) if self.refidx[qgy, qgx, lx] >= 0]
@@ -2142,6 +2529,10 @@ class _SliceDecoder:
                                 continue
                             pmx, pmy = (mx - 1, my) if vertical else (mx, my - 1)
                         else:
+                            # 8x8-transform MBs have no internal 4x4
+                            # transform edges (8.7: filterInternalEdges)
+                            if xr != 8 and self.t8[my, mx]:
+                                continue
                             pmx, pmy = mx, my
                         qp_p = int(qpm[pmy, pmx])
                         any_intra = intra_q or bool(self.mb_intra[pmy, pmx])
@@ -2337,7 +2728,11 @@ class PureH264Decoder:
             if slice_type_peek == 1:
                 self._seen_b = True
             dec = None
-            if slice_type_peek in (0, 1) and not scalar_only:
+            # the native tiers do not implement the High-profile 8x8
+            # transform yet: such streams decode on the Python tiers
+            t8_stream = self.pps.transform_8x8
+            if slice_type_peek in (0, 1) and not scalar_only \
+                    and not t8_stream:
                 # native inter tier (P and B slices, CAVLC and CABAC;
                 # C++ macroblock layer with per-4x4 motion export so B
                 # direct modes can consult stored references)
@@ -2358,16 +2753,17 @@ class PureH264Decoder:
                     NativeCabacSliceDecoder,
                 )
 
-                if is_intra_idr and not scalar_only:
+                if is_intra_idr and not scalar_only and not t8_stream:
                     dec = NativeCabacSliceDecoder(self.sps, self.pps)
                     if not dec.decode_slice(BitReader(rbsp), nal_type):
                         dec = None
                 if dec is None:
                     dec = CabacSliceDecoder(self.sps, self.pps, self.dpb)
                     dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
-            elif not is_intra_idr:
-                # CAVLC P (no native lib) and non-IDR intra: the scalar
-                # tier owns the full slice-header semantics
+            elif not is_intra_idr or t8_stream:
+                # CAVLC inter (no native lib), non-IDR intra, and
+                # High-profile streams: the scalar tier owns the full
+                # slice-header + 8x8-transform semantics
                 dec = _SliceDecoder(self.sps, self.pps, self.dpb)
                 dec.decode_slice(BitReader(rbsp), nal_type, nal_ref_idc)
             elif scalar_only:
